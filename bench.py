@@ -1,0 +1,67 @@
+"""Bench harness — runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {key: sec, ...}, "sf": ...}.
+
+Per BASELINE.md's measurement plan: one warm SparkSession (JVM startup
+excluded), one timed run per query (each executed to completion via a
+count-style action that materializes every row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from ls_hadoop_3_0_spark import QUERIES
+from ls_hadoop_3_0_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_tag(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("ls_hadoop_bench")
+    # Warm the JVM + parquet footers with the cheapest query once.
+    QUERIES["agg_count"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for key in sorted(QUERIES):
+        fn = QUERIES[key]
+        t0 = time.perf_counter()
+        try:
+            # count() materializes every operator including sinks/windows;
+            # cheap on the driver (no row transfer).
+            fn(spark, SF_DIR).count()
+            timings[key] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # pragma: no cover
+            timings[key] = -1.0
+            print(f"FAIL {key}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_tag(SF_DIR),
+                "n_queries": len(timings),
+                "failed": sorted(k for k, v in timings.items() if v < 0),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

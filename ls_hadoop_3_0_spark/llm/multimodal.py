@@ -1,0 +1,107 @@
+"""Multimodal (binary) columns — SURVEY.md §2.12 X5 (EXT).
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque
+``binary`` column + typed metadata; decode/feature-extract runs as
+Arrow-batched ``mapInPandas`` so bytes never round-trip through Python
+row objects. The container has no image/audio libs (task charter), so
+the real decoders are stubbed behind import-tries and a deterministic
+fake decoder keeps the *plumbing* (schema, batch shape, partitioning)
+real and tested.
+
+The fixture has no binary column, so documents.text is encoded to UTF-8
+bytes as the stand-in payload — byte-level ops (length, hash, windowed
+"frame" sampling) behave exactly as they would on real media bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ls_hadoop_3_0_spark.registry import query
+from ls_hadoop_3_0_spark.session import prepare
+from ls_hadoop_3_0_spark.tables import load
+
+FRAME_BYTES = 64  # fake "frame" size for the frame-sampling feature
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — unavailable in this container (no PIL)."""
+    try:
+        from PIL import Image  # type: ignore  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env has no PIL
+        raise NotImplementedError(
+            "image decode requires PIL; container ships none (task charter). "
+            "The Spark-side plumbing uses fake_features() instead."
+        ) from exc
+    raise NotImplementedError("wire PIL decode here when the lib exists")
+
+
+def fake_features(payload: bytes) -> dict:
+    """Deterministic stand-in for decode+feature-extract on raw bytes."""
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "n_frames": (n + FRAME_BYTES - 1) // FRAME_BYTES,
+        "mean_byte": (sum(payload) / n) if n else 0.0,
+        "first_frame_sum": sum(payload[:FRAME_BYTES]),
+    }
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 typed metadata over an opaque binary payload (JVM-side only)."""
+    prepare(spark)
+    payload = F.encode("text", "UTF-8")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5("text").alias("payload_md5"),
+        F.ceil(F.length(payload) / F.lit(64.0)).cast("long").alias("n_frames"),
+    )
+
+
+@query("multimodal_extract", None)  # pandas-UDF internals → rows-only check
+def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 decode/feature-extract via Arrow-batched ``mapInPandas``.
+
+    Each batch maps payload bytes → feature columns with the deterministic
+    fake decoder (real decoders stubbed, see module doc). Python-side
+    equivalence is pinned in tests/test_multimodal.py.
+    """
+    prepare(spark)
+
+    schema = (
+        "doc_id long, n_bytes long, n_frames long, mean_byte double, "
+        "first_frame_sum long"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "n_frames": [f["n_frames"] for f in feats],
+                    "mean_byte": [f["mean_byte"] for f in feats],
+                    "first_frame_sum": [f["first_frame_sum"] for f in feats],
+                }
+            )
+
+    payload_df = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return payload_df.mapInPandas(extract, schema)

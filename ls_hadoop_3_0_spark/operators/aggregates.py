@@ -1,0 +1,348 @@
+"""Aggregation operators — SURVEY.md §2.4 (mapreduce.lib.aggregate parity).
+
+Reference surface (SURVEY.md §2.4, jar-verified classes):
+``IntSumReducer/LongSumReducer`` (A1), ``LongValueSum/DoubleValueSum`` (A2),
+``LongValueMax/Min, StringValueMax/Min`` (A3), ``UniqValueCount`` (A4),
+``ValueHistogram`` (A5), ``ValueAggregatorJob`` multi-aggregate driver (A6),
+combiner partial aggregation (A7 — automatic in Spark: partial/final
+HashAggregate, asserted in tests/test_plans.py), WordMean/Median/StdDev
+examples (A8), counters/row count (A10), plus EXT rollup/cube (A9).
+
+All single-pass ``groupBy().agg()`` — Spark plans partial (map-side)
+aggregation before the shuffle, the moral equivalent of the MR combiner,
+and AQE coalesces the post-shuffle partitions. At 100 TB the only knob is
+shuffle partition count; no per-operator rework needed (no driver-side
+state anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ls_hadoop_3_0_spark.exprs import davg, dsum, sql_davg, sql_dsum
+from ls_hadoop_3_0_spark.registry import query
+from ls_hadoop_3_0_spark.session import prepare
+from ls_hadoop_3_0_spark.tables import load
+
+CUTOFF = "1998-09-02 00:00:00"
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary (scan→filter→agg→sort).
+
+    Exercises one row of almost every §2 category (SURVEY.md §7 Phase 0).
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+query("pricing_summary", PRICING_SUMMARY_SQL)(pricing_summary)
+
+
+@query(
+    "agg_sum",
+    f"""
+    SELECT l_returnflag,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 ``IntSumReducer``/``LongValueSum``: grouped sum."""
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum("l_quantity").alias("sum_qty"), dsum("l_extendedprice").alias("sum_price"))
+    )
+
+
+@query(
+    "agg_minmax",
+    """
+    SELECT o_orderpriority,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           MIN(o_orderstatus) AS min_status, MAX(o_orderstatus) AS max_status
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 ``LongValueMax/Min`` + ``StringValueMax/Min`` (lexicographic)."""
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderstatus").alias("min_status"),
+            F.max("o_orderstatus").alias("max_status"),
+        )
+    )
+
+
+@query(
+    "agg_count",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders, COUNT(o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 row/key count (MR Counters + identity reduce)."""
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.count("o_custkey").alias("n_cust"))
+    )
+
+
+@query(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 ``UniqValueCount``: exact distinct-value count per key."""
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+        )
+    )
+
+
+@query("agg_approx_distinct", None)  # sketch ≠ SQL-oracle: rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 capped variant: HyperLogLog++ approximate distinct.
+
+    The scale path for UniqValueCount's cap — constant memory per key at
+    100 TB where exact distinct would shuffle every value. HLL sketches
+    differ across engines, so this is a rows-only key; exactness bounds
+    are asserted in tests/test_aggregates.py instead.
+    """
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_part"))
+    )
+
+
+@query(
+    "agg_histogram",
+    """
+    WITH freq AS (
+        SELECT o_orderpriority AS k, o_orderstatus AS v, COUNT(*) AS freq
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT k,
+           COUNT(*) AS n_values,
+           MIN(freq) AS min_freq,
+           MAX(freq) AS max_freq,
+           (CAST(SUM(freq) AS DOUBLE) / COUNT(*)) AS avg_freq,
+           SQRT((CAST(SUM(freq * freq) AS DOUBLE)
+                 - CAST(SUM(freq) AS DOUBLE) * SUM(freq) / COUNT(*))
+                / (COUNT(*) - 1)) AS std_freq
+    FROM freq GROUP BY k
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 ``ValueHistogram`` (SURVEY §2.4): per-key value-frequency stats.
+
+    Two-level aggregation: count per (key,value), then frequency stats per
+    key. Stddev via explicit exact-integer moments so both engines emit
+    bit-identical doubles (see registry.py rules).
+    """
+    prepare(spark)
+    freq = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("k"), F.col("o_orderstatus").alias("v"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("freq").cast("double")
+    s2 = F.sum(F.col("freq") * F.col("freq")).cast("double")
+    return freq.groupBy("k").agg(
+        n.alias("n_values"),
+        F.min("freq").alias("min_freq"),
+        F.max("freq").alias("max_freq"),
+        (s / n).alias("avg_freq"),
+        F.sqrt((s2 - s * F.sum("freq") / n) / (n - 1)).alias("std_freq"),
+    )
+
+
+@query(
+    "agg_multi",
+    f"""
+    SELECT l_returnflag,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           MAX(l_extendedprice) AS max_price,
+           MIN(l_discount) AS min_disc,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 ``ValueAggregatorJob``: many named aggregations in one pass."""
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.min("l_discount").alias("min_disc"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_stats",
+    f"""
+    SELECT l_returnflag,
+           COUNT(l_quantity) AS n,
+           {sql_davg('l_quantity')} AS mean_qty,
+           ({sql_dsum('l_quantity * l_quantity')}
+            - {sql_dsum('l_quantity')} * {sql_dsum('l_quantity')} / COUNT(l_quantity))
+               / (COUNT(l_quantity) - 1) AS var_qty,
+           SQRT(({sql_dsum('l_quantity * l_quantity')}
+            - {sql_dsum('l_quantity')} * {sql_dsum('l_quantity')} / COUNT(l_quantity))
+               / (COUNT(l_quantity) - 1)) AS std_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 WordMean/WordStandardDeviation parity: mean/variance/stddev.
+
+    Moments are exact decimal sums; variance composed with identical
+    double arithmetic both sides (order-stable — see registry.py).
+    Native ``stddev_samp``/``var_samp`` equivalence is asserted (with
+    tolerance) in tests/test_aggregates.py.
+    """
+    prepare(spark)
+    q = F.col("l_quantity")
+    n = F.count(q)
+    s = dsum(q)
+    s2 = dsum(q * q)
+    var = (s2 - s * s / n) / (n - 1)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            (s / n).alias("mean_qty"),
+            var.alias("var_qty"),
+            F.sqrt(var).alias("std_qty"),
+        )
+    )
+
+
+@query(
+    "agg_median",
+    """
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 WordMedian parity: exact median + continuous percentile.
+
+    Spark ``median``/``percentile`` are exact (linear interpolation),
+    matching DuckDB ``median``/``quantile_cont``. The streaming-scale
+    variant is ``percentile_approx`` (KLL-style sketch), exercised in
+    tests only — sketches don't hash-match across engines.
+    """
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.median("l_quantity").alias("med_qty"),
+            F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (EXT) hierarchical subtotals — one pass instead of MR's N jobs."""
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "agg_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows, {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (EXT) full cross-dimensional subtotals."""
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_extendedprice").alias("sum_price"))
+    )

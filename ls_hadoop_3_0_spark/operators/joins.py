@@ -1,0 +1,327 @@
+"""Join operators — SURVEY.md §2.3 (mapreduce.lib.join parity + EXT).
+
+Reference surface: the ``CompositeInputFormat`` map-side SMJ family —
+``inner(a,b)`` (J1/J2), ``outer`` (J3), ``override`` newest-wins (J4),
+``MultiFilterRecordReader`` semi-join composition (J5), the reduce-side
+join idiom (J6), the DistributedCache broadcast-hash idiom (J7), cross
+join (J10), plus EXT range (J8) and as-of (J9) joins.
+
+Scale notes (100 TB posture):
+- Equi-joins are declared; Catalyst picks SMJ for big-big (co-partitioned
+  via the shuffle — the moral equivalent of CompositeInputFormat's
+  pre-sorted inputs) and broadcast-hash when one side fits
+  ``autoBroadcastJoinThreshold`` (AQE converts at runtime too). Dimension
+  joins below hint ``broadcast()`` explicitly — nation/supplier/region
+  stay small at any TPC-H scale.
+- AQE skew-join splitting is on (session.py) for skewed fact keys.
+- The as-of join is the union+window formulation — one shuffle on
+  (user), no per-row probing, no cross product — the formulation that
+  survives 100 TB (a naive inequality join would be O(n·m) BNLJ).
+- The range join banding trick keeps the small side broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ls_hadoop_3_0_spark.exprs import fmt_ts, sql_dsum, dsum
+from ls_hadoop_3_0_spark.registry import query
+from ls_hadoop_3_0_spark.session import prepare
+from ls_hadoop_3_0_spark.tables import EVENTS_SQL, load
+
+
+@query(
+    "join_inner",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000.0
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 inner equi-join (CompositeInputFormat ``inner(a,b)``)."""
+    prepare(spark)
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    cust = load(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 family: left outer equi-join (null-extends unmatched left rows)."""
+    prepare(spark)
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+    RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 200000.0
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 family: right outer equi-join."""
+    prepare(spark)
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000.0)
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_outer",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+    FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 ``OuterJoinRecordReader``: full outer — nulls for absent sides."""
+    prepare(spark)
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000.0)
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_override",
+    """
+    WITH latest AS (
+        SELECT o_custkey, max(o_totalprice) AS new_bal
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey,
+           COALESCE(l.new_bal, c.c_acctbal) AS effective_bal,
+           (l.o_custkey IS NOT NULL) AS overridden
+    FROM customer c LEFT JOIN latest l ON c.c_custkey = l.o_custkey
+    """,
+)
+def join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 ``OverrideRecordReader``: rightmost-source-wins (upsert join).
+
+    Base relation = customer balances; overriding relation = per-customer
+    max order price. ``coalesce(right, left)`` implements "newest wins".
+    """
+    prepare(spark)
+    cust = load(spark, sf_dir, "customer")
+    latest = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("new_bal"))
+    )
+    return cust.join(latest, cust.c_custkey == latest.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("new_bal", "c_acctbal").alias("effective_bal"),
+        F.col("o_custkey").isNotNull().alias("overridden"),
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 ``MultiFilterRecordReader`` composition: left semi (EXISTS)."""
+    prepare(spark)
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 composition: left anti (NOT EXISTS)."""
+    prepare(spark)
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_broadcast",
+    f"""
+    SELECT s.s_name, n.n_name,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY s.s_name, n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 DistributedCache map-side hash join → explicit broadcast hint.
+
+    Fact (lineitem) joins two hinted-broadcast dims — zero shuffle for the
+    joins; the only shuffle is the final aggregation. At 100 TB supplier
+    and nation remain MBs — the hint stays valid at any TPC-H scale.
+    tests/test_plans.py asserts BroadcastHashJoin in the physical plan.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_cross",
+    """
+    SELECT r.r_name, n.n_name, (n.n_regionkey = r.r_regionkey) AS same_region
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 cartesian product (MR no-key-reduce idiom)."""
+    prepare(spark)
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        "r_name",
+        "n_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("same_region"),
+    )
+
+
+#: Price bands for the range join — literal dimension, mirrored in SQL.
+PRICE_BANDS = [
+    ("band0", 0.0, 100000.0),
+    ("band1", 100000.0, 200000.0),
+    ("band2", 200000.0, 300000.0),
+    ("band3", 300000.0, 400000.0),
+    ("band4", 400000.0, 1000000.0),
+]
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{n}' AS band, {lo} AS lo, {hi} AS hi" for n, lo, hi in PRICE_BANDS
+)
+
+
+@query(
+    "join_range",
+    f"""
+    WITH bands AS ({_BANDS_SQL})
+    SELECT b.band, COUNT(*) AS n_orders, MIN(o.o_totalprice) AS min_price,
+           MAX(o.o_totalprice) AS max_price
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (EXT) range/interval join: fact value ∈ [lo, hi) band.
+
+    Spark plans this as BroadcastNestedLoopJoin — correct here because the
+    band table is tiny and broadcast. For a large interval table the scale
+    path is banding both sides to an equi-join key; documented, not needed
+    for a fixed literal dimension.
+    """
+    prepare(spark)
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    orders = load(spark, sf_dir, "orders")
+    cond = (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi)
+    return (
+        orders.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    f"""
+    SELECT p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+    FROM (SELECT * FROM {{events}} WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM {{events}} WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """.format(events=EVENTS_SQL),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 (EXT) as-of join: latest click at-or-before each purchase, per user.
+
+    Spark has no native ASOF; the scalable formulation is union the two
+    event sets, single shuffle on user_id, and carry the last click ts
+    with a running ``max(ts) FILTER (is_click)`` window — O(n log n) per
+    key, no inequality cross product. DuckDB oracle uses its native
+    ASOF JOIN (inclusive >=) — tie at equal ts matches because clicks
+    sort before purchases at the same instant (tag 'c' < 'p').
+    """
+    prepare(spark)
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"), F.lit("c").alias("tag")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit("p").alias("tag")
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(F.when(F.col("tag") == "c", F.col("ts"))).over(w)
+    return (
+        merged.withColumn("last_click_ts", last_click)
+        .filter(F.col("tag") == "p")
+        .select(
+            "event_id",
+            fmt_ts("ts").alias("purchase_ts"),
+            "user_id",
+            fmt_ts("last_click_ts").alias("last_click_ts"),
+        )
+    )

@@ -1,0 +1,143 @@
+"""Sort / limit / top-k / sampling — SURVEY.md §2.5.
+
+Reference surface: TotalOrderPartitioner global sort (O1 — the TeraSort
+pattern), InputSampler (O2), secondary sort (O3), KeyFieldBased sort spec
+(O4, covered by O1+P5), the mapper-heap top-k idiom (O5), limit (O6).
+
+Scale notes:
+- ``orderBy`` IS the TeraSort algorithm: Spark samples the key
+  distribution and range-partitions before the per-partition sort —
+  identical in structure to InputSampler + TotalOrderPartitioner.
+- ``topk``/``limit_rows`` plan as TakeOrderedAndProject — each partition
+  keeps a K-row heap, the driver merges K·P rows: no global shuffle.
+  (The mapper-local-heap + single-reducer MR idiom, but automatic.)
+- The verification rank column in ``sort_global`` uses a single-partition
+  window — acceptable for oracle checking at sf≤0.1; the production
+  operator is the bare range-partitioned ``orderBy`` (rank assignment at
+  scale would be zipWithIndex over the sorted partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ls_hadoop_3_0_spark.registry import query
+from ls_hadoop_3_0_spark.session import prepare
+from ls_hadoop_3_0_spark.tables import load
+
+
+@query(
+    "sort_global",
+    """
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM orders
+    """,
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 global total-order sort (TeraSort pattern) with verification rank.
+
+    The rank column makes the ordering oracle-checkable (the comparator's
+    value hash is order-insensitive, so ordering must be materialized as
+    data). Tie-safe: (o_totalprice, o_orderkey) is a total order.
+    """
+    prepare(spark)
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+@query(
+    "topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 top-k: orderBy+limit → TakeOrderedAndProject (per-partition heaps).
+
+    tests/test_plans.py asserts the plan is TakeOrderedAndProject, not a
+    global sort — the difference between O(n log k) per partition and a
+    full shuffle at 100 TB.
+    """
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "limit_rows",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def limit_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 limit. Ordered by PK first so the row set is deterministic."""
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
+@query("sample_fraction", None)  # seeded RNG differs per engine: rows-only
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 InputSampler parity: seeded Bernoulli sample (deterministic per
+    engine, not across engines — rows-only check; statistical bounds are
+    asserted in tests/test_sort.py)."""
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "orders")
+        .sample(fraction=0.1, seed=42)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "secondary_sort",
+    """
+    SELECT l_suppkey, seq, l_orderkey, l_linenumber,
+           strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS shipdate
+    FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+               row_number() OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS seq
+        FROM lineitem)
+    WHERE seq <= 3
+    """,
+)
+def secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 secondary sort: values ordered within key groups.
+
+    MR: grouping comparator on key + sort comparator on (key, value).
+    Spark: one shuffle on the key, per-partition ordered window — the
+    first-3-per-supplier projection keeps the oracle output compact.
+    """
+    prepare(spark)
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate")
+        .withColumn("seq", F.row_number().over(w))
+        .filter(F.col("seq") <= 3)
+        .select(
+            "l_suppkey",
+            "seq",
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("shipdate"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""UDF / UDAF surface — SURVEY.md §2.11 (Hadoop Streaming & user-code parity).
+
+Reference surface: Hadoop Streaming ``PipeMapper/PipeReducer`` (F1 — run
+arbitrary user code per record), arbitrary Java Mapper/Reducer scalar &
+table functions (F2), ``UserDefinedValueAggregatorDescriptor`` UDAFs (F3).
+Accumulator (F4) parity via ``df.observe`` is exercised in tests.
+
+Scale notes: the preference ladder is built-ins ≫ pandas_udf ≫ row UDF.
+These keys intentionally use each rung on *deterministic integer-exact*
+arithmetic so the DuckDB oracle can mirror them:
+- integer sums/products are exact in float64 → order-independent;
+- the grouped UDAF emits ratios of exact integer sums (bit-stable).
+Arrow batching (pandas_udf / applyInPandas) keeps the Python boundary
+columnar — the vectorized analog of Streaming's stdin/stdout pipe.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ls_hadoop_3_0_spark.registry import query
+from ls_hadoop_3_0_spark.session import prepare
+from ls_hadoop_3_0_spark.tables import load
+
+
+@query(
+    "udf_scalar",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) % 97 AS bucket
+    FROM documents
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 row-at-a-time Python UDF (the PipeMapper analog — slow path).
+
+    Deliberately the one row UDF in the repo; everything else is
+    built-in or Arrow-vectorized. Kept deterministic + integer-valued.
+    """
+    prepare(spark)
+
+    @F.udf(T.IntegerType())
+    def n_tokens(text: str) -> int:
+        return len(text.split(" "))
+
+    @F.udf(T.IntegerType())
+    def bucket(text: str) -> int:
+        return len(text) % 97
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", n_tokens("text").alias("n_tokens"), bucket("text").alias("bucket")
+    )
+
+
+@query(
+    "udf_pandas",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity * l_linenumber AS DOUBLE) AS qty_weighted,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+    FROM lineitem
+    """,
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 vectorized pandas_udf (Arrow batches — the fast Python path)."""
+    prepare(spark)
+
+    @F.pandas_udf(T.DoubleType())
+    def weighted(q: pd.Series, ln: pd.Series) -> pd.Series:
+        return q * ln
+
+    @F.pandas_udf(T.LongType())
+    def qty_mod(q: pd.Series) -> pd.Series:
+        return q.astype("int64") % 7
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        weighted("l_quantity", F.col("l_linenumber").cast("double")).alias("qty_weighted"),
+        qty_mod("l_quantity").alias("qty_mod"),
+    )
+
+
+@query(
+    "udaf_grouped",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(l_quantity * l_linenumber) AS DOUBLE)
+               / CAST(SUM(l_linenumber) AS DOUBLE) AS weighted_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 UDAF via grouped-map ``applyInPandas`` (one output row per group).
+
+    Weighted mean of integer-exact products → pandas float64 sums are
+    exact regardless of summation order, so the SQL mirror hash-matches.
+    At 100 TB: applyInPandas shuffles each group to one task — fine for
+    bounded group counts (3 here); for high-cardinality keys prefer
+    pandas_udf GROUPED_AGG or built-ins (see aggregates.py).
+    """
+    prepare(spark)
+
+    def weighted_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["l_linenumber"].astype("float64")
+        q = pdf["l_quantity"]
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "n_rows": [len(pdf)],
+                "weighted_qty": [float((q * w).sum() / w.sum())],
+            }
+        )
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_linenumber")
+        .groupBy("l_returnflag")
+        .applyInPandas(
+            weighted_mean, "l_returnflag string, n_rows bigint, weighted_qty double"
+        )
+    )

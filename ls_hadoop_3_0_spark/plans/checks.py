@@ -1,0 +1,61 @@
+"""Physical-plan introspection — SURVEY.md §4 discipline, made checkable.
+
+The task charter's scale rules ("filters pushed to the scan", "small dims
+broadcast", "partial aggregation before the shuffle", "top-k must not
+global-sort") are asserted here against ``explain('formatted')`` output so
+they can't silently regress. Used by tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def has_pushed_filters(df: DataFrame, *fragments: str) -> bool:
+    """True if the scan reports PushedFilters mentioning every fragment."""
+    plan = formatted_plan(df)
+    if "PushedFilters: [" not in plan:
+        return False
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line and "[]" not in line
+    ]
+    blob = "\n".join(pushed)
+    return all(frag in blob for frag in fragments)
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Column names the parquet scan actually reads (ReadSchema lines)."""
+    cols: list[str] = []
+    for line in formatted_plan(df).splitlines():
+        if "ReadSchema" in line:
+            inside = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            cols.extend(f.split(":")[0].strip() for f in inside.split(",") if ":" in f)
+    return cols
+
+
+def has_broadcast_hash_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """Partial→final HashAggregate around the exchange (combiner analog)."""
+    plan = formatted_plan(df)
+    return plan.count("HashAggregate") >= 2 or "partial_" in plan
+
+
+def is_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    return formatted_plan(df).count("Exchange")

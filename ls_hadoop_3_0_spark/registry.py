@@ -1,0 +1,59 @@
+"""Query-key registry: the driver-checked contract surface.
+
+Every operator from SURVEY.md §2 that has a ``query key`` registers here a
+callable ``(spark, sf_dir) -> DataFrame`` and (when SQL-expressible) a
+DuckDB oracle SQL string over the pre-registered views
+``region nation customer supplier part orders lineitem events documents
+embeddings``.
+
+Determinism rules (SURVEY.md §5.2/§7 "oracle dialect drift"):
+
+- **Sums of doubles** are order-dependent in IEEE754. Both sides therefore
+  aggregate through exact decimals:
+  Spark  ``F.sum(col.cast("decimal(25,6)")).cast("double")``
+  DuckDB ``CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)``.
+  Decimal addition is associative → the double result is bit-stable under
+  any partitioning/ordering on both engines.
+- **Averages / variances** are composed from decimal sums and counts with
+  explicit double arithmetic (same formula both sides), never from the
+  engines' streaming implementations.
+- **Counts** are cast to BIGINT in DuckDB (its SUM(int) returns HUGEINT).
+- **Timestamps** never appear raw in outputs — always formatted to strings
+  (``date_format`` / ``strftime``) or cast to DATE, because Spark and
+  DuckDB surface different logical timestamp types to the comparator.
+- **Arrays/maps** never appear raw in outputs — joined to strings.
+- No ``rand()`` without seed; no engine-specific hash (xxhash64) in
+  oracle-compared columns (md5/sha2 are identical hex both sides).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[["SparkSession", str], "DataFrame"]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``key``; ``oracle`` is DuckDB SQL or None.
+
+    ``oracle=None`` ⇒ the driver records the weaker rows-only check
+    (reserved for genuinely non-SQL-expressible ops: seeded sampling,
+    approximate sketches, pandas-UDF internals).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in QUERIES:
+            raise ValueError(f"duplicate query key: {key}")
+        QUERIES[key] = fn
+        if oracle is not None:
+            ORACLES[key] = oracle
+        return fn
+
+    return deco

@@ -1,0 +1,178 @@
+"""Scans, sinks & formats — SURVEY.md §2.1 (lib.input / lib.output parity).
+
+Reference surface mapped here: ``TextInputFormat`` (S1), ``KeyValueText /
+csv`` (S2), ``MultipleInputs`` heterogeneous union (S7), ``TextOutputFormat``
+(S9), ``MultipleOutputs`` → partitioned sink (S11), committer-backed
+write→read roundtrip (S9/S13). Subsumed-by-Spark rows (S3-S6, S8, S10,
+S12-S16 — split planning, combine-input coalescing, JDBC splitters,
+committers, codecs) need no code: they are configuration on ``spark.read``
+/ ``df.write``; tests/test_io.py exercises compression codecs explicitly.
+
+Roundtrip pattern: each key *writes* a derived artifact to a scratch dir
+(driver-visible side effect of calling the query fn — the write is an
+eager action), reads it back, and reduces to an aggregate the oracle can
+compute from the original table. This proves sink+scan fidelity without
+the oracle having to read our artifacts.
+
+Scale notes: writes shard per-partition through Hadoop
+FileOutputCommitter v2 exactly as on a cluster; a partitioned sink
+(``partitionBy``) is the MultipleOutputs demux and enables partition
+pruning on read-back (asserted in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ls_hadoop_3_0_spark.exprs import dsum, sql_dsum
+from ls_hadoop_3_0_spark.registry import query
+from ls_hadoop_3_0_spark.session import prepare
+from ls_hadoop_3_0_spark.tables import load
+
+SCRATCH_ROOT = "/root/repo/.scratch"
+
+
+def scratch(sf_dir: str, key: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return f"{SCRATCH_ROOT}/{tag}/{key}"
+
+
+@query(
+    "scan_text",
+    """
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           MIN(length(text)) AS min_len,
+           MAX(length(text)) AS max_len
+    FROM documents
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 TextInputFormat: line-oriented text scan (write → read → reduce).
+
+    documents.text is written as raw text (one line per doc), re-scanned
+    with ``spark.read.text`` — the LineRecordReader analog — and reduced
+    to line stats the oracle recomputes from the source table.
+    """
+    prepare(spark)
+    path = scratch(sf_dir, "scan_text")
+    docs = load(spark, sf_dir, "documents")
+    docs.select("text").write.mode("overwrite").text(path)
+    lines = spark.read.text(path)  # column: value
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )
+
+
+@query(
+    "scan_csv",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 KeyValueTextInputFormat: tab-delimited scan with explicit schema.
+
+    nation roundtrips through a headerless TSV (the `key<TAB>value` text
+    format) and is read back with a declared schema — no inference, per
+    SURVEY §1.2.
+    """
+    prepare(spark)
+    path = scratch(sf_dir, "scan_csv")
+    nation = load(spark, sf_dir, "nation")
+    nation.select("n_nationkey", "n_name", "n_regionkey").write.mode("overwrite").option(
+        "sep", "\t"
+    ).csv(path)
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("sep", "\t")
+        .csv(path)
+    )
+
+
+@query(
+    "multi_source_union",
+    """
+    SELECT c_custkey AS entity_id, c_name AS name, c_acctbal AS acctbal,
+           'customer' AS src
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier
+    """,
+)
+def multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 MultipleInputs: heterogeneous sources aligned to one schema."""
+    prepare(spark)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("src"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("src"),
+    )
+    return cust.unionByName(supp)
+
+
+@query(
+    "sink_roundtrip",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    WHERE l_quantity > 25.0
+    GROUP BY l_returnflag
+    """,
+)
+def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S13 sink fidelity: write parquet → committed read-back → reduce.
+
+    Parquet is our canonical binary KV container (the SequenceFile
+    analog: splittable, compressed, schema-carrying). zstd compression —
+    the Hadoop-3.0-era codec addition (HADOOP-13578) — exercised here.
+    """
+    prepare(spark)
+    path = scratch(sf_dir, "sink_roundtrip")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 25.0)
+    li.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("l_extendedprice").alias("sum_price")
+    )
+
+
+@query(
+    "sink_partitioned",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 MultipleOutputs: demux to named outputs via ``partitionBy``.
+
+    Orders are demuxed into one directory per o_orderstatus (the
+    MultipleOutputs named-output pattern, and the layout that gives
+    partition pruning on read-back).
+    """
+    prepare(spark)
+    path = scratch(sf_dir, "sink_partitioned")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("total"),
+    )

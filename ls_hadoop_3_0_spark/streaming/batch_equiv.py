@@ -1,0 +1,208 @@
+"""Event-time windowed analytics — SURVEY.md §2.9 (EXT streaming surface).
+
+The reference is batch-only (Hadoop Streaming = piping rows through
+processes, not event-time processing); the driver assigns the streaming
+role to Spark. Strategy per SURVEY §2.9: each capability is a
+batch-equivalent DataFrame query (identical time-bucket semantics, DuckDB
+oracle-checkable) — Structured Streaming incrementalizes the *same*
+logical plan; streaming/demo.py runs the genuine ``readStream`` versions
+with watermarks.
+
+Scale notes: tumbling/sliding use Spark's native ``window()`` (generates
+≤2 rows per event for the 2× slide — no cross join); sessionization is
+``session_window`` (streaming-native state merge); the funnel is one
+shuffle on user_id. All aggregation sums go through decimals
+(registry.py rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ls_hadoop_3_0_spark.exprs import dsum, fmt_ts, sql_dsum
+from ls_hadoop_3_0_spark.registry import query
+from ls_hadoop_3_0_spark.session import prepare
+from ls_hadoop_3_0_spark.tables import EVENTS_SQL, load
+
+
+@query(
+    "stream_tumbling",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM {EVENTS_SQL} e
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 tumbling window: 1-hour buckets × event_type."""
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            fmt_ts(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM {EVENTS_SQL} e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 sliding window: 1-hour length, 30-minute slide (2 windows/event).
+
+    Oracle mirror: every ts belongs to exactly the two windows starting at
+    trunc30(ts) and trunc30(ts)−30min.
+    """
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(fmt_ts(F.col("w.start")).alias("win_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "stream_session",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM {EVENTS_SQL} e
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 session window: 30-minute gap sessionization per user.
+
+    Spark uses the native ``session_window`` operator (same state-merge
+    the streaming engine runs); the oracle is the classic gaps-and-islands
+    rewrite. Spark's session end = last event + gap, mirrored in SQL.
+    Boundary parity: a gap of exactly 30min starts a NEW session in both
+    (session_window extends [ts, ts+gap)).
+    """
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            fmt_ts(F.col("w.start")).alias("session_start"),
+            fmt_ts(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_dedup",
+    f"""
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+           event_id AS first_event_id
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+        FROM {EVENTS_SQL} e)
+    WHERE rn = 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 streaming dedup: deterministic keep-first per (user, event_type).
+
+    The batch-deterministic form of ``dropDuplicatesWithinWatermark``
+    (which keeps the first *arrival*; here first by event time, tie-broken
+    by event_id). event_id itself is unique in the fixture, so the
+    interesting key is the composite.
+    """
+    prepare(spark)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            fmt_ts("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+        )
+    )
+
+
+@query(
+    "stream_funnel",
+    f"""
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM {EVENTS_SQL} e GROUP BY user_id
+    )
+    SELECT user_id,
+           (t_signup IS NOT NULL) AS did_signup,
+           (t_signup IS NOT NULL AND t_click IS NOT NULL
+            AND t_click >= t_signup) AS clicked_after_signup,
+           (t_signup IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+            AND t_click >= t_signup AND t_purchase >= t_click)
+               AS purchased_after_click
+    FROM stages
+    """,
+)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 funnel: signup → click → purchase stage flags per user timeline."""
+    prepare(spark)
+    ev = load(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        stage("signup").alias("t_signup"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    sgn, clk, pur = F.col("t_signup"), F.col("t_click"), F.col("t_purchase")
+    return stages.select(
+        "user_id",
+        sgn.isNotNull().alias("did_signup"),
+        (sgn.isNotNull() & clk.isNotNull() & (clk >= sgn)).alias("clicked_after_signup"),
+        (
+            sgn.isNotNull()
+            & clk.isNotNull()
+            & pur.isNotNull()
+            & (clk >= sgn)
+            & (pur >= clk)
+        ).alias("purchased_after_click"),
+    )

@@ -1,0 +1,93 @@
+"""Genuine Structured Streaming demos — SURVEY.md §2.9 T4/T6.
+
+Not registered as driver query keys (a running stream can't be DuckDB-
+oracled; its *logic* is — the batch twins live in batch_equiv.py). These
+run the same plans through ``readStream`` with watermarks to prove the
+incremental path works; tests/test_streaming.py drives them to completion
+synchronously with a file source + memory sink.
+
+Scale notes: file source here stands in for Kafka; watermark bounds state
+(late events beyond 1 hour are dropped), so state size is
+O(active windows × keys), not O(stream length). ``availableNow`` triggers
+batch-incremental catch-up — the pattern for backfilling 100 TB of
+history through the same streaming query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ls_hadoop_3_0_spark.exprs import dsum
+from ls_hadoop_3_0_spark.session import prepare
+from ls_hadoop_3_0_spark.tables import load
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture directory."""
+    prepare(spark)
+    # Schema must match the parquet fixture; ts arrives as timestamp.
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parquet")
+    )
+
+
+def tumbling_counts_stream(events: DataFrame) -> DataFrame:
+    """T1+T4: watermarked tumbling-window aggregation (append-able)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_stream(events: DataFrame) -> DataFrame:
+    """T3+T6: watermarked session windows (native streaming state merge)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """T5: streaming dedup on the unique event_id within the watermark."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming DataFrame to completion into a memory sink.
+
+    Returns the StreamingQuery (stopped). Results: ``spark.table(name)``.
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return q

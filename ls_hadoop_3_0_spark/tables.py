@@ -1,0 +1,52 @@
+"""Fixture loading (TESTDATA.md / FIXTURES.md).
+
+One parquet file per table per scale factor. Schemas are fixed by the
+driver-generated fixtures; we read them as-is (parquet carries the schema —
+no inference involved, satisfying SURVEY.md §1.2 "never rely on inference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+#: DuckDB-side FROM-clause replacement for ``events``: truncates the
+#: nanosecond fixture timestamps to microseconds exactly as the Spark
+#: side does (int64 floor-division), so event-time semantics align.
+EVENTS_SQL = (
+    "(SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,"
+    " user_id, event_type, value, props FROM events)"
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table: {name}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # With spark.sql.legacy.parquet.nanosAsLong the NANOS column
+        # arrives as int64; truncate (not round) to µs — `div` is integer
+        # division, safe for 1.7e18-scale nanos where double math is not.
+        from pyspark.sql import functions as F  # local import, cheap
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}

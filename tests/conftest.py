@@ -1,0 +1,34 @@
+"""Shared fixtures: one SparkSession + one DuckDB connection per session.
+
+TEST_SF_DIR (default sf0.001) selects the fixture scale; the oracle
+connection pre-registers the same views the driver's gate uses.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from ls_hadoop_3_0_spark.session import get_spark
+from ls_hadoop_3_0_spark.tables import TABLES
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("ls_hadoop_tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
