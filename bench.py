@@ -32,16 +32,16 @@ def _sf_tag(sf_dir: str) -> float:
 def main() -> None:
     spark = get_spark("ls_hadoop_bench")
     # Warm the JVM + parquet footers with the cheapest query once.
-    QUERIES["agg_count"](spark, SF_DIR).count()
+    QUERIES["agg_count"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for key in sorted(QUERIES):
         fn = QUERIES[key]
         t0 = time.perf_counter()
         try:
-            # count() materializes every operator including sinks/windows;
-            # cheap on the driver (no row transfer).
-            fn(spark, SF_DIR).count()
+            # noop sink materializes EVERY column of every row (count()
+            # would let Catalyst prune the projections and undercount).
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[key] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # pragma: no cover
             timings[key] = -1.0

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ls_hadoop_3_0_spark.llm.embeddings import normalized_embeddings
 from ls_hadoop_3_0_spark.registry import query
 from ls_hadoop_3_0_spark.session import prepare
 from ls_hadoop_3_0_spark.tables import load
@@ -63,9 +64,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingled(docs: DataFrame) -> DataFrame:
     """doc_id + distinct word-3-shingles (docs with ≥3 tokens)."""
-    docs = load(spark, sf_dir, "documents")
     return (
         docs.select(
             "doc_id", F.expr("filter(split(text, ' '), t -> t <> '')").alias("w")
@@ -91,9 +91,7 @@ _SH_SQL = """
 """
 
 
-@query(
-    "dedup_minhash",
-    f"""
+DEDUP_MINHASH_SQL = f"""
     WITH sh AS ({_SH_SQL}),
     mh AS (
         SELECT doc_id, shingles,
@@ -121,18 +119,12 @@ _SH_SQL = """
     JOIN sh sa ON sa.doc_id = cand.doc_a
     JOIN sh sb ON sb.doc_id = cand.doc_b
     WHERE jaccard >= {MINHASH_JACCARD_T}
-    """,
-)
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 MinHash-LSH near-dedup (shingle → minhash → band → bucket join).
-
-    12 hashes in 4 bands × 3 rows (b=4,r=3 ⇒ s-curve threshold
-    (1/4)^(1/3) ≈ 0.63 collision knee); candidates verified with exact
-    shingle-set Jaccard ≥ 0.4. Lexicographic-min md5 hex = the permutation
-    hash, portable across engines.
     """
-    prepare(spark)
-    sh = _shingled(spark, sf_dir)
+
+
+def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_T) -> DataFrame:
+    """MinHash-LSH near-dup pairs over a documents-shaped DataFrame."""
+    sh = _shingled(docs)
     mh = sh.select(
         "doc_id",
         "shingles",
@@ -178,16 +170,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .filter(F.col("jaccard") >= threshold)
     )
+
+
+@query("dedup_minhash", DEDUP_MINHASH_SQL)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 MinHash-LSH near-dedup (shingle → minhash → band → bucket join).
+
+    12 hashes in 4 bands × 3 rows (b=4,r=3 ⇒ s-curve threshold
+    (1/4)^(1/3) ≈ 0.63 collision knee); candidates verified with exact
+    shingle-set Jaccard ≥ 0.4. Lexicographic-min md5 hex = the permutation
+    hash, portable across engines.
+    """
+    prepare(spark)
+    return minhash_pairs(load(spark, sf_dir, "documents"))
 
 
 _HI_HEX = "('8','9','a','b','c','d','e','f')"
 
 
-@query(
-    "dedup_simhash",
-    f"""
+DEDUP_SIMHASH_SQL = f"""
     WITH sigs AS (
         SELECT doc_id,
                array_to_string(list_transform(generate_series(1, 16),
@@ -204,22 +207,15 @@ _HI_HEX = "('8','9','a','b','c','d','e','f')"
     SELECT doc_id, simhash,
            COUNT(*) OVER (PARTITION BY simhash) AS bucket_size
     FROM sigs
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 SimHash: 16-bit majority-vote signature over token hashes.
-
-    Bit i = sign of Σ_tokens (±1 by the i-th md5 hex digit's high bit).
-    Near-dup docs differ in few bits; identical signatures form dedup
-    buckets (bucket_size > 1 ⇒ candidates). Hamming-neighbor bucketing is
-    the multi-probe extension (tests cover the signature property).
     """
-    prepare(spark)
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc 16-bit SimHash signature + bucket size (see dedup_simhash)."""
     from pyspark.sql import Window
 
     d = (
-        load(spark, sf_dir, "documents")
-        .select(
+        docs.select(
             "doc_id",
             F.expr(
                 "array_distinct(filter(split(text, ' '), t -> t <> ''))"
@@ -238,9 +234,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram",
+@query("dedup_simhash", DEDUP_SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 SimHash: 16-bit majority-vote signature over token hashes.
+
+    Bit i = sign of Σ_tokens (±1 by the i-th md5 hex digit's high bit).
+    Near-dup docs differ in few bits; identical signatures form dedup
+    buckets (bucket_size > 1 ⇒ candidates). Hamming-neighbor bucketing is
+    the multi-probe extension (tests cover the signature property).
     """
+    prepare(spark)
+    return simhash_signatures(load(spark, sf_dir, "documents"))
+
+
+DEDUP_NGRAM_SQL = """
     WITH sh AS (
         SELECT doc_id, source,
                list_distinct(list_transform(generate_series(1, len(w) - 1),
@@ -256,19 +263,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh a JOIN sh b
       ON a.source = b.source AND a.doc_id < b.doc_id
     WHERE jaccard >= 0.2
-    """,
-)
-def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 exact bigram-Jaccard near-dedup, blocked by ``source``.
-
-    The exact (non-sketch) baseline for minhash: O(block²) pairs — viable
-    only because blocking caps block size; at 100 TB the blocking key
-    would be an LSH bucket (see dedup_minhash).
     """
-    prepare(spark)
+
+
+def ngram_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_T) -> DataFrame:
+    """Sparse exact bigram-Jaccard over a documents-shaped DataFrame.
+
+    Instead of materializing all O(block²) pairs and intersecting gram
+    arrays per pair, explode grams and equi-join on (source, gram):
+    |A∩B| = the pair's join-match count, |A∪B| = |A|+|B|−|A∩B|. Pairs
+    with zero shared grams (jaccard 0 < threshold) never materialize —
+    the formulation that survives large blocks. One shuffle on
+    (source, gram), one on the pair key.
+    """
     sh = (
-        load(spark, sf_dir, "documents")
-        .select(
+        docs.select(
             "doc_id",
             "source",
             F.expr("filter(split(text, ' '), t -> t <> '')").alias("w"),
@@ -283,74 +292,99 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("grams"),
         )
     )
-    a = sh.select(
-        F.col("source"), F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a")
+    sizes = sh.select("doc_id", F.size("grams").alias("n_grams"))
+    exploded = sh.select("doc_id", "source", F.explode("grams").alias("gram"))
+    a = exploded.select(
+        F.col("source"), F.col("gram"), F.col("doc_id").alias("doc_a")
     )
-    b = sh.select(
+    b = exploded.select(
         F.col("source").alias("source_b"),
+        F.col("gram").alias("gram_b"),
         F.col("doc_id").alias("doc_b"),
-        F.col("grams").alias("g_b"),
     )
+    inter = (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("gram") == F.col("gram_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b"))
     jac = F.round(
-        F.size(F.array_intersect("g_a", "g_b")).cast("double")
-        / F.size(F.array_union("g_a", "g_b")),
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         6,
     )
     return (
-        a.join(b, (F.col("source") == F.col("source_b")) & (F.col("doc_a") < F.col("doc_b")))
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= NGRAM_JACCARD_T)
+        .filter(F.col("jaccard") >= threshold)
     )
+
+
+@query("dedup_ngram", DEDUP_NGRAM_SQL)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact bigram-Jaccard near-dedup, blocked by ``source``.
+
+    The exact (non-sketch) baseline for minhash; sparse formulation —
+    see ngram_pairs. The oracle intentionally keeps the dense O(block²)
+    list-intersect form: same result set, independent derivation.
+    """
+    prepare(spark)
+    return ngram_pairs(load(spark, sf_dir, "documents"))
+
+
+#: Normalized-vector CTE shared by the embedding oracle queries: cosine of
+#: pre-normalized vectors = plain dot product, computing each norm once
+#: per vector instead of once per pair (O(n·d) instead of O(n²·d) norms).
+NORM_EMB_SQL = """
+        SELECT vec_id, label,
+               list_transform(v, x -> x / nrm) AS u
+        FROM (SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * x))) AS nrm
+              FROM embeddings)
+"""
+
+_DOT_UV_SQL = "list_sum(list_transform(generate_series(1, 64), i -> a.u[i] * b.u[i]))"
 
 
 @query(
     "dedup_embedding",
     f"""
-    WITH e AS (
-        SELECT vec_id, label,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-    ),
-    pairs AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               list_sum(list_transform(generate_series(1, 64),
-                        i -> a.v[i] * b.v[i])) AS dot,
-               sqrt(list_sum(list_transform(a.v, x -> x * x))) AS na,
-               sqrt(list_sum(list_transform(b.v, x -> x * x))) AS nb
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    )
-    SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
-    FROM pairs
-    WHERE round(dot / (na * nb), 6) >= {EMB_COSINE_T}
+    WITH e AS ({NORM_EMB_SQL})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_UV_SQL}, 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_DOT_UV_SQL}, 6) >= {EMB_COSINE_T}
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2/X5 embedding-cosine near-dup pairs, blocked by ``label``.
 
-    Dot products are sequential left-to-right double sums in both engines
-    (Spark ``aggregate`` HOF ≡ DuckDB ``list_sum∘list_transform``) —
-    bit-stable, then rounded to 6.
+    Vectors are L2-normalized once up front (cosine = dot of unit
+    vectors); dot products are sequential left-to-right double sums in
+    both engines (Spark ``aggregate`` HOF ≡ DuckDB ``list_sum ∘
+    list_transform``) — bit-stable, then rounded to 6.
     """
     prepare(spark)
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-    )
-    a = e.select(
-        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
-    )
+    e = normalized_embeddings(load(spark, sf_dir, "embeddings"))
+    a = e.select(F.col("label"), F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
     b = e.select(
         F.col("label").alias("label_b"),
         F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
+        F.col("u").alias("ub"),
     )
-    dot = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
+    cos = F.round(
+        F.expr("aggregate(zip_with(ua, ub, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"),
+        6,
     )
-    na = F.sqrt(F.expr("aggregate(va, 0D, (acc, x) -> acc + x * x)"))
-    nb = F.sqrt(F.expr("aggregate(vb, 0D, (acc, x) -> acc + x * x)"))
-    cos = F.round(dot / (na * nb), 6)
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", cos.alias("cosine"))

@@ -5,12 +5,13 @@
 - ``knn_lsh``    — random-hyperplane LSH-bucketed ANN (the scale path;
   rows-only key, recall vs brute force asserted in tests).
 
-Scale notes: brute-force is O(|Q|·|N|·d) — correct answer, quadratic
-cost; fine for a bounded query set against a broadcastable corpus
-partition, wrong as the default at 100 TB. The LSH variant buckets both
-sides on sign-bit signatures (an equi-join) so each query only scores
-its bucket — the IVF/LSH upgrade path SURVEY §7 risk 5 calls for.
-Hyperplanes are derived from md5 (deterministic, seedless environment).
+Scale notes: vectors are L2-normalized once (llm/embeddings.py), so
+scoring is a plain dot product. Brute-force is O(|Q|·|N|·d) — correct
+answer, quadratic cost; fine for a bounded query set against a
+broadcastable corpus partition, wrong as the default at 100 TB. The LSH
+variant buckets both sides on sign-bit signatures (an equi-join) so each
+query only scores its bucket — the IVF/LSH upgrade path SURVEY §7 risk 5
+calls for. Hyperplanes derive from md5 (deterministic, seedless).
 """
 
 from __future__ import annotations
@@ -20,36 +21,28 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ls_hadoop_3_0_spark.llm.dedup import NORM_EMB_SQL
+from ls_hadoop_3_0_spark.llm.embeddings import normalized_embeddings
 from ls_hadoop_3_0_spark.registry import query
 from ls_hadoop_3_0_spark.session import prepare
 from ls_hadoop_3_0_spark.tables import load
 
 TOP_K = 10
 DIM = 64
-N_PLANES = 8
+N_PLANES = 6
 
 _DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
-
-
-def _norm_sq(col: str) -> str:
-    return f"aggregate({col}, 0D, (acc, x) -> acc + x * x)"
 
 
 @query(
     "knn_cosine",
     f"""
-    WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-    ),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    WITH e AS ({NORM_EMB_SQL}),
+    q AS (SELECT vec_id AS q_id, u AS qu FROM e WHERE vec_id % 100 = 0),
     scored AS (
         SELECT q.q_id, e.vec_id AS n_id,
                round(list_sum(list_transform(generate_series(1, {DIM}),
-                              i -> q.qv[i] * e.v[i]))
-                     / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
-                        * sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6)
-                   AS cosine
+                              i -> q.qu[i] * e.u[i])), 6) AS cosine
         FROM q JOIN e ON e.vec_id <> q.q_id
     )
     SELECT q_id, n_id, cosine, rnk FROM (
@@ -68,23 +61,14 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k window (partitioned by q_id).
     """
     prepare(spark)
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
+    e = normalized_embeddings(load(spark, sf_dir, "embeddings")).select("vec_id", "u")
     q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("u").alias("qu")
     )
-    scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("n_id"),
-            F.round(
-                F.expr(_DOT_SPARK.format(a="qv", b="v"))
-                / (F.sqrt(F.expr(_norm_sq("qv"))) * F.sqrt(F.expr(_norm_sq("v")))),
-                6,
-            ).alias("cosine"),
-        )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(F.expr(_DOT_SPARK.format(a="qu", b="u")), 6).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
     return (
@@ -111,38 +95,38 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
     return planes
 
 
+def lsh_bucketed(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Attach the sign-bit LSH bucket signature to normalized vectors."""
+    plane_arr = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in hyperplanes(n_planes)]
+    )
+    return e.withColumn("planes", plane_arr).select(
+        "vec_id",
+        "u",
+        F.expr(
+            "concat_ws('', transform(planes, p -> CASE WHEN "
+            + _DOT_SPARK.format(a="p", b="u")
+            + " > 0 THEN '1' ELSE '0' END))"
+        ).alias("bucket"),
+    )
+
+
 @query("knn_lsh", None)  # ANN: approximate by design → rows-only check
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: random-hyperplane LSH bucketing + in-bucket top-k.
 
-    Signature = sign bits of the 8 hyperplane projections → candidates
-    share the exact bucket (single-probe). Join is an equi-join on the
-    8-bit signature: at 100 TB each query scores ~corpus/256, and
-    multi-probe (flip one bit) trades recall for cost without changing
-    the plan shape. Recall vs knn_cosine asserted in tests/test_knn.py.
+    Signature = sign bits of 6 hyperplane projections → candidates share
+    the exact bucket (single-probe, 64 buckets). The join is an equi-join
+    on the signature: each query scores ~corpus/64; multi-probe (flip one
+    bit) trades recall for cost without changing the plan shape. Recall
+    vs knn_cosine asserted in tests/test_knn.py.
     """
     prepare(spark)
-    planes = hyperplanes()
-    plane_arr = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in planes]
-    )  # 8×64 literal
-    e = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-        .withColumn("planes", plane_arr)
-        .select(
-            "vec_id",
-            "v",
-            F.expr(
-                "concat_ws('', transform(planes, p -> CASE WHEN "
-                + _DOT_SPARK.format(a="p", b="v")
-                + " > 0 THEN '1' ELSE '0' END))"
-            ).alias("bucket"),
-        )
-        .drop("planes")
+    e = lsh_bucketed(
+        normalized_embeddings(load(spark, sf_dir, "embeddings")).select("vec_id", "u")
     )
     q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket")
+        F.col("vec_id").alias("q_id"), F.col("u").alias("qu"), F.col("bucket")
     )
     scored = (
         e.join(F.broadcast(q), ["bucket"])
@@ -150,11 +134,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            F.round(
-                F.expr(_DOT_SPARK.format(a="qv", b="v"))
-                / (F.sqrt(F.expr(_norm_sq("qv"))) * F.sqrt(F.expr(_norm_sq("v")))),
-                6,
-            ).alias("cosine"),
+            F.round(F.expr(_DOT_SPARK.format(a="qu", b="u")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")

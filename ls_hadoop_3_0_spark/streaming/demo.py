@@ -22,21 +22,32 @@ from ls_hadoop_3_0_spark.exprs import dsum
 from ls_hadoop_3_0_spark.session import prepare
 from ls_hadoop_3_0_spark.tables import load
 
+#: ts is int64 NANOS in the fixture (read long, truncate to µs — same as
+#: tables.load's batch path).
 EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
+    "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture directory."""
+    """File-source stream over the events fixture.
+
+    The file source wants a *directory* (new files appearing = new
+    micro-batches); the single fixture file is staged into a scratch dir.
+    """
     prepare(spark)
-    # Schema must match the parquet fixture; ts arrives as timestamp.
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(f"{sf_dir}/events.parquet")
-    )
+    import os
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stage = f"/root/repo/.scratch/{tag}/stream_events_src"
+    os.makedirs(stage, exist_ok=True)
+    dst = f"{stage}/events.parquet"
+    if not os.path.exists(dst):
+        shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def tumbling_counts_stream(events: DataFrame) -> DataFrame:

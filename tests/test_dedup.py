@@ -1,0 +1,103 @@
+"""Dedup-operator semantics on CONSTRUCTED near-duplicates.
+
+The oracle-parity gate proves Spark↔DuckDB agreement on fixture data;
+these tests pin the *intended semantics* (near-dups found, unrelated
+docs not) on documents we control, plus a pure-Python minhash reference
+(SURVEY.md §7 risk 2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ls_hadoop_3_0_spark.llm import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green turtles watch from a mossy stone bridge near the river"
+)
+NEAR = BASE.replace("mossy stone", "mossy old stone")  # one insertion
+OTHER = (
+    "completely different content about distributed query engines "
+    "optimizing shuffle exchanges and broadcast joins at scale today"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "en", "srcA", len(BASE)),
+        (2, NEAR, "en", "srcA", len(NEAR)),
+        (3, OTHER, "en", "srcA", len(OTHER)),
+        (4, BASE, "en", "srcB", len(BASE)),  # exact copy of 1
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_minhash_finds_near_and_exact_pairs(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_pairs(docs, threshold=0.4).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # identical docs
+    assert (1, 2) in pairs and 0.4 <= pairs[(1, 2)] < 1.0  # near-dup
+    assert all(3 not in p for p in pairs)  # unrelated never pairs
+
+
+def test_minhash_signature_matches_python_reference(docs):
+    """Spark's per-doc min-hashes == a straightforward Python impl."""
+    row = (
+        dedup._shingled(docs)
+        .filter("doc_id = 1")
+        .selectExpr(
+            "transform(sequence(0, 11), s -> array_min(transform(shingles,"
+            " g -> md5(concat(cast(s as string), ':', g))))) AS mins",
+            "shingles",
+        )
+        .collect()[0]
+    )
+    words = BASE.split()
+    shingles = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+    expected = [
+        min(hashlib.md5(f"{s}:{g}".encode()).hexdigest() for g in shingles)
+        for s in range(12)
+    ]
+    assert row["mins"] == expected
+
+
+def test_exact_dedup_groups_identical_docs(spark, docs):
+    docs.createOrReplaceTempView("_docs_exact")
+    out = spark.sql(
+        "SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keeper, count(*) AS n "
+        "FROM _docs_exact GROUP BY 1"
+    ).collect()
+    by_keeper = {r["keeper"]: r["n"] for r in out}
+    assert by_keeper[1] == 2  # docs 1 and 4 collapse
+    assert by_keeper[2] == 1 and by_keeper[3] == 1
+
+
+def test_simhash_identical_docs_share_signature(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[4]
+    assert len(sigs[1]) == 16 and set(sigs[1]) <= {"0", "1"}
+    # near-dup differs in few bits; unrelated differs in more
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert ham(sigs[1], sigs[2]) <= ham(sigs[1], sigs[3])
+
+
+def test_ngram_sparse_jaccard_matches_direct_computation(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_pairs(docs, threshold=0.2).collect()
+    }
+    w1, w2 = BASE.split(), NEAR.split()
+    g1 = {" ".join(w1[i : i + 2]) for i in range(len(w1) - 1)}
+    g2 = {" ".join(w2[i : i + 2]) for i in range(len(w2) - 1)}
+    expected = round(len(g1 & g2) / len(g1 | g2), 6)
+    assert pairs[(1, 2)] == expected
+    assert (1, 4) not in pairs  # different source blocks pair (blocking!)
+    assert all(3 not in p for p in pairs)

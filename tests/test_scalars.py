@@ -1,0 +1,85 @@
+"""Engine-specific scalar surface that can't be DuckDB-oracled:
+Spark-native hashes, seeded RNG, sketches, accumulators (SURVEY §2.11 F4),
+plus native-vs-explicit stats equivalence."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql import Observation
+
+from ls_hadoop_3_0_spark.tables import load
+
+from .conftest import SF_DIR
+
+
+def test_spark_native_hashes_are_deterministic(spark):
+    c = load(spark, SF_DIR, "customer").select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("xx"),
+        F.crc32(F.encode("c_name", "UTF-8")).alias("crc"),
+        F.hash("c_name").alias("murmur"),
+    )
+    a = {r["c_custkey"]: (r["xx"], r["crc"], r["murmur"]) for r in c.collect()}
+    b = {r["c_custkey"]: (r["xx"], r["crc"], r["murmur"]) for r in c.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_seeded_rand_is_reproducible(spark):
+    df = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", F.rand(42).alias("u"), F.randn(42).alias("g")
+    )
+    assert df.collect() == df.collect()
+
+
+def test_approx_count_distinct_bounds(spark):
+    li = load(spark, SF_DIR, "lineitem")
+    exact = li.select(F.countDistinct("l_partkey")).collect()[0][0]
+    approx = li.select(F.approx_count_distinct("l_partkey", 0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_percentile_approx_near_exact_median(spark):
+    li = load(spark, SF_DIR, "lineitem")
+    row = li.select(
+        F.median("l_quantity").alias("m"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("pa"),
+    ).collect()[0]
+    assert abs(row["pa"] - row["m"]) <= 1.0
+
+
+def test_native_stddev_matches_explicit_moments(spark):
+    li = load(spark, SF_DIR, "lineitem")
+    row = li.agg(
+        F.stddev_samp("l_quantity").alias("native"),
+        F.var_samp("l_quantity").alias("native_var"),
+        F.count("l_quantity").alias("n"),
+        F.sum("l_quantity").alias("s"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("s2"),
+    ).collect()[0]
+    var = (row["s2"] - row["s"] * row["s"] / row["n"]) / (row["n"] - 1)
+    assert math.isclose(row["native_var"], var, rel_tol=1e-9)
+    assert math.isclose(row["native"], math.sqrt(var), rel_tol=1e-9)
+
+
+def test_initcap_capitalizes_words(spark):
+    df = spark.createDataFrame([("hello spark world",)], "s string")
+    assert df.select(F.initcap("s")).collect()[0][0] == "Hello Spark World"
+
+
+def test_observe_accumulates_metrics(spark):
+    """F4 Counters parity: df.observe == MR user-defined counters."""
+    obs = Observation("counters")
+    df = load(spark, SF_DIR, "orders").observe(
+        obs, F.count(F.lit(1)).alias("rows_seen"), F.sum("o_totalprice").alias("sum_price")
+    )
+    n = df.count()
+    assert obs.get["rows_seen"] == n
+
+
+def test_rdd_pipe_parity(spark):
+    """F1 Hadoop Streaming raw-pipe parity: rdd.pipe through /bin/cat."""
+    sc = spark.sparkContext
+    out = sc.parallelize(["a\t1", "b\t2"], 2).pipe("cat").collect()
+    assert sorted(out) == ["a\t1", "b\t2"]
