@@ -30,6 +30,7 @@ from ls_hadoop_3_0_spark import registry  # noqa: F401
 # Import for side effect: each module registers its query keys.
 from ls_hadoop_3_0_spark.operators import (  # noqa: F401
     aggregates,
+    analytics,
     joins,
     relational,
     setops,

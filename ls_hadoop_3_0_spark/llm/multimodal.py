@@ -41,7 +41,11 @@ def decode_image(payload: bytes) -> "object":
 
 
 def fake_features(payload: bytes) -> dict:
-    """Deterministic stand-in for decode+feature-extract on raw bytes."""
+    """Deterministic stand-in for decode+feature-extract on raw bytes.
+
+    Integer byte sums (exact in float64) so the vectorized batch path in
+    ``multimodal_extract`` reproduces these values bit-for-bit.
+    """
     n = len(payload)
     return {
         "n_bytes": n,
@@ -89,15 +93,24 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            feats = [fake_features(p) for p in pdf["payload"]]
+            # Vectorized over the Arrow batch: int64 byte sums are exact,
+            # so values equal fake_features() (pinned in tests).
+            payloads = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+            n = np.array([a.size for a in payloads], dtype=np.int64)
+            sums = np.array([int(a.sum()) for a in payloads], dtype=np.int64)
+            first = np.array(
+                [int(a[:FRAME_BYTES].sum()) for a in payloads], dtype=np.int64
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "n_bytes": [f["n_bytes"] for f in feats],
-                    "n_frames": [f["n_frames"] for f in feats],
-                    "mean_byte": [f["mean_byte"] for f in feats],
-                    "first_frame_sum": [f["first_frame_sum"] for f in feats],
+                    "n_bytes": n,
+                    "n_frames": (n + FRAME_BYTES - 1) // FRAME_BYTES,
+                    "mean_byte": np.where(n > 0, sums / np.maximum(n, 1), 0.0),
+                    "first_frame_sum": first,
                 }
             )
 

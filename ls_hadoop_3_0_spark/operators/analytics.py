@@ -1,0 +1,183 @@
+"""Composite analytical queries + scale techniques — SURVEY.md §2.3/§2.4/§4.
+
+Multi-join analytics in the TPC-H idiom (the workloads a reference user
+actually runs end-to-end) plus explicitly-demonstrated scale techniques:
+
+- ``analytics_shipping_priority`` — Q3-shaped 3-way join + top-k revenue.
+- ``analytics_regional_revenue``  — Q5-shaped 6-way star join (dims
+  broadcast, supplier co-nation condition).
+- ``agg_pivot``  — pivot (MR users run one job per column; one pass here).
+- ``agg_salted`` — two-phase salted aggregation: the skew-mitigation
+  rewrite (RehashPartitioner's job, SURVEY §2.6 D3) as an operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ls_hadoop_3_0_spark.exprs import dsum, sql_dsum
+from ls_hadoop_3_0_spark.registry import query
+from ls_hadoop_3_0_spark.session import prepare
+from ls_hadoop_3_0_spark.tables import load
+
+CUT = "1998-01-01 00:00:00"
+
+
+@query(
+    "analytics_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '{CUT}'
+      AND l.l_shipdate  > TIMESTAMP '{CUT}'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped: unshipped-revenue top-10 (join → agg → TakeOrdered).
+
+    customer⋈orders is a fact-dim join on the shuffle; the final top-10
+    is TakeOrderedAndProject (per-partition heaps), not a global sort.
+    """
+    prepare(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(CUT).cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(CUT).cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "analytics_regional_revenue",
+    f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def analytics_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped: local-supplier revenue by nation (6-way star join).
+
+    region/nation/supplier are broadcast (tiny at any TPC-H scale);
+    customer⋈orders⋈lineitem shuffle on their keys; the co-nation
+    predicate rides the supplier join condition.
+    """
+    prepare(spark)
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE)
+               AS qty_o,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE)
+               AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one pass wide aggregation (explicit value list, no scan to
+    discover columns — mandatory at scale)."""
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")))
+        .select(
+            "l_returnflag",
+            F.col("O").cast("double").alias("qty_o"),
+            F.col("F").cast("double").alias("qty_f"),
+        )
+    )
+
+
+@query(
+    "agg_salted",
+    f"""
+    SELECT l_suppkey,
+           {sql_dsum('l_extendedprice')} AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — same answer as a plain groupBy
+    (that's the point: the oracle IS the unsalted query).
+
+    Phase 1 groups on (key, salt∈[0,8)) so one hot key spreads over 8
+    reducers; phase 2 merges the 8 partials. Decimal partials keep the
+    final double bit-identical to the one-phase plan. The salt column
+    derives from a hash of the row's line number — any even spreader
+    works; it never reaches the output.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", F.pmod(F.col("l_orderkey") * 31 + F.col("l_linenumber"), F.lit(8)))
+    partial = salted.groupBy("l_suppkey", "_salt").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).alias("_psum"),
+        F.count(F.lit(1)).alias("_pn"),
+    )
+    return partial.groupBy("l_suppkey").agg(
+        F.sum("_psum").cast("double").alias("sum_price"),
+        F.sum("_pn").alias("n"),
+    )

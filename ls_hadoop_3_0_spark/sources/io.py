@@ -97,6 +97,39 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-family JSON-lines scan with a DECLARED schema (no inference).
+
+    events (minus its nanosecond ts — JSON has no timestamp type) round-
+    trips through JSON lines and is re-read with an explicit schema; the
+    nested props JSON string survives the trip and is extracted on the
+    way back. Inference is banned at scale (a second full scan).
+    """
+    prepare(spark)
+    path = scratch(sf_dir, "scan_json")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "event_id long, event_type string, value double, props string"
+    ).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+    )
+
+
+@query(
     "multi_source_union",
     """
     SELECT c_custkey AS entity_id, c_name AS name, c_acctbal AS acctbal,

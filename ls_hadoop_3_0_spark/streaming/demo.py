@@ -87,6 +87,38 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
+    """T6 custom stateful operator via ``applyInPandasWithState``.
+
+    Per-user running (count, value-sum) state carried across
+    micro-batches — the arbitrary-state analog of an MR reducer that
+    keeps per-key state, incrementalized. State is two numbers per user:
+    O(|users|) memory, watermark-free because the state never expires in
+    this demo (production would add a timeout conf).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, batches, state):
+        import pandas as pd
+
+        total_n, total_v = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            total_n += len(pdf)
+            total_v += float(pdf["value"].sum())
+        state.update((total_n, total_v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [total_n], "sum_value": [total_v]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n bigint, v double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DataFrame to completion into a memory sink.
 

@@ -44,6 +44,28 @@ def test_streaming_session_count_matches_batch(spark, events_stream):
     assert n_stream == n_batch
 
 
+def test_stateful_totals_match_batch_aggregation(spark, events_stream):
+    """T6: arbitrary per-key state across micro-batches == batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.tables import load
+
+    out = demo.stateful_user_totals_stream(events_stream)
+    demo.run_to_memory(out, "stateful_out", output_mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.table("stateful_out").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["v"], 6))
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_dedup_is_exact_on_unique_ids(spark, events_stream):
     dedup = demo.dedup_stream(events_stream)
     demo.run_to_memory(dedup, "stream_dedup_out", output_mode="append")
