@@ -58,4 +58,8 @@ def is_take_ordered(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("Exchange")
+    """Number of SHUFFLE exchanges (broadcast exchanges excluded — a
+    broadcast is exactly the technique that avoids the shuffle)."""
+    import re
+
+    return len(re.findall(r"\)\s+Exchange\b", formatted_plan(df)))

@@ -97,6 +97,53 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_fixed_width",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 FixedLengthInputFormat: fixed-width records via substring slices.
+
+    nation is serialized as 40-byte fixed-width lines (key:4, name:30,
+    regionkey:4 + newline), re-scanned as text and sliced by byte offset
+    — the classic mainframe/COBOL-style record layout.
+    """
+    prepare(spark)
+    path = scratch(sf_dir, "scan_fixed_width")
+    nation = load(spark, sf_dir, "nation")
+    fixed = nation.select(
+        F.concat(
+            F.lpad(F.col("n_nationkey").cast("string"), 4, "0"),
+            F.rpad(F.col("n_name"), 30, " "),
+            F.lpad(F.col("n_regionkey").cast("string"), 4, "0"),
+        ).alias("value")
+    )
+    fixed.write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.select(
+        F.substring("value", 1, 4).cast("int").alias("n_nationkey"),
+        F.rtrim(F.substring("value", 5, 30)).alias("n_name"),
+        F.substring("value", 35, 4).cast("int").alias("n_regionkey"),
+    )
+
+
+def distcp(spark: SparkSession, src: str, dst: str, fmt: str = "parquet") -> int:
+    """S16 DistCp parity: distributed bulk copy between filesystems/paths.
+
+    Reads ``src`` with ``fmt`` and rewrites to ``dst`` — each partition
+    copied by a separate task, exactly DistCp's CopyMapper shape (per-file
+    map tasks), with the committer providing atomicity. Returns rows
+    copied. Works across any Hadoop-FS scheme Spark can reach (file://,
+    hdfs://, s3a://...).
+    """
+    prepare(spark)
+    df = spark.read.format(fmt).load(src)
+    df.write.mode("overwrite").format(fmt).save(dst)
+    return spark.read.format(fmt).load(dst).count()
+
+
+@query(
     "scan_json",
     """
     SELECT event_type,

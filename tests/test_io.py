@@ -49,6 +49,49 @@ def test_partitioned_sink_enables_partition_pruning(spark):
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
 
 
+def test_distcp_copies_all_rows(spark):
+    from ls_hadoop_3_0_spark.sources.io import distcp
+
+    src = f"{SF_DIR}/orders.parquet"
+    dst = f"{SCRATCH}/distcp_orders"
+    n = distcp(spark, src, dst)
+    orig = load(spark, SF_DIR, "orders")
+    assert n == orig.count()
+    assert sorted(spark.read.parquet(dst).collect()) == sorted(orig.collect())
+
+
+def test_bucketed_join_needs_no_shuffle(spark):
+    """J1 CompositeInputFormat parity: pre-bucketed co-partitioned inputs
+    join with ZERO exchanges — the map-side merge join, persisted."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    for t in ("b_orders", "b_customer"):
+        shutil.rmtree(f"/root/repo/spark-warehouse/{t}", ignore_errors=True)
+    load(spark, SF_DIR, "orders").write.bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).mode("overwrite").saveAsTable("b_orders")
+    load(spark, SF_DIR, "customer").write.bucketBy(8, "c_custkey").sortBy(
+        "c_custkey"
+    ).mode("overwrite").saveAsTable("b_customer")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force the big-big join path: bucketing must carry the
+        # co-partitioning, so the SMJ needs no exchange at all.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = checks.formatted_plan(j)
+        assert checks.shuffle_count(j) == 0, plan
+        assert "SortMergeJoin" in plan, plan
+        assert j.count() == load(spark, SF_DIR, "orders").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_text_sink_preserves_lines(spark):
     path = f"{SCRATCH}/text"
     docs = load(spark, SF_DIR, "documents").select("text")
