@@ -257,8 +257,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_SQL = """
     WITH sh AS (
         SELECT doc_id, source,
-               list_distinct(list_transform(generate_series(1, len(w) - 1),
-                   i -> concat(w[i], ' ', w[i+1]))) AS grams
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                   i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS grams
         FROM (SELECT doc_id, source,
                      list_filter(string_split(text, ' '), t -> t <> '') AS w
               FROM documents)
@@ -274,7 +274,7 @@ DEDUP_NGRAM_SQL = """
 
 
 def ngram_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_T) -> DataFrame:
-    """Sparse exact bigram-Jaccard over a documents-shaped DataFrame.
+    """Sparse exact trigram-Jaccard over a documents-shaped DataFrame.
 
     Instead of materializing all O(block²) pairs and intersecting gram
     arrays per pair, explode grams and equi-join on (source, gram):
@@ -289,13 +289,13 @@ def ngram_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_T) -> DataFram
             "source",
             F.expr("filter(split(text, ' '), t -> t <> '')").alias("w"),
         )
-        .filter(F.size("w") >= 2)
+        .filter(F.size("w") >= 3)
         .select(
             "doc_id",
             "source",
             F.expr(
-                "array_distinct(transform(sequence(1, size(w) - 1),"
-                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))"
+                "array_distinct(transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', slice(w, i, 3))))"
             ).alias("grams"),
         )
     )
@@ -336,7 +336,7 @@ def ngram_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_T) -> DataFram
 
 @query("dedup_ngram", DEDUP_NGRAM_SQL)
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 exact bigram-Jaccard near-dedup, blocked by ``source``.
+    """X2 exact trigram-Jaccard near-dedup, blocked by ``source``.
 
     The exact (non-sketch) baseline for minhash; sparse formulation —
     see ngram_pairs. The oracle intentionally keeps the dense O(block²)

@@ -95,8 +95,8 @@ def test_ngram_sparse_jaccard_matches_direct_computation(docs):
         for r in dedup.ngram_pairs(docs, threshold=0.2).collect()
     }
     w1, w2 = BASE.split(), NEAR.split()
-    g1 = {" ".join(w1[i : i + 2]) for i in range(len(w1) - 1)}
-    g2 = {" ".join(w2[i : i + 2]) for i in range(len(w2) - 1)}
+    g1 = {" ".join(w1[i : i + 3]) for i in range(len(w1) - 2)}
+    g2 = {" ".join(w2[i : i + 3]) for i in range(len(w2) - 2)}
     expected = round(len(g1 & g2) / len(g1 | g2), 6)
     assert pairs[(1, 2)] == expected
     assert (1, 4) not in pairs  # different source blocks pair (blocking!)

@@ -34,7 +34,8 @@ def test_lsh_recall_floor(spark):
     hits = sum(len(set(approx.get(q, {})) & set(ns)) for q, ns in exact.items())
     total = sum(len(ns) for ns in exact.values())
     recall = hits / total
-    assert recall > 0.0, f"LSH recall collapsed: {recall}"
+    # Deterministic fixtures: measured 0.24 at sf0.001 with 7-probe LSH.
+    assert recall >= 0.15, f"LSH recall collapsed: {recall}"
 
 
 def test_lsh_ranks_are_dense_and_bounded(spark):
