@@ -346,6 +346,91 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_pairs(load(spark, sf_dir, "documents"))
 
 
+DEDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL})
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id,
+           COUNT(DISTINCT b) AS csize
+    FROM reach GROUP BY a
+    """
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    Iterative min-label propagation: label(v) ← min(label(v),
+    min(label(neighbors))) until fixpoint. Each round is one equi-join +
+    groupBy (the simplified large-star/small-star pattern); rounds ≤
+    graph diameter, and the label table is cached between rounds. This
+    is the dedup *clustering* step — pairs alone don't say which docs to
+    drop; components do (keep cluster_id, drop the rest).
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    # Materialize once and truncate lineage: every iteration re-reads
+    # edges, and labels' lineage would otherwise double per round
+    # (exponential re-evaluation of the upstream pair pipeline).
+    edges = edges.localCheckpoint()
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iters):
+        labels = labels.localCheckpoint()
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@query("dedup_clusters", DEDUP_CLUSTERS_SQL)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 dedup clustering: connected components of the minhash pair graph.
+
+    Output: every doc in any near-dup pair, its component's min doc_id
+    as cluster_id, and the component size. The DuckDB oracle derives the
+    same components with a recursive-CTE transitive closure — an
+    independent algorithm, same answer. (In an undirected component every
+    node reaches itself through any neighbor, so the closure's distinct-
+    reachable count equals component size.)
+    """
+    prepare(spark)
+    pairs = minhash_pairs(load(spark, sf_dir, "documents"))
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
+    return comps.join(sizes, "cluster_id").select("doc_id", "cluster_id", "csize")
+
+
 #: Normalized-vector CTE shared by the embedding oracle queries: cosine of
 #: pre-normalized vectors = plain dot product, computing each norm once
 #: per vector instead of once per pair (O(n·d) instead of O(n²·d) norms).

@@ -152,6 +152,69 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (EXT) explicit GROUPING SETS (rollup's general form) via SQL —
+    one pass over the fact for all three granularities."""
+    prepare(spark)
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    from ls_hadoop_3_0_spark.exprs import DEC
+
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+    FROM lineitem WHERE l_orderkey <= 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey <= 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide metric columns → long (metric, val) rows.
+
+    Spark's native ``unpivot`` reads the fact once (the UNION-ALL oracle
+    mirror reads it three times — exactly the rewrite melt avoids).
+    """
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 200)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "metric",
+            "val",
+        )
+        .withColumn(
+            "metric",
+            F.expr("substring(metric, 3)"),  # l_quantity -> quantity
+        )
+    )
+
+
+@query(
     "agg_salted",
     f"""
     SELECT l_suppkey,

@@ -89,6 +89,18 @@ def test_simhash_identical_docs_share_signature(docs):
     assert ham(sigs[1], sigs[2]) <= ham(sigs[1], sigs[3])
 
 
+def test_connected_components_on_known_graph(spark):
+    """Chain 1-2-3, isolated pair 10-11 → two components with min labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    comps = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_ngram_sparse_jaccard_matches_direct_computation(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
