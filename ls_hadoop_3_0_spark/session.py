@@ -37,6 +37,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Runtime bloom-filter join pruning: build a bloom filter from the
+    # small/filtered side and push it into the big side's scan — at
+    # 100 TB this skips row groups the join would discard anyway.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Push COUNT/MIN/MAX straight to parquet footers when possible.
+    "spark.sql.parquet.aggregatePushdown": "true",
     # events.parquet carries TIMESTAMP(NANOS) which Spark's µs timestamps
     # cannot represent; read as raw int64 nanos and truncate to µs in
     # tables.load (mirrored in the oracle via epoch_ns // 1000).
