@@ -37,12 +37,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for key in sorted(QUERIES):
         fn = QUERIES[key]
-        t0 = time.perf_counter()
         try:
-            # noop sink materializes EVERY column of every row (count()
-            # would let Catalyst prune the projections and undercount).
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[key] = round(time.perf_counter() - t0, 4)
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                # noop sink materializes EVERY column of every row
+                # (count() would let Catalyst prune the projections).
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            # min-of-2 warm runs: stable against GC/codegen noise
+            # (BASELINE.md measurement plan).
+            timings[key] = round(min(runs), 4)
         except Exception as exc:  # pragma: no cover
             timings[key] = -1.0
             print(f"FAIL {key}: {exc}", file=sys.stderr)

@@ -251,7 +251,10 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch(sf_dir, "sink_partitioned")
     orders = load(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
-    back = spark.read.parquet(path)
+    # Declared schema on read-back: inference would fail on an empty sink
+    # (and costs a listing+footer pass at scale anyway). The partition
+    # column is resolved by name from the directory layout.
+    back = spark.read.schema(orders.schema).parquet(path)
     return back.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("total"),
