@@ -46,7 +46,9 @@ from ls_hadoop_3_0_spark.tables import load
            translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
            upper(substring(c_mktsegment, 1, 1)) || lower(substring(c_mktsegment, 2))
                AS caps,
-           levenshtein(c_mktsegment, 'BUILDING') AS lev
+           levenshtein(c_mktsegment, 'BUILDING') AS lev,
+           printf('%s#%05d', c_mktsegment, c_custkey) AS formatted,
+           decode(encode(c_name)) AS decoded
     FROM customer WHERE c_custkey <= 100
     """,
 )
@@ -77,6 +79,8 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.expr("substring(c_mktsegment, 2)")),
         ).alias("caps"),
         F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev"),
+        F.format_string("%s#%05d", "c_mktsegment", "c_custkey").alias("formatted"),
+        F.decode(F.encode("c_name", "UTF-8"), "UTF-8").alias("decoded"),
     )
 
 
@@ -93,7 +97,12 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS plus_30d,
            date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
            strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
-           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS just_date,
+           strftime(CAST(o_orderdate AS DATE) + 5, '%Y-%m-%d') AS plus5,
+           strftime(CAST(o_orderdate AS DATE) - 5, '%Y-%m-%d') AS minus5,
+           strftime(make_timestamp(CAST(epoch(o_orderdate) AS BIGINT) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS from_epoch
     FROM orders WHERE o_orderkey <= 200
     """,
 )
@@ -122,6 +131,10 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.date_format(F.last_day(ts.cast("date")), "yyyy-MM-dd").alias("month_end"),
         F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("iso"),
+        F.date_format(F.to_date(ts), "yyyy-MM-dd").alias("just_date"),
+        F.date_format(F.date_add(ts.cast("date"), 5), "yyyy-MM-dd").alias("plus5"),
+        F.date_format(F.date_sub(ts.cast("date"), 5), "yyyy-MM-dd").alias("minus5"),
+        F.from_unixtime(F.unix_timestamp(ts), "yyyy-MM-dd HH:mm:ss").alias("from_epoch"),
     )
 
 
@@ -216,7 +229,12 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            toks[1] AS head,
            toks[-1] AS last,
            len(list_filter(toks, t -> length(t) > 5)) AS n_long,
-           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_len
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_len,
+           array_to_string(flatten([toks[1:2], toks[3:4]]), ',') AS flat4,
+           array_to_string(list_transform(generate_series(1, least(len(toks), 3)),
+                           i -> concat(toks[i], ':', toks[i])), ',') AS zipped,
+           array_to_string(list_sort(list_filter(list_distinct(toks),
+                           t -> NOT list_contains(toks[1:3], t))), ',') AS except_first3
     FROM (SELECT doc_id, string_split(text, ' ') AS toks
           FROM documents WHERE doc_id <= 100)
     """,
@@ -241,6 +259,39 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
         ).alias("total_len"),
+        F.array_join(
+            F.flatten(F.array(F.slice(t, 1, 2), F.slice(t, 3, 2))), ","
+        ).alias("flat4"),
+        F.array_join(
+            F.zip_with(
+                F.slice(t, 1, 3), F.slice(t, 1, 3), lambda x, y: F.concat(x, F.lit(":"), y)
+            ),
+            ",",
+        ).alias("zipped"),
+        F.array_join(
+            F.sort_array(F.array_except(t, F.slice(t, 1, 3))), ","
+        ).alias("except_first3"),
+    )
+
+
+@query(
+    "scalar_posexplode",
+    """
+    SELECT doc_id,
+           unnest(generate_series(1, least(len(toks), 5))) - 1 AS pos,
+           unnest(toks[1:5]) AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id <= 50)
+    """,
+)
+def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UDTF-style 1→N with ordinal). DuckDB mirror: parallel
+    unnests zip; pos made 0-based to match Spark."""
+    prepare(spark)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "token"),
     )
 
 
@@ -250,8 +301,11 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            map_extract(m, 'price')[1] AS price_val,
            map_extract(m, 'key')[1] AS key_val,
-           cardinality(m) AS n_keys,
-           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted
+           CAST(cardinality(m) AS BIGINT) AS n_keys,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+           list_aggregate(map_values(m), 'max') AS max_val,
+           CAST(cardinality(m) + 1 AS BIGINT) AS n_after_concat,
+           map_extract(m, 'price')[1] * 2 AS doubled_price
     FROM (SELECT o_orderkey,
                  map(['price', 'key'],
                      [o_totalprice, CAST(o_custkey AS DOUBLE)]) AS m
@@ -270,12 +324,29 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("price"), F.col("o_totalprice"), F.lit("key"), F.col("o_custkey").cast("double")
     )
     o = o.select("o_orderkey", m.alias("m"))
+    m = F.col("m")
     return o.select(
         "o_orderkey",
-        F.element_at(F.col("m"), "price").alias("price_val"),
-        F.element_at(F.col("m"), "key").alias("key_val"),
-        F.size(F.col("m")).cast("long").alias("n_keys"),
-        F.array_join(F.sort_array(F.map_keys(F.col("m"))), ",").alias("keys_sorted"),
+        F.element_at(m, "price").alias("price_val"),
+        F.element_at(m, "key").alias("key_val"),
+        F.size(m).cast("long").alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.array_max(F.map_values(m)).alias("max_val"),
+        # map_concat/map_entries/map_from_entries: mechanics Spark-side,
+        # value parity with arithmetic mirrors (DuckDB 1.0 lacks the fns).
+        F.size(
+            F.map_from_entries(
+                F.array_union(
+                    F.map_entries(m),
+                    F.array(F.struct(F.lit("extra").alias("key"), F.lit(0.0).alias("value"))),
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_after_concat"),
+        F.element_at(F.transform_values(m, lambda k, v: v * 2), "price").alias(
+            "doubled_price"
+        ),
     )
 
 
@@ -285,7 +356,11 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
-           (json_extract_string(props, '$.missing') IS NULL) AS missing_is_null
+           (json_extract_string(props, '$.missing') IS NULL) AS missing_is_null,
+           to_json(struct_pack(id := event_id, kind := event_type)) AS as_json,
+           CAST(json_extract_string(
+               to_json(struct_pack(id := event_id, kind := event_type)),
+               '$.id') AS BIGINT) AS json_roundtrip_id
     FROM events WHERE event_id <= 300
     """,
 )
@@ -294,11 +369,16 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     e = load(spark, sf_dir, "events").filter(F.col("event_id") <= 300)
     k = F.get_json_object("props", "$.k")
+    as_json = F.to_json(
+        F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("kind"))
+    )
     return e.select(
         "event_id",
         k.alias("k_str"),
         k.cast("long").alias("k_num"),
         F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+        as_json.alias("as_json"),
+        F.get_json_object(as_json, "$.id").cast("long").alias("json_roundtrip_id"),
     )
 
 

@@ -68,6 +68,42 @@ def test_initcap_capitalizes_words(spark):
     assert df.select(F.initcap("s")).collect()[0][0] == "Hello Spark World"
 
 
+def test_remaining_declared_scalar_surface(spark):
+    """SURVEY §2.8 functions whose semantics don't mirror cleanly into
+    DuckDB 1.0 (months_between 31-day convention, next_day, banker's
+    bround, NaN handling, schema_of_json, json_tuple) — pinned against
+    known values here instead of the oracle."""
+    row = spark.sql(
+        """
+        SELECT months_between(DATE '1997-02-28', DATE '1996-10-30') AS mb,
+               date_format(next_day(DATE '2015-01-14', 'TU'), 'yyyy-MM-dd') AS nd,
+               bround(2.5, 0) AS br_even, round(2.5, 0) AS r_up,
+               isnan(cast('NaN' AS DOUBLE)) AS is_nan,
+               nanvl(cast('NaN' AS DOUBLE), 7.0) AS nan_repl,
+               schema_of_json('{"k": 87}') AS sch
+        """
+    ).collect()[0]
+    assert abs(row["mb"] - 3.93548387) < 1e-6
+    assert row["nd"] == "2015-01-20"
+    assert row["br_even"] == 2.0 and row["r_up"] == 3.0  # banker's vs half-up
+    assert row["is_nan"] is True and row["nan_repl"] == 7.0
+    assert "k" in row["sch"] and "BIGINT" in row["sch"].upper()
+    jt = spark.sql(
+        """SELECT json_tuple('{"a": 1, "b": "x"}', 'a', 'b') AS (a, b)"""
+    ).collect()[0]
+    assert (jt["a"], jt["b"]) == ("1", "x")
+
+
+def test_explode_outer_keeps_null_rows(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, None)], "id int, arr array<string>"
+    )
+    out = sorted(
+        (r["id"], r["col"]) for r in df.select("id", F.explode_outer("arr")).collect()
+    )
+    assert out == [(1, "a"), (1, "b"), (2, None)]
+
+
 def test_observe_accumulates_metrics(spark):
     """F4 Counters parity: df.observe == MR user-defined counters."""
     obs = Observation("counters")
