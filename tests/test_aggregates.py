@@ -1,0 +1,60 @@
+"""Aggregate semantics the oracle can't see — sketch accuracy bounds and
+native-vs-explicit-moment equivalence (SURVEY §2.4 A4/A8)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ls_hadoop_3_0_spark.tables import load
+
+from .conftest import SF_DIR
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """A4 UniqValueCount capped variant: HLL++ within its error bound."""
+    li = load(spark, SF_DIR, "lineitem")
+    per_key = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert len(per_key) > 0
+    for r in per_key:
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.08, r
+
+
+def test_native_stats_match_explicit_moments_per_group(spark):
+    """A8: stddev_samp/var_samp/avg == the explicit decimal-moment
+    formulas the oracle uses (within float tolerance)."""
+    li = load(spark, SF_DIR, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.avg("l_quantity").alias("avg_native"),
+            F.var_samp("l_quantity").alias("var_native"),
+            F.stddev_samp("l_quantity").alias("std_native"),
+            F.count("l_quantity").alias("n"),
+            F.sum("l_quantity").alias("s"),
+            F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("s2"),
+        )
+        .collect()
+    )
+    for r in rows:
+        var = (r["s2"] - r["s"] * r["s"] / r["n"]) / (r["n"] - 1)
+        assert math.isclose(r["avg_native"], r["s"] / r["n"], rel_tol=1e-9)
+        assert math.isclose(r["var_native"], var, rel_tol=1e-9)
+        assert math.isclose(r["std_native"], math.sqrt(var), rel_tol=1e-9)
+
+
+def test_median_is_exact_not_sketch(spark):
+    li = load(spark, SF_DIR, "lineitem")
+    got = li.agg(F.median("l_quantity")).collect()[0][0]
+    vals = sorted(r["l_quantity"] for r in li.select("l_quantity").collect())
+    n = len(vals)
+    exact = vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
+    assert got == exact

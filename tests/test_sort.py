@@ -1,0 +1,48 @@
+"""Sort/sample semantics — SURVEY §2.5, incl. TeraValidate parity
+(the reference's self-validating sort check) and InputSampler bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import ls_hadoop_3_0_spark as engine
+from ls_hadoop_3_0_spark.tables import load
+
+from .conftest import SF_DIR
+
+
+def test_sample_fraction_is_seeded_and_bounded(spark):
+    df1 = engine.QUERIES["sample_fraction"](spark, SF_DIR)
+    df2 = engine.QUERIES["sample_fraction"](spark, SF_DIR)
+    rows1 = sorted(r["o_orderkey"] for r in df1.collect())
+    rows2 = sorted(r["o_orderkey"] for r in df2.collect())
+    assert rows1 == rows2, "seeded sample must be reproducible"
+    n_total = load(spark, SF_DIR, "orders").count()
+    frac = len(rows1) / n_total
+    assert 0.05 < frac < 0.16, f"Bernoulli(0.1) sample wildly off: {frac}"
+    all_keys = {r["o_orderkey"] for r in load(spark, SF_DIR, "orders").collect()}
+    assert set(rows1) <= all_keys
+
+
+def test_teravalidate_global_order(spark):
+    """TeraValidate parity: after orderBy, every partition is internally
+    sorted AND partition boundaries are globally monotone (last of
+    partition i ≤ first of partition i+1)."""
+    df = (
+        load(spark, SF_DIR, "orders")
+        .select("o_totalprice", "o_orderkey")
+        .orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    )
+    parts = df.rdd.glom().collect()
+    nonempty = [p for p in parts if p]
+    keys = lambda r: (r["o_totalprice"], r["o_orderkey"])  # noqa: E731
+    for p in nonempty:
+        ks = [keys(r) for r in p]
+        assert ks == sorted(ks), "partition not internally sorted"
+    for a, b in zip(nonempty, nonempty[1:]):
+        assert keys(a[-1]) <= keys(b[0]), "partition boundaries overlap"
+
+
+def test_sort_global_rank_is_dense_permutation(spark):
+    ranks = [r["rank"] for r in engine.QUERIES["sort_global"](spark, SF_DIR).collect()]
+    assert sorted(ranks) == list(range(1, len(ranks) + 1))
