@@ -46,3 +46,13 @@ def test_aggregation_is_partial_then_final(spark):
 def test_topk_plans_as_take_ordered(spark):
     df = topk(spark, SF_DIR)
     assert checks.is_take_ordered(df), checks.formatted_plan(df)
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """O1: orderBy = sampled range partitioning (the TotalOrderPartitioner
+    + InputSampler algorithm), not a single-partition sort."""
+    from ls_hadoop_3_0_spark.tables import load
+    from pyspark.sql import functions as F
+
+    df = load(spark, SF_DIR, "orders").orderBy(F.col("o_totalprice"))
+    assert "rangepartitioning" in checks.formatted_plan(df).lower()
