@@ -201,15 +201,16 @@ DEDUP_SIMHASH_SQL = f"""
     WITH sigs AS (
         SELECT doc_id,
                array_to_string(list_transform(generate_series(1, 16),
-                   i -> CASE WHEN list_sum(list_transform(toks,
-                            t -> CASE WHEN substring(md5(t), i, 1) IN {_HI_HEX}
+                   i -> CASE WHEN list_sum(list_transform(hashes,
+                            h -> CASE WHEN substring(h, i, 1) IN {_HI_HEX}
                                       THEN 1 ELSE -1 END)) > 0
                         THEN '1' ELSE '0' END), '') AS simhash
         FROM (SELECT doc_id,
-                     list_distinct(list_filter(string_split(text, ' '),
-                                               t -> t <> '')) AS toks
+                     list_transform(list_distinct(list_filter(
+                         string_split(text, ' '), t -> t <> '')),
+                         t -> md5(t)) AS hashes
               FROM documents)
-        WHERE len(toks) > 0
+        WHERE len(hashes) > 0
     )
     SELECT doc_id, simhash,
            COUNT(*) OVER (PARTITION BY simhash) AS bucket_size
@@ -224,16 +225,20 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     d = (
         docs.select(
             "doc_id",
+            # Hash each distinct token ONCE; the 16 bit-votes then read
+            # hex digits of the precomputed hash (16× fewer md5 calls
+            # than hashing inside the per-bit loop).
             F.expr(
-                "array_distinct(filter(split(text, ' '), t -> t <> ''))"
-            ).alias("toks"),
+                "transform(array_distinct(filter(split(text, ' '),"
+                " t -> t <> '')), t -> md5(t))"
+            ).alias("hashes"),
         )
-        .filter(F.size("toks") > 0)
+        .filter(F.size("hashes") > 0)
     )
     simhash = F.expr(
         "concat_ws('', transform(sequence(1, 16),"
-        " i -> CASE WHEN aggregate(toks, 0,"
-        f" (acc, t) -> acc + CASE WHEN substring(md5(t), i, 1) IN {_HI_HEX}"
+        " i -> CASE WHEN aggregate(hashes, 0,"
+        f" (acc, h) -> acc + CASE WHEN substring(h, i, 1) IN {_HI_HEX}"
         " THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END))"
     )
     return d.select("doc_id", simhash.alias("simhash")).withColumn(
