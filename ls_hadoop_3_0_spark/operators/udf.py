@@ -43,12 +43,14 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare(spark)
 
+    # No type hints on the row UDFs: PySpark would try (and warn) to
+    # infer a pandas eval type from them; these are plain row UDFs.
     @F.udf(T.IntegerType())
-    def n_tokens(text: str) -> int:
+    def n_tokens(text):
         return len(text.split(" "))
 
     @F.udf(T.IntegerType())
-    def bucket(text: str) -> int:
+    def bucket(text):
         return len(text) % 97
 
     return load(spark, sf_dir, "documents").select(
