@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ls_hadoop_3_0_spark.registry import query
 from ls_hadoop_3_0_spark.session import prepare
-from ls_hadoop_3_0_spark.tables import load
+from ls_hadoop_3_0_spark.tables import EVENTS_SQL, load
 
 
 @query(
@@ -360,9 +360,11 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            to_json(struct_pack(id := event_id, kind := event_type)) AS as_json,
            CAST(json_extract_string(
                to_json(struct_pack(id := event_id, kind := event_type)),
-               '$.id') AS BIGINT) AS json_roundtrip_id
-    FROM events WHERE event_id <= 300
-    """,
+               '$.id') AS BIGINT) AS json_roundtrip_id,
+           hour(ts) AS event_hour,
+           minute(ts) AS event_minute
+    FROM {events} WHERE event_id <= 300
+    """.format(events=EVENTS_SQL),
 )
 def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family over events.props (a JSON string per FIXTURES.md)."""
@@ -379,6 +381,8 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
         as_json.alias("as_json"),
         F.get_json_object(as_json, "$.id").cast("long").alias("json_roundtrip_id"),
+        F.hour("ts").alias("event_hour"),
+        F.minute("ts").alias("event_minute"),
     )
 
 

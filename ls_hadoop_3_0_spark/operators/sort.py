@@ -105,6 +105,20 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sample_stratified", None)  # seeded RNG differs per engine: rows-only
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 per-stratum sampling (InputSampler per key): ``sampleBy`` with
+    per-status fractions — the skew-aware sampling used to build range
+    boundaries when one stratum dominates. Seeded; reproducibility
+    asserted in tests/test_sort.py."""
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "orders")
+        .sampleBy("o_orderstatus", {"F": 0.05, "O": 0.1, "P": 0.5}, seed=42)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
 @query(
     "secondary_sort",
     """

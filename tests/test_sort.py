@@ -24,6 +24,26 @@ def test_sample_fraction_is_seeded_and_bounded(spark):
     assert set(rows1) <= all_keys
 
 
+def test_sample_stratified_is_seeded_and_per_stratum(spark):
+    df1 = engine.QUERIES["sample_stratified"](spark, SF_DIR)
+    df2 = engine.QUERIES["sample_stratified"](spark, SF_DIR)
+    assert sorted(map(tuple, df1.collect())) == sorted(map(tuple, df2.collect()))
+    # the 0.5-fraction stratum must be sampled much more densely than 0.05
+    totals = {
+        r["o_orderstatus"]: r["n"]
+        for r in load(spark, SF_DIR, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        r["o_orderstatus"]: r["n"]
+        for r in df1.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if "P" in totals and "F" in totals and totals["F"] >= 100:
+        assert got.get("P", 0) / totals["P"] > got.get("F", 0) / totals["F"]
+
+
 def test_teravalidate_global_order(spark):
     """TeraValidate parity: after orderBy, every partition is internally
     sorted AND partition boundaries are globally monotone (last of
