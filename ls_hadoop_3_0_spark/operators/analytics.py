@@ -152,6 +152,93 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "analytics_nation_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(o.o_orderdate) AS yr,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_nationkey <> cn.n_nationkey
+    GROUP BY sn.n_name, cn.n_name, year(o.o_orderdate)
+    """,
+)
+def analytics_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped: cross-nation shipping volume by (supp, cust, year).
+
+    The nation dim joins twice under different roles (broadcast each
+    time); the inequality predicate rides as a post-join filter.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("yr"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+    )
+
+
+@query(
+    "analytics_returned_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def analytics_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped: top-20 customers by returned-item revenue.
+
+    Pushed returnflag filter shrinks the fact before the joins; final
+    top-20 is TakeOrderedAndProject.
+    """
+    prepare(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
     "agg_grouping_sets",
     f"""
     SELECT l_returnflag, l_linestatus,
