@@ -35,6 +35,7 @@ from ls_hadoop_3_0_spark.operators import (  # noqa: F401
     relational,
     setops,
     sort,
+    subqueries,
     udf,
     windows,
 )

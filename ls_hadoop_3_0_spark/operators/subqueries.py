@@ -1,0 +1,82 @@
+"""Subquery & CTE surface — SURVEY.md §3.4/§4.1 (SQL API parity).
+
+MR has no subqueries (users chain jobs through HDFS); Catalyst rewrites
+them for free: correlated scalar subqueries are decorrelated into joins
+(RewriteCorrelatedScalarSubquery), IN becomes a semi-join. These keys run
+the IDENTICAL SQL text on Spark and DuckDB — exercising the engine's SQL
+entry point (every other key uses the DataFrame API; both produce the
+same Catalyst plans).
+
+Determinism: the correlated average uses the decimal-sum pattern inline
+(SUM(decimal)/COUNT cast double) so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ls_hadoop_3_0_spark.registry import query
+from ls_hadoop_3_0_spark.session import prepare
+from ls_hadoop_3_0_spark.tables import load
+
+SUBQUERY_SCALAR_SQL = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+SUBQUERY_IN_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 350000.0
+    )
+"""
+
+CTE_SQL = """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, total, n_orders,
+               row_number() OVER (ORDER BY total DESC, o_custkey) AS rnk
+        FROM spend
+    )
+    SELECT r.rnk, r.o_custkey, c.c_name, r.total, r.n_orders
+    FROM ranked r JOIN customer c ON c.c_custkey = r.o_custkey
+    WHERE r.rnk <= 25
+"""
+
+
+def _run_sql(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
+    prepare(spark)
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+@query("subquery_scalar_correlated", SUBQUERY_SCALAR_SQL)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders 1.5× above their customer's
+    average — decorrelated by Catalyst into an aggregate + join."""
+    return _run_sql(spark, sf_dir, SUBQUERY_SCALAR_SQL, ["orders"])
+
+
+@query("subquery_in", SUBQUERY_IN_SQL)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated IN subquery → planned as a left-semi join."""
+    return _run_sql(spark, sf_dir, SUBQUERY_IN_SQL, ["customer", "orders"])
+
+
+@query("cte_query", CTE_SQL)
+def cte_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE pipeline (agg → window → join) in one SQL statement —
+    the JobControl DAG the reference runs as 3 jobs, as one lazy plan."""
+    return _run_sql(spark, sf_dir, CTE_SQL, ["orders", "customer"])
