@@ -34,8 +34,11 @@ def main() -> None:
     # Warm the JVM + parquet footers with the cheapest query once.
     QUERIES["agg_count"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    only = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
+    keys = sorted(set(only.split(",")) & set(QUERIES)) if only else sorted(QUERIES)
+
     timings: dict[str, float] = {}
-    for key in sorted(QUERIES):
+    for key in keys:
         fn = QUERIES[key]
         try:
             runs = []

@@ -89,6 +89,40 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udaf_pandas_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity * l_linenumber) AS DOUBLE)
+               / CAST(SUM(l_linenumber) AS DOUBLE) AS weighted_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3's second rung: pandas_udf GROUPED_AGG (series → scalar).
+
+    Unlike applyInPandas (whole group → one task), a grouped-agg pandas
+    UDF gets partial batches and composes with other aggregates in one
+    ``agg()`` — the preferred UDAF shape at high key cardinality.
+    Integer-exact arithmetic keeps it oracle-comparable.
+    """
+    prepare(spark)
+
+    @F.pandas_udf("double")
+    def weighted_qty(q: pd.Series, w: pd.Series) -> float:
+        return float((q * w).sum() / w.sum())
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            weighted_qty("l_quantity", F.col("l_linenumber").cast("double")).alias(
+                "weighted_qty"
+            )
+        )
+    )
+
+
+@query(
     "udaf_grouped",
     """
     SELECT l_returnflag,
