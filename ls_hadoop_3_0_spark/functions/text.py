@@ -48,16 +48,21 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_matching
     FROM documents
-    WHERE regexp_matches(text, '(^| )a[a-z]*t( |$)')
+    WHERE regexp_matches(text, '(^| )[a-z]{8,}( |$)')
     GROUP BY source
     """,
 )
 def grep_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3+A2 RegexMapper grep: count docs matching a regex, per source."""
+    """P3+A2 RegexMapper grep: count docs matching a regex, per source.
+
+    Pattern = "contains a word of ≥8 letters" — matches ~80% of the
+    fixture corpus (a vocabulary of DB-themed words), so the per-source
+    counts are non-trivial and discriminating.
+    """
     prepare(spark)
     return (
         load(spark, sf_dir, "documents")
-        .filter(F.col("text").rlike(r"(^| )a[a-z]*t( |$)"))
+        .filter(F.col("text").rlike(r"(^| )[a-z]{8,}( |$)"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_matching"))
     )

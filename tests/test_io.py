@@ -92,6 +92,26 @@ def test_bucketed_join_needs_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_sorted_sink_preserves_within_file_order(spark):
+    """S10 MapFileOutputFormat parity: sorted+indexed sink =
+    sortWithinPartitions + parquet (row-group min/max act as the index —
+    readers range-prune on the sorted key)."""
+    path = f"{SCRATCH}/sorted_sink"
+    src = load(spark, SF_DIR, "orders")
+    src.repartition(4, "o_custkey").sortWithinPartitions("o_custkey", "o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(path)
+    import glob
+
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        keys = [
+            (r["o_custkey"], r["o_orderkey"])
+            for r in spark.read.parquet(f).select("o_custkey", "o_orderkey").collect()
+        ]
+        assert keys == sorted(keys), f"file {f} not sorted"
+    assert spark.read.parquet(path).count() == src.count()
+
+
 def test_text_sink_preserves_lines(spark):
     path = f"{SCRATCH}/text"
     docs = load(spark, SF_DIR, "documents").select("text")
