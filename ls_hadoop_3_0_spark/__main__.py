@@ -1,0 +1,35 @@
+"""Ad-hoc query runner: ``python -m ls_hadoop_3_0_spark <key> [sf_dir]``.
+
+Lists keys with no args; runs one key and shows up to 20 rows otherwise.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ls_hadoop_3_0_spark import ORACLES, QUERIES
+from ls_hadoop_3_0_spark.session import get_spark
+from ls_hadoop_3_0_spark.tables import DEFAULT_SF_DIR
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2 or argv[1] in {"-h", "--help", "list"}:
+        print(f"{len(QUERIES)} keys ({len(ORACLES)} oracle-backed):")
+        for k in sorted(QUERIES):
+            print(f"  {k}{'' if k in ORACLES else '   [rows-only]'}")
+        print(f"\nusage: python -m ls_hadoop_3_0_spark <key> [sf_dir={DEFAULT_SF_DIR}]")
+        return 0
+    key = argv[1]
+    if key not in QUERIES:
+        print(f"unknown key: {key} (run with no args to list)", file=sys.stderr)
+        return 2
+    sf_dir = argv[2] if len(argv) > 2 else DEFAULT_SF_DIR
+    spark = get_spark(f"adhoc_{key}")
+    df = QUERIES[key](spark, sf_dir)
+    df.show(20, truncate=False)
+    print(f"rows: {df.count()}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

@@ -59,6 +59,40 @@ def test_join_containment_lattice(spark, left, right):
 
 
 @SMALL
+@given(kv_lists)
+def test_window_invariants(spark, rows):
+    """Running sum ends at the group total; row_number is dense per key."""
+    if not rows:
+        return
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(rows)], "k int, i int, v long"
+    )
+    w = Window.partitionBy("k").orderBy("i")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.select(
+        "k",
+        "i",
+        F.sum("v").over(wf).alias("running"),
+        F.row_number().over(w).alias("rn"),
+    ).collect()
+    import collections
+
+    totals = collections.Counter()
+    for k, v in rows:
+        totals[k] += v
+    last = {}
+    rns = collections.defaultdict(list)
+    for r in sorted(out, key=lambda r: (r["k"], r["i"])):
+        last[r["k"]] = r["running"]
+        rns[r["k"]].append(r["rn"])
+    assert last == dict(totals)
+    for k, seq in rns.items():
+        assert sorted(seq) == list(range(1, len(seq) + 1))
+
+
+@SMALL
 @given(kv_lists, st.integers(1, 8))
 def test_decimal_sum_invariant_under_repartitioning(spark, rows, nparts):
     if not rows:
