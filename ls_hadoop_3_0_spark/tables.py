@@ -39,12 +39,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table: {name}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # With spark.sql.legacy.parquet.nanosAsLong the NANOS column
-        # arrives as int64; truncate (not round) to µs — `div` is integer
-        # division, safe for 1.7e18-scale nanos where double math is not.
         from pyspark.sql import functions as F  # local import, cheap
+        from pyspark.sql import types as T
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # The driver fixture carries TIMESTAMP(NANOS): with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as int64 —
+        # truncate (not round) to µs; `div` is integer division, safe at
+        # 1.7e18-scale nanos where double math is not. Events data with
+        # ordinary µs timestamps (e.g. our own re-written sinks) passes
+        # through untouched.
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 
