@@ -81,18 +81,25 @@ def _shingled(docs: DataFrame) -> DataFrame:
     )
 
 
-_SH_SQL = """
+def sh_sql(src: str = "documents") -> str:
+    """DuckDB shingling subquery over ``src`` (a view or CTE name)."""
+    return f"""
     SELECT doc_id,
            list_distinct(list_transform(generate_series(1, len(w) - 2),
                i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS shingles
     FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
-          FROM documents)
+          FROM {src})
     WHERE len(w) >= 3
 """
 
 
-DEDUP_MINHASH_SQL = f"""
-    WITH sh AS ({_SH_SQL}),
+_SH_SQL = sh_sql("documents")
+
+
+def minhash_pairs_sql(src: str = "documents") -> str:
+    """DuckDB mirror of minhash_pairs() over ``src``."""
+    return f"""
+    WITH sh AS ({sh_sql(src)}),
     mh AS (
         SELECT doc_id, shingles,
                list_transform(generate_series(0, {N_HASHES - 1}),
@@ -120,6 +127,9 @@ DEDUP_MINHASH_SQL = f"""
     JOIN sh sb ON sb.doc_id = cand.doc_b
     WHERE jaccard >= {MINHASH_JACCARD_T}
     """
+
+
+DEDUP_MINHASH_SQL = minhash_pairs_sql("documents")
 
 
 def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_T) -> DataFrame:

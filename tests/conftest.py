@@ -23,12 +23,18 @@ def spark():
     yield s
 
 
+def parquet_source(sf_dir: str, table: str) -> str:
+    """read_parquet-able path: single fixture file OR Spark-written dir."""
+    path = f"{sf_dir}/{table}.parquet"
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{parquet_source(SF_DIR, t)}')"
         )
     yield con
     con.close()

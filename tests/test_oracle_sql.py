@@ -13,7 +13,7 @@ import pytest
 import ls_hadoop_3_0_spark as engine
 from ls_hadoop_3_0_spark.tables import TABLES
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR, parquet_source
 
 
 @pytest.fixture(scope="module")
@@ -22,7 +22,7 @@ def duck_empty():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet') LIMIT 0"
+            f"SELECT * FROM read_parquet('{parquet_source(SF_DIR, t)}') LIMIT 0"
         )
     yield con
     con.close()
