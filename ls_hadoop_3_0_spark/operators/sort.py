@@ -27,27 +27,67 @@ from ls_hadoop_3_0_spark.session import prepare
 from ls_hadoop_3_0_spark.tables import load
 
 
+def global_rank(df: DataFrame, *order_cols) -> DataFrame:
+    """Distributed global rank: range-partition → local rank → offsets.
+
+    The zipWithIndex pattern in pure DataFrame form: range-partition on
+    the (total-order) sort key, rank within each partition, then add the
+    cumulative row-count offset of the preceding partitions (a
+    partition-count-sized collect — metadata, not data). No
+    single-partition window anywhere; every step is P-way parallel.
+    Ranks are independent of where the sampled range boundaries land
+    because offsets adjust per partition.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    s = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # Materialize ONCE: the range boundaries are sampled per evaluation,
+    # so the counts job and the final plan must share one partitioning
+    # (otherwise offsets computed for one layout apply to another).
+    s = s.localCheckpoint()
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in s.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        s.join(F.broadcast(off_df), "_pid")
+        .withColumn("rank", (F.row_number().over(w) + F.col("_offset")).cast("long"))
+        .drop("_pid", "_offset")
+    )
+
+
 @query(
     "sort_global",
     """
     SELECT o_orderkey, o_totalprice,
-           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+               AS rank
     FROM orders
     """,
 )
 def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1 global total-order sort (TeraSort pattern) with verification rank.
+    """O1 global total-order sort (TeraSort pattern) with global rank.
 
-    The rank column makes the ordering oracle-checkable (the comparator's
-    value hash is order-insensitive, so ordering must be materialized as
-    data). Tie-safe: (o_totalprice, o_orderkey) is a total order.
+    Rank assignment uses ``global_rank`` (range partition + local rank +
+    partition offsets) — no single-partition window; the oracle's plain
+    row_number() over the same total order must agree exactly.
+    Tie-safe: (o_totalprice, o_orderkey) is a total order.
     """
     prepare(spark)
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .withColumn("rank", F.row_number().over(w))
+    return global_rank(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
     )
 
 
