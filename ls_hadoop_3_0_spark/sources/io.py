@@ -128,6 +128,48 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "jdbc_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+S14 DB(Input|Output)Format: JDBC sink + range-partitioned scan.
+
+    nation roundtrips through an embedded Derby database (the JDBC driver
+    Spark ships): ``df.write.jdbc`` is the DBOutputFormat, and the read
+    back with partitionColumn/lower/upper/numPartitions is exactly
+    DataDrivenDBInputFormat's split-by-key-range parallel scan (4
+    concurrent range queries here; 100s against a real warehouse).
+    """
+    prepare(spark)
+    url = f"jdbc:derby:{scratch(sf_dir, 'jdbc_roundtrip')}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        nation.write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation")
+        .option("driver", driver)
+        .save()
+    )
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation")
+        .option("driver", driver)
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "25")
+        .option("numPartitions", "4")
+        .load()
+    )
+
+
 def distcp(spark: SparkSession, src: str, dst: str, fmt: str = "parquet") -> int:
     """S16 DistCp parity: distributed bulk copy between filesystems/paths.
 
