@@ -31,7 +31,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ls_hadoop_3_0_spark.llm.embeddings import normalized_embeddings
+from ls_hadoop_3_0_spark.llm.embeddings import (
+    N_PLANES,
+    lsh_bucket_sql,
+    lsh_bucketed,
+    normalized_embeddings,
+    probe_signatures,
+    probe_signatures_sql,
+)
 from ls_hadoop_3_0_spark.registry import query
 from ls_hadoop_3_0_spark.session import prepare
 from ls_hadoop_3_0_spark.tables import load
@@ -143,7 +150,10 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_T) -> Data
     100 TB the partial-min keeps the shuffle at |docs|×12 hex strings
     regardless of document length).
     """
-    sh = _shingled(docs)
+    # Shingling feeds the signature explode AND both verify sides; the
+    # band table feeds both candidate join sides. Lazy localCheckpoints
+    # make each a compute-once intermediate (the cluster analog: persist).
+    sh = _shingled(docs).localCheckpoint(eager=False)
     exploded = sh.select("doc_id", F.explode("shingles").alias("g"))
     mh = exploded.groupBy("doc_id").agg(
         *[
@@ -162,8 +172,10 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_T) -> Data
             for b in range(N_BANDS)
         ]
     )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.b").alias("b"), F.col("bs.sig").alias("sig")
+    bands = (
+        mh.select("doc_id", F.explode(band_structs).alias("bs"))
+        .select("doc_id", F.col("bs.b").alias("b"), F.col("bs.sig").alias("sig"))
+        .localCheckpoint(eager=False)
     )
     a, c = bands.alias("a"), bands.alias("c")
     cand = (
@@ -269,36 +281,58 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(load(spark, sf_dir, "documents"))
 
 
-DEDUP_NGRAM_SQL = """
-    WITH sh AS (
-        SELECT doc_id, source,
-               list_distinct(list_transform(generate_series(1, len(w) - 2),
-                   i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS grams
-        FROM (SELECT doc_id, source,
-                     list_filter(string_split(text, ' '), t -> t <> '') AS w
-              FROM documents)
-        WHERE len(w) >= 2
+#: Document-frequency cap: a trigram shared by k docs in one source emits
+#: C(k,2) pair rows in the gram equi-join; stop-grams (template
+#: boilerplate, "terms of service" headers) make that k² — THE classic
+#: near-dup hot-key blowup at 100 TB. Grams with per-source DF above the
+#: cap carry ~zero Jaccard signal (they occur in everything), so the
+#: operator's contract is Jaccard over the STOP-GRAM-FILTERED gram sets
+#: (standard boilerplate removal), identically on both engines. The stop
+#: set is tiny by construction (≤ |exploded|/cap grams), so Spark removes
+#: it with a broadcast anti-join — no extra shuffle of the exploded table.
+MAX_GRAM_DF = 50
+
+DEDUP_NGRAM_SQL = f"""
+    WITH ex AS (
+        SELECT doc_id, source, unnest(grams) AS gram
+        FROM (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(generate_series(1, len(w) - 2),
+                       i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS grams
+            FROM (SELECT doc_id, source,
+                         list_filter(string_split(text, ' '), t -> t <> '') AS w
+                  FROM documents)
+            WHERE len(w) >= 3
+        )
+    ),
+    stop AS (
+        SELECT source, gram FROM ex
+        GROUP BY source, gram HAVING COUNT(*) > {MAX_GRAM_DF}
+    ),
+    rare AS (
+        SELECT ex.doc_id, ex.source, ex.gram FROM ex
+        ANTI JOIN stop ON ex.source = stop.source AND ex.gram = stop.gram
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM rare GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM rare a JOIN rare b
+          ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-    FROM sh a JOIN sh b
-      ON a.source = b.source AND a.doc_id < b.doc_id
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE)
+                 / (na.n_grams + nb.n_grams - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = inter.doc_a
+    JOIN sizes nb ON nb.doc_id = inter.doc_b
     WHERE jaccard >= 0.2
     """
 
 
-def ngram_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_T) -> DataFrame:
-    """Sparse exact trigram-Jaccard over a documents-shaped DataFrame.
-
-    Instead of materializing all O(block²) pairs and intersecting gram
-    arrays per pair, explode grams and equi-join on (source, gram):
-    |A∩B| = the pair's join-match count, |A∪B| = |A|+|B|−|A∩B|. Pairs
-    with zero shared grams (jaccard 0 < threshold) never materialize —
-    the formulation that survives large blocks. One shuffle on
-    (source, gram), one on the pair key.
-    """
-    sh = (
+def _grammed(docs: DataFrame) -> DataFrame:
+    """doc_id + source + distinct word-trigrams (docs with ≥3 tokens)."""
+    return (
         docs.select(
             "doc_id",
             "source",
@@ -314,12 +348,79 @@ def ngram_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_T) -> DataFram
             ).alias("grams"),
         )
     )
-    sizes = sh.select("doc_id", F.size("grams").alias("n_grams"))
-    exploded = sh.select("doc_id", "source", F.explode("grams").alias("gram"))
-    a = exploded.select(
-        F.col("source"), F.col("gram"), F.col("doc_id").alias("doc_a")
+
+
+def rare_grams(sh: DataFrame, max_df: int = MAX_GRAM_DF) -> DataFrame:
+    """Exploded (doc_id, source, gram) with stop-grams removed.
+
+    The stop set (per-source DF > ``max_df``) is tiny by construction —
+    at most |exploded|/max_df grams — so it broadcasts, and the removal
+    is a broadcast anti-join: the big exploded table never shuffles for
+    it. The DF groupBy itself combines map-side (partial counts), so its
+    shuffle is distinct-gram-sized, not occurrence-sized.
+    """
+    # One explode pass, reused by the DF count and as the anti-join left
+    # side (and by every downstream consumer) instead of re-shingling the
+    # corpus per reference — the persisted intermediate a cluster job
+    # would write once.
+    exploded = sh.select(
+        "doc_id", "source", F.explode("grams").alias("gram")
+    ).localCheckpoint(eager=False)
+    stop = (
+        exploded.groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("source", "gram")
     )
-    b = exploded.select(
+    return exploded.join(F.broadcast(stop), ["source", "gram"], "left_anti")
+
+
+def ngram_candidates(sh: DataFrame, max_df: int = MAX_GRAM_DF) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs sharing ≥1 rare gram in one source.
+
+    Pair volume is Σ_rare-grams C(df,2) with every df ≤ max_df — linear
+    in corpus size — instead of the uncapped Σ C(df,2) which one
+    stop-gram turns quadratic. (Used by the skew tests; ngram_pairs
+    fuses this join with the intersection count.)
+    """
+    rare = rare_grams(sh, max_df)
+    a = rare.select("source", "gram", F.col("doc_id").alias("doc_a"))
+    b = rare.select(
+        F.col("source").alias("source_b"),
+        F.col("gram").alias("gram_b"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("gram") == F.col("gram_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_pairs(
+    docs: DataFrame,
+    threshold: float = NGRAM_JACCARD_T,
+    max_df: int = MAX_GRAM_DF,
+) -> DataFrame:
+    """Trigram-Jaccard near-dup pairs over stop-gram-filtered gram sets.
+
+    Sparse one-pass formulation: explode grams, drop stop-grams
+    (broadcast anti-join — see rare_grams), equi-join the survivors on
+    (source, gram): |A∩B| = the pair's join-match count (map-side
+    combined), |A∪B| = |A|+|B|−|A∩B|. Pairs with zero shared rare grams
+    never materialize. The Jaccard domain is the filtered gram sets on
+    BOTH engines — boilerplate carries no signal, and keeping it would
+    reintroduce the k² hot key that the cap exists to kill.
+    """
+    rare = rare_grams(_grammed(docs), max_df).localCheckpoint(eager=False)
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = rare.select("source", "gram", F.col("doc_id").alias("doc_a"))
+    b = rare.select(
         F.col("source").alias("source_b"),
         F.col("gram").alias("gram_b"),
         F.col("doc_id").alias("doc_b"),
@@ -353,9 +454,8 @@ def ngram_pairs(docs: DataFrame, threshold: float = NGRAM_JACCARD_T) -> DataFram
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 exact trigram-Jaccard near-dedup, blocked by ``source``.
 
-    The exact (non-sketch) baseline for minhash; sparse formulation —
-    see ngram_pairs. The oracle intentionally keeps the dense O(block²)
-    list-intersect form: same result set, independent derivation.
+    The exact (non-sketch) baseline for minhash — see ngram_pairs for
+    the DF-capped sparse formulation and its scale rationale.
     """
     prepare(spark)
     return ngram_pairs(load(spark, sf_dir, "documents"))
@@ -462,38 +562,95 @@ NORM_EMB_SQL = """
 _DOT_UV_SQL = "list_sum(list_transform(generate_series(1, 64), i -> a.u[i] * b.u[i]))"
 
 
-@query(
-    "dedup_embedding",
-    f"""
-    WITH e AS ({NORM_EMB_SQL})
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({_DOT_UV_SQL}, 6) AS cosine
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+DEDUP_EMBEDDING_SQL = f"""
+    WITH e AS ({NORM_EMB_SQL}),
+    bk AS (SELECT vec_id, label, {lsh_bucket_sql()} AS bucket FROM e),
+    pr AS (
+        SELECT vec_id, label,
+               unnest({probe_signatures_sql("bucket")}) AS sig
+        FROM bk
+    ),
+    cand AS (
+        SELECT DISTINCT p.vec_id AS vec_a, c.vec_id AS vec_b
+        FROM pr p JOIN bk c
+          ON p.label = c.label AND p.sig = c.bucket AND p.vec_id < c.vec_id
+    )
+    SELECT cand.vec_a, cand.vec_b, round({_DOT_UV_SQL}, 6) AS cosine
+    FROM cand
+    JOIN e a ON a.vec_id = cand.vec_a
+    JOIN e b ON b.vec_id = cand.vec_b
     WHERE round({_DOT_UV_SQL}, 6) >= {EMB_COSINE_T}
-    """,
-)
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2/X5 embedding-cosine near-dup pairs, blocked by ``label``.
-
-    Vectors are L2-normalized once up front (cosine = dot of unit
-    vectors); dot products are sequential left-to-right double sums in
-    both engines (Spark ``aggregate`` HOF ≡ DuckDB ``list_sum ∘
-    list_transform``) — bit-stable, then rounded to 6.
     """
-    prepare(spark)
-    e = normalized_embeddings(load(spark, sf_dir, "embeddings"))
-    a = e.select(F.col("label"), F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
-    b = e.select(
+
+
+def embedding_candidates(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_a, vec_b) candidates within (label, LSH bucket ∪ 1-bit probes).
+
+    Both sides carry their sign-bit LSH signature; side a additionally
+    explodes the 1+n_planes probe signatures and the pairing is a plain
+    equi-join on (label, signature) — candidate volume is Σ_buckets
+    O(bucket²·probes/2^planes), not O(block²). Pairs whose signatures
+    differ in ≥2 bits are not candidates: that is the operator's
+    documented LSH contract (mirrored exactly in the oracle), the price
+    of staying sub-quadratic when one label holds half the corpus.
+    """
+    # The bucketed table feeds BOTH join sides; without materialization a
+    # self-join re-runs the 6-plane projection HOF per side. On a cluster
+    # this intermediate would be persisted/written once; localCheckpoint
+    # (lazy) is the single-app analog.
+    b = lsh_bucketed(e, n_planes).localCheckpoint(eager=False)
+    a = b.select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.explode(probe_signatures("bucket", n_planes)).alias("sig"),
+    )
+    c = b.select(
         F.col("label").alias("label_b"),
         F.col("vec_id").alias("vec_b"),
-        F.col("u").alias("ub"),
+        F.col("bucket").alias("sig_b"),
     )
+    return (
+        a.join(
+            c,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("sig") == F.col("sig_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
+def embedding_pairs(e: DataFrame, threshold: float = EMB_COSINE_T) -> DataFrame:
+    """Cosine-verified near-dup pairs from LSH-bucketed candidates."""
+    # Normalization feeds candidate generation + both verify sides.
+    e = e.localCheckpoint(eager=False)
+    cand = embedding_candidates(e)
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
     cos = F.round(
         F.expr("aggregate(zip_with(ua, ub, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"),
         6,
     )
     return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= EMB_COSINE_T)
+        .filter(F.col("cosine") >= threshold)
     )
+
+
+@query("dedup_embedding", DEDUP_EMBEDDING_SQL)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X5 embedding-cosine near-dup pairs, blocked by (label, LSH bucket).
+
+    Candidate generation reuses the knn_lsh sign-bit hyperplane buckets
+    with 1-bit multi-probe (embeddings.lsh_bucketed) instead of all-pairs
+    within a label — one label holding 50% of the corpus no longer means
+    O(corpus²/4) dot products. Verification: L2-normalized sequential
+    dot (Spark ``aggregate`` HOF ≡ DuckDB ``list_sum ∘ list_transform``,
+    bit-stable), rounded to 6. The oracle recomputes the identical
+    buckets from literal plane constants — same candidates, same pairs.
+    """
+    prepare(spark)
+    return embedding_pairs(normalized_embeddings(load(spark, sf_dir, "embeddings")))

@@ -9,8 +9,17 @@ element, sequential left-to-right sums, per-element division by the norm.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 6
+
+#: Sequential left-to-right dot-product fold — bit-identical to DuckDB's
+#: ``list_sum(list_transform(...))`` (verified by the r1 oracle passes).
+DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
 
 
 def normalized_embeddings(emb: DataFrame) -> DataFrame:
@@ -23,3 +32,93 @@ def normalized_embeddings(emb: DataFrame) -> DataFrame:
     return v.withColumn(
         "nrm", F.sqrt(F.expr("aggregate(v, 0D, (acc, y) -> acc + y * y)"))
     ).select("vec_id", "label", F.expr("transform(v, x -> x / nrm)").alias("u"))
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 (no RNG needed).
+
+    Component (p, i) = md5(f"{p}:{i}") first 8 hex digits → uniform in
+    [-1, 1). Good enough for sign-bucket LSH; replaceable by any seeded
+    generator. Seedless determinism is what lets the DuckDB oracle
+    recompute the identical buckets from literal plane constants.
+    """
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8]
+            row.append((int(h, 16) / 2**32) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def planes_sql(n_planes: int = N_PLANES) -> str:
+    """The hyperplanes as a DuckDB list-of-lists literal.
+
+    ``repr`` emits the shortest decimal that round-trips the IEEE double,
+    and both engines' literal parsers are correctly rounded — so the
+    oracle's planes are bit-identical to Spark's ``F.lit`` values.
+    """
+    return (
+        "["
+        + ",".join(
+            "[" + ",".join(repr(x) for x in row) + "]" for row in hyperplanes(n_planes)
+        )
+        + "]"
+    )
+
+
+def lsh_bucket_sql(n_planes: int = N_PLANES, dim: int = DIM) -> str:
+    """DuckDB expression: sign-bit LSH signature of column ``u``."""
+    return (
+        f"array_to_string(list_transform({planes_sql(n_planes)}, "
+        f"p -> CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> p[i] * u[i])) > 0 THEN '1' ELSE '0' END), '')"
+    )
+
+
+def lsh_bucketed(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Attach the sign-bit LSH ``bucket`` signature to normalized vectors.
+
+    Column-preserving: every input column (vec_id, label, u, ...) passes
+    through, plus the ``bucket`` string. The sign test is unrounded in
+    both engines — safe because the dot is pure */+ in an identical
+    sequential order (no libm), hence bit-identical.
+    """
+    plane_arr = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in hyperplanes(n_planes)]
+    )
+    bucket = F.expr(
+        "concat_ws('', transform(planes, p -> CASE WHEN "
+        + DOT_SPARK.format(a="p", b="u")
+        + " > 0 THEN '1' ELSE '0' END))"
+    )
+    return (
+        e.withColumn("planes", plane_arr).withColumn("bucket", bucket).drop("planes")
+    )
+
+
+def probe_signatures(bucket_col: str = "bucket", n_planes: int = N_PLANES) -> F.Column:
+    """Spark array expr: the bucket itself + every single-bit flip.
+
+    Multi-probe LSH: a pair whose signatures differ in ≤1 bit meets in
+    some (probe, exact-bucket) match — recovering the pairs that a
+    hyperplane happens to split, at 1+n_planes probes per row instead of
+    2^n_planes buckets scanned.
+    """
+    return F.expr(
+        f"array_union(array({bucket_col}), transform(sequence(1, {n_planes}),"
+        f" i -> concat(substring({bucket_col}, 1, i - 1),"
+        f" CASE WHEN substring({bucket_col}, i, 1) = '1' THEN '0' ELSE '1' END,"
+        f" substring({bucket_col}, i + 1))))"
+    )
+
+
+def probe_signatures_sql(bucket_expr: str = "bucket", n_planes: int = N_PLANES) -> str:
+    """DuckDB list expr mirroring :func:`probe_signatures`."""
+    return (
+        f"list_append(list_transform(generate_series(1, {n_planes}),"
+        f" i -> substring({bucket_expr}, 1, i - 1) ||"
+        f" (CASE WHEN substring({bucket_expr}, i, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substring({bucket_expr}, i + 1)), {bucket_expr})"
+    )

@@ -16,22 +16,26 @@ calls for. Hyperplanes derive from md5 (deterministic, seedless).
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ls_hadoop_3_0_spark.llm.dedup import NORM_EMB_SQL
-from ls_hadoop_3_0_spark.llm.embeddings import normalized_embeddings
+from ls_hadoop_3_0_spark.llm.embeddings import (
+    DIM,
+    DOT_SPARK,
+    N_PLANES,
+    hyperplanes,  # noqa: F401  (re-export: tests + external callers)
+    lsh_bucketed,
+    normalized_embeddings,
+    probe_signatures,
+)
 from ls_hadoop_3_0_spark.registry import query
 from ls_hadoop_3_0_spark.session import prepare
 from ls_hadoop_3_0_spark.tables import load
 
 TOP_K = 10
-DIM = 64
-N_PLANES = 6
 
-_DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
+_DOT_SPARK = DOT_SPARK
 
 
 @query(
@@ -78,39 +82,6 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes from md5 (no RNG needed).
-
-    Component (p, i) = md5(f"{p}:{i}") first 8 hex digits → uniform in
-    [-1, 1). Good enough for sign-bucket LSH; replaceable by any seeded
-    generator.
-    """
-    planes = []
-    for p in range(n_planes):
-        row = []
-        for i in range(dim):
-            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8]
-            row.append((int(h, 16) / 2**32) * 2.0 - 1.0)
-        planes.append(row)
-    return planes
-
-
-def lsh_bucketed(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """Attach the sign-bit LSH bucket signature to normalized vectors."""
-    plane_arr = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in hyperplanes(n_planes)]
-    )
-    return e.withColumn("planes", plane_arr).select(
-        "vec_id",
-        "u",
-        F.expr(
-            "concat_ws('', transform(planes, p -> CASE WHEN "
-            + _DOT_SPARK.format(a="p", b="u")
-            + " > 0 THEN '1' ELSE '0' END))"
-        ).alias("bucket"),
-    )
-
-
 @query("knn_lsh", None)  # ANN: approximate by design → rows-only check
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: multi-probe random-hyperplane LSH + in-bucket top-k.
@@ -127,12 +98,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalized_embeddings(load(spark, sf_dir, "embeddings")).select("vec_id", "u")
     )
     # Probe signatures: the bucket itself + each single-bit flip.
-    probes = F.expr(
-        f"array_union(array(bucket), transform(sequence(1, {N_PLANES}),"
-        " i -> concat(substring(bucket, 1, i - 1),"
-        " CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END,"
-        " substring(bucket, i + 1))))"
-    )
+    probes = probe_signatures("bucket", N_PLANES)
     q = (
         e.filter(F.col("vec_id") % 100 == 0)
         .select(

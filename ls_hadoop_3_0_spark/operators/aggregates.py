@@ -288,8 +288,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_median",
     """
     SELECT l_returnflag,
-           median(l_quantity) AS med_qty,
-           quantile_cont(l_quantity, 0.9) AS p90_qty
+           round(median(l_quantity), 6) AS med_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -297,17 +297,20 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 WordMedian parity: exact median + continuous percentile.
 
     Spark ``median``/``percentile`` are exact (linear interpolation),
-    matching DuckDB ``median``/``quantile_cont``. The streaming-scale
-    variant is ``percentile_approx`` (KLL-style sketch), exercised in
-    tests only — sketches don't hash-match across engines.
+    matching DuckDB ``median``/``quantile_cont``; both sides round to 6
+    decimals per the registry's composed-double rule (the interpolation
+    ``lo + frac*(hi-lo)`` could differ in the last bit under a different
+    evaluation order). The streaming-scale variant is
+    ``percentile_approx`` (KLL-style sketch), exercised in tests only —
+    sketches don't hash-match across engines.
     """
     prepare(spark)
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.median("l_quantity").alias("med_qty"),
-            F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+            F.round(F.median("l_quantity"), 6).alias("med_qty"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
         )
     )
 

@@ -45,13 +45,15 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # No type hints on the row UDFs: PySpark would try (and warn) to
     # infer a pandas eval type from them; these are plain row UDFs.
+    # Null-safe like the built-in paths: a NULL text yields NULL, not an
+    # AttributeError that kills the whole Python worker task.
     @F.udf(T.IntegerType())
     def n_tokens(text):
-        return len(text.split(" "))
+        return None if text is None else len(text.split(" "))
 
     @F.udf(T.IntegerType())
     def bucket(text):
-        return len(text) % 97
+        return None if text is None else len(text) % 97
 
     return load(spark, sf_dir, "documents").select(
         "doc_id", n_tokens("text").alias("n_tokens"), bucket("text").alias("bucket")

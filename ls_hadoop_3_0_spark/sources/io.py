@@ -44,10 +44,12 @@ def scratch(sf_dir: str, key: str) -> str:
     "scan_text",
     """
     SELECT COUNT(*) AS n_lines,
-           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-           MIN(length(text)) AS min_len,
-           MAX(length(text)) AS max_len
-    FROM documents
+           CAST(SUM(length(line)) AS BIGINT) AS total_chars,
+           MIN(length(line)) AS min_len,
+           MAX(length(line)) AS max_len
+    FROM (SELECT replace(replace(coalesce(text, ''), chr(13), ' '),
+                         chr(10), ' ') AS line
+          FROM documents)
     """,
 )
 def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,12 +57,17 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents.text is written as raw text (one line per doc), re-scanned
     with ``spark.read.text`` — the LineRecordReader analog — and reduced
-    to line stats the oracle recomputes from the source table.
+    to line stats the oracle recomputes from the source table. The write
+    normalizes first (NULL → '', embedded CR/LF → space, 1:1 so lengths
+    are preserved) because a line sink cannot represent either; the
+    oracle applies the identical normalization, so parity holds even on
+    a corpus that violates the current fixture's invariants.
     """
     prepare(spark)
     path = scratch(sf_dir, "scan_text")
     docs = load(spark, sf_dir, "documents")
-    docs.select("text").write.mode("overwrite").text(path)
+    line = F.translate(F.coalesce(F.col("text"), F.lit("")), "\r\n", "  ")
+    docs.select(line.alias("line")).write.mode("overwrite").text(path)
     lines = spark.read.text(path)  # column: value
     return lines.agg(
         F.count(F.lit(1)).alias("n_lines"),

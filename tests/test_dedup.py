@@ -101,6 +101,39 @@ def test_connected_components_on_known_graph(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_ngram_df_cap_bounds_candidates_under_stopgram_skew(spark):
+    """A stop-gram shared by 60 docs must NOT emit C(60,2) candidates.
+
+    The adversarial corpus: one source where every doc starts with the
+    same boilerplate trigram ("terms of service") followed by unique
+    content, plus one genuine near-dup pair sharing rare grams. With the
+    DF cap the candidate set collapses to the one real pair; without it
+    the stop-gram alone manufactures the full quadratic blowup.
+    """
+    rows = [
+        (i, f"terms of service unique{i}a unique{i}b unique{i}c", "en", "src", 0)
+        for i in range(60)
+    ]
+    rows += [
+        (1000, "alpha beta gamma delta epsilon zeta", "en", "src", 0),
+        (1001, "alpha beta gamma delta epsilon eta", "en", "src", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sh = dedup._grammed(docs)
+    uncapped = dedup.ngram_candidates(sh, max_df=10**9).count()
+    capped = dedup.ngram_candidates(sh, max_df=50).count()
+    assert uncapped >= 60 * 59 // 2  # quadratic without the cap
+    assert capped == 1  # sub-quadratic: only the genuine near-dup pair
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_pairs(docs).collect()
+    }
+    # Verification scores FULL gram sets: 3 shared of 5 distinct grams.
+    assert pairs == {(1000, 1001): 0.6}
+
+
 def test_ngram_sparse_jaccard_matches_direct_computation(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
