@@ -216,69 +216,209 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(load(spark, sf_dir, "documents"))
 
 
-_HI_HEX = "('8','9','a','b','c','d','e','f')"
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 × 16-bit bands: Hamming ≤ 3 ⇒ ≥1 exact band match
+SIMHASH_HAMMING_T = 3
 
+_HEX = "0123456789abcdef"
+
+#: Per-bit vote: bit i (1..64) of a token's md5 = bit (3-((i-1)%4)) of
+#: hex digit (i+3)/4. Pure integer arithmetic → bit-identical across
+#: engines regardless of how each side evaluates it.
+_BITS_SQL = (
+    "list_transform(generate_series(1, 64), i -> CASE WHEN"
+    " list_sum(list_transform(dvals, dv -> CASE WHEN"
+    " ((dv[(i+3)//4] >> (3 - ((i-1)%4))) % 2) = 1 THEN 1 ELSE -1 END)) > 0"
+    " THEN 1 ELSE 0 END)"
+)
+
+SIMHASH_SIGS_SQL = f"""
+        SELECT doc_id,
+               array_to_string(list_transform(generate_series(0, 15), j ->
+                   substring('{_HEX}', b[j*4+1]*8 + b[j*4+2]*4
+                                       + b[j*4+3]*2 + b[j*4+4] + 1, 1)),
+                   '') AS simhash
+        FROM (
+            SELECT doc_id, {_BITS_SQL} AS b
+            FROM (SELECT doc_id,
+                         list_transform(hashes, h ->
+                             list_transform(generate_series(1, 16), d ->
+                                 strpos('{_HEX}', substring(h, d, 1)) - 1))
+                             AS dvals
+                  FROM (SELECT doc_id,
+                               list_transform(list_distinct(list_filter(
+                                   string_split(text, ' '), t -> t <> '')),
+                                   t -> md5(t)) AS hashes
+                        FROM documents)
+                  WHERE len(hashes) > 0)
+        )
+"""
 
 DEDUP_SIMHASH_SQL = f"""
-    WITH sigs AS (
-        SELECT doc_id,
-               array_to_string(list_transform(generate_series(1, 16),
-                   i -> CASE WHEN list_sum(list_transform(hashes,
-                            h -> CASE WHEN substring(h, i, 1) IN {_HI_HEX}
-                                      THEN 1 ELSE -1 END)) > 0
-                        THEN '1' ELSE '0' END), '') AS simhash
-        FROM (SELECT doc_id,
-                     list_transform(list_distinct(list_filter(
-                         string_split(text, ' '), t -> t <> '')),
-                         t -> md5(t)) AS hashes
-              FROM documents)
-        WHERE len(hashes) > 0
-    )
-    SELECT doc_id, simhash,
-           COUNT(*) OVER (PARTITION BY simhash) AS bucket_size
-    FROM sigs
+    WITH sigs AS ({SIMHASH_SIGS_SQL}),
+    bands AS (
+        SELECT doc_id, t, substring(simhash, t*4 + 1, 4) AS band
+        FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS t)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS other
+        FROM bands a JOIN bands b
+          ON a.t = b.t AND a.band = b.band AND a.doc_id <> b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM cand GROUP BY doc_id)
+    SELECT s.doc_id, s.simhash,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_candidates
+    FROM sigs s LEFT JOIN counts c ON s.doc_id = c.doc_id
     """
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """Per-doc 16-bit SimHash signature + bucket size (see dedup_simhash)."""
-    from pyspark.sql import Window
+    """Per-doc 64-bit SimHash as a 16-hex-char signature.
 
-    d = (
-        docs.select(
-            "doc_id",
-            # Hash each distinct token ONCE; the 16 bit-votes then read
-            # hex digits of the precomputed hash (16× fewer md5 calls
-            # than hashing inside the per-bit loop).
-            F.expr(
-                "transform(array_distinct(filter(split(text, ' '),"
-                " t -> t <> '')), t -> md5(t))"
-            ).alias("hashes"),
+    Bit i = sign of Σ_distinct-tokens (±1 by bit i of the token's md5
+    first 64 bits); the 64-bit width keeps the signature space (2^64)
+    far above any corpus size, unlike a 16-bit toy signature whose
+    65,536 buckets all collide at scale.
+
+    Shape: explode distinct tokens → 64 codegen'd integer vote
+    expressions → ONE groupBy with 64 map-side-combined SUMs (the MR
+    combiner shape, like minhash's partial mins) — the shuffle carries
+    64 longs per doc, and no interpreted per-element lambda touches the
+    hot path.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("array_distinct(filter(split(text, ' '), t -> t <> ''))")
+        ).alias("tok"),
+    )
+    # Two 32-bit halves (2 conv() string parses per token, not 16); the
+    # 64 votes are then pure integer shift/mask — all codegen'd.
+    halves = toks.select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)").alias("hi"),
+        F.expr("cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint)").alias("lo"),
+    )
+
+    def vote(i: int) -> F.Column:  # bit i of the 64-bit md5 prefix → ±1
+        col, s = ("hi", 32 - i) if i <= 32 else ("lo", 64 - i)
+        return (
+            F.shiftright(F.col(col), s).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
         )
-        .filter(F.size("hashes") > 0)
+
+    votes = halves.groupBy("doc_id").agg(
+        *[F.sum(vote(i)).alias(f"v{i}") for i in range(1, 65)]
     )
-    simhash = F.expr(
-        "concat_ws('', transform(sequence(1, 16),"
-        " i -> CASE WHEN aggregate(hashes, 0,"
-        f" (acc, h) -> acc + CASE WHEN substring(h, i, 1) IN {_HI_HEX}"
-        " THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END))"
+    hex_chars = [
+        F.expr(
+            f"substring('{_HEX}', "
+            + " + ".join(
+                f"CASE WHEN v{4 * j + b + 1} > 0 THEN {8 >> b} ELSE 0 END"
+                for b in range(4)
+            )
+            + " + 1, 1)"
+        )
+        for j in range(16)
+    ]
+    return votes.select("doc_id", F.concat(*hex_chars).alias("simhash"))
+
+
+def simhash_bands(sigs: DataFrame) -> DataFrame:
+    """Explode each signature into its 4 16-bit (4-hex-char) bands."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.substring("simhash", t * 4 + 1, 4).alias("band"),
+            )
+            for t in range(SIMHASH_BANDS)
+        ]
     )
-    return d.select("doc_id", simhash.alias("simhash")).withColumn(
-        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
+    return sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.t").alias("t"), F.col("bs.band").alias("band")
+    )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame, max_hamming: int = SIMHASH_HAMMING_T
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming(sig_a, sig_b) ≤ 3.
+
+    Candidate generation is the banded pigeonhole (Manku et al., WWW'07
+    "Detecting Near-Duplicates for Web Crawling"): two 64-bit signatures
+    within Hamming distance 3 must agree exactly on ≥1 of 4 16-bit
+    bands, so candidates come from an equi-join on (band_idx, band) —
+    never an all-pairs scan. Verification is an exact popcount over the
+    16 hex-digit XORs.
+    """
+    sigs = simhash_signatures(docs).localCheckpoint(eager=False)
+    bands = simhash_bands(sigs)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    digs = (
+        f"transform(sequence(1, 16), d -> cast(conv(substring({{c}}, d, 1),"
+        " 16, 10) as int))"
+    )
+    ham = F.expr(
+        "aggregate(zip_with("
+        + digs.format(c="sig_a")
+        + ", "
+        + digs.format(c="sig_b")
+        + ", (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
 @query("dedup_simhash", DEDUP_SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 SimHash: 16-bit majority-vote signature over token hashes.
+    """X2 SimHash: 64-bit majority-vote signature + banded candidates.
 
-    Bit i = sign of Σ_tokens (±1 by the i-th md5 hex digit's high bit).
-    Near-dup docs differ in few bits; identical signatures form dedup
-    buckets (bucket_size > 1 ⇒ candidates). Hamming-neighbor bucketing is
-    the multi-probe extension (tests cover the signature property).
+    Output: (doc_id, 16-hex-char simhash, n_candidates) where
+    n_candidates counts the other docs sharing ≥1 of the 4 16-bit bands
+    — exactly the docs a Hamming-≤3 probe would verify against
+    (simhash_hamming_pairs runs that verification; tests pin that
+    constructed near-dups land in shared bands with hamming ≤ 3).
+    Everything is integer arithmetic on md5 hex — bit-identical in both
+    engines by construction.
     """
     prepare(spark)
-    return simhash_signatures(load(spark, sf_dir, "documents"))
+    sigs = simhash_signatures(load(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    bands = simhash_bands(sigs)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("other"))
+        .distinct()
+    )
+    counts = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return sigs.join(counts, "doc_id", "left").select(
+        "doc_id",
+        "simhash",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_candidates"),
+    )
 
 
 #: Document-frequency cap: a trigram shared by k docs in one source emits
@@ -481,51 +621,105 @@ DEDUP_CLUSTERS_SQL = f"""
     """
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: connect each strictly-larger neighbor to the min.
+
+    For every node u with m = min(Γ(u) ∪ {u}), emit (v, m) for each
+    neighbor v > u. Edges stay (hi, lo)-directed; no self-loops possible
+    (v > u ≥ m).
+    """
+    sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("hi"), F.least("u", "mv").alias("lo"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: link all smaller neighbors (and u) to the min."""
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    to_min = (
+        edges.join(mins, "hi")
+        .filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    )
+    return to_min.unionByName(mins.select("hi", F.col("m").alias("lo"))).distinct()
+
+
+def _connected_components_impl(
+    pairs: DataFrame, max_rounds: int | None = None
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star CC → ((doc_id, cluster_id), rounds).
+
+    The two-phase algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond" (SOCC'14): each round halves long chains, so
+    the fixpoint — a star per component, rooted at the component min —
+    arrives in O(log n) rounds instead of the O(diameter) a plain
+    min-label propagation needs. Every round is two groupBy+join passes
+    over the (hi, lo)-canonical edge set, localCheckpointed to truncate
+    lineage. Convergence = the edge set reaches its fixpoint; exhausting
+    the round budget without converging RAISES (silently returning
+    partial labels would emit wrong cluster_ids downstream).
+    """
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # Nodes come from the RAW pairs: a node seen only in self-pairs
+    # (dropped from edges) must still label itself as a singleton root.
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if max_rounds is None:
+        n = max(nodes.count(), 2)
+        # 2·log2(n) + cushion: the paper's bound is O(log² n) worst-case
+        # but O(log n) in practice; the raise below catches pathologies.
+        max_rounds = 2 * n.bit_length() + 6
+    n_edges = edges.count()
+    rounds = 0
+    converged = False
+    for rounds in range(1, max_rounds + 1):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        n_new = new_edges.count()
+        if n_new == n_edges and new_edges.subtract(edges).limit(1).count() == 0:
+            converged = True
+            edges = new_edges
+            break
+        edges, n_edges = new_edges, n_new
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "the edge set is still changing — refusing to emit partial labels"
+        )
+    non_root = edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id"))
+    roots = nodes.join(
+        non_root, nodes.node == non_root.doc_id, "left_anti"
+    ).select(F.col("node").alias("doc_id"), F.col("node").alias("cluster_id"))
+    return non_root.unionByName(roots), rounds
+
+
+def connected_components(pairs: DataFrame, max_rounds: int | None = None) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id).
 
-    Iterative min-label propagation: label(v) ← min(label(v),
-    min(label(neighbors))) until fixpoint. Each round is one equi-join +
-    groupBy (the simplified large-star/small-star pattern); rounds ≤
-    graph diameter, and the label table is cached between rounds. This
-    is the dedup *clustering* step — pairs alone don't say which docs to
-    drop; components do (keep cluster_id, drop the rest).
+    This is the dedup *clustering* step — pairs alone don't say which
+    docs to drop; components do (keep cluster_id, drop the rest). See
+    _connected_components_impl for the algorithm and its guarantees.
     """
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    )
-    # Materialize once and truncate lineage: every iteration re-reads
-    # edges, and labels' lineage would otherwise double per round
-    # (exponential re-evaluation of the upstream pair pipeline).
-    edges = edges.localCheckpoint()
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    for _ in range(max_iters):
-        labels = labels.localCheckpoint()
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-            )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    labels, _ = _connected_components_impl(pairs, max_rounds)
+    return labels
 
 
 @query("dedup_clusters", DEDUP_CLUSTERS_SQL)

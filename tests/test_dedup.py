@@ -80,13 +80,80 @@ def test_exact_dedup_groups_identical_docs(spark, docs):
     assert by_keeper[2] == 1 and by_keeper[3] == 1
 
 
+def _py_simhash64(text: str) -> str:
+    """Independent reference: 64-bit majority-vote simhash, hex-encoded."""
+    votes = [0] * 64
+    for tok in {t for t in text.split(" ") if t}:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        for i in range(64):
+            votes[i] += 1 if (h >> (63 - i)) & 1 else -1
+    bits = 0
+    for i in range(64):
+        bits = (bits << 1) | (1 if votes[i] > 0 else 0)
+    return f"{bits:016x}"
+
+
+def _ham_hex(a: str, b: str) -> int:
+    return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+
 def test_simhash_identical_docs_share_signature(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
     assert sigs[1] == sigs[4]
-    assert len(sigs[1]) == 16 and set(sigs[1]) <= {"0", "1"}
+    assert len(sigs[1]) == 16 and set(sigs[1]) <= set("0123456789abcdef")
+    # Spark signature == the independent pure-Python derivation
+    assert sigs[1] == _py_simhash64(BASE)
+    assert sigs[3] == _py_simhash64(OTHER)
     # near-dup differs in few bits; unrelated differs in more
-    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
-    assert ham(sigs[1], sigs[2]) <= ham(sigs[1], sigs[3])
+    assert _ham_hex(sigs[1], sigs[2]) <= _ham_hex(sigs[1], sigs[3])
+
+
+def test_simhash_banded_probe_finds_near_dups(spark, docs):
+    """Near-dups land in a probed band; unrelated docs never pair.
+
+    A 120-token doc with ONE replaced token has hamming 1 (verified by
+    the pure-Python reference) — the banded pigeonhole must surface it.
+    BASE→NEAR is hamming 4 for these short docs: just past the ≤3
+    radius, so it must NOT be reported — the exact-verify contract.
+    """
+    long_base = " ".join(f"tok{i}" for i in range(120))
+    long_near = long_base.replace("tok3 ", "tokX3 ", 1)
+    extra = spark.createDataFrame(
+        [(5, long_base, "en", "srcA", 0), (6, long_near, "en", "srcA", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    all_docs = docs.unionByName(extra)
+    assert (
+        _ham_hex(_py_simhash64(long_base), _py_simhash64(long_near)) <= 3
+        < _ham_hex(_py_simhash64(BASE), _py_simhash64(NEAR))
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_hamming_pairs(all_docs).collect()
+    }
+    assert pairs.get((1, 4)) == 0  # identical docs: hamming 0
+    assert (5, 6) in pairs and pairs[(5, 6)] <= 3  # near-dup within radius
+    assert (1, 2) not in pairs  # hamming 4: candidate at most, verified out
+    assert all(3 not in p for p in pairs)  # unrelated: no shared band
+
+
+def test_simhash_64bit_space_does_not_collapse(spark):
+    """100 unrelated docs → 100 distinct signatures and ~0 band pairs.
+
+    The 16-bit predecessor had 65,536 buckets — at scale every bucket
+    held unrelated docs. With 64 bits the signature space (2^64) keeps
+    chance collisions (even per 16-bit band) negligible.
+    """
+    rows = [
+        (i, f"unrelated{i}x alpha{i} beta{i} gamma{i} delta{i} eps{i}", "en", "s", 0)
+        for i in range(100)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sigs = [r["simhash"] for r in dedup.simhash_signatures(d).collect()]
+    assert len(set(sigs)) == 100
+    assert dedup.simhash_hamming_pairs(d).count() == 0
 
 
 def test_connected_components_on_known_graph(spark):
@@ -99,6 +166,36 @@ def test_connected_components_on_known_graph(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_logarithmic_on_path_graph(spark):
+    """A 65-node path converges in O(log n) rounds, not O(diameter).
+
+    Min-label propagation needs ~64 rounds here (labels travel one hop
+    per round); the alternating large-star/small-star halves chain
+    length per round, so 65 nodes must finish in ≲ 2·log2(65)+2 rounds.
+    """
+    n = 65
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    labels, rounds = dedup._connected_components_impl(pairs)
+    comps = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert comps == {i: 1 for i in range(1, n + 1)}
+    assert rounds <= 14, f"took {rounds} rounds — not logarithmic"
+
+
+def test_connected_components_reversed_and_shuffled_edges(spark):
+    """Edge orientation must not matter; components stay exact."""
+    pairs = spark.createDataFrame(
+        [(9, 4), (4, 7), (2, 9), (30, 20), (20, 30), (5, 5)],
+        "doc_a long, doc_b long",
+    )
+    comps = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comps == {2: 2, 4: 2, 7: 2, 9: 2, 20: 20, 30: 20, 5: 5}
 
 
 def test_ngram_df_cap_bounds_candidates_under_stopgram_skew(spark):
