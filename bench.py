@@ -66,6 +66,10 @@ def main() -> None:
                 "sf": _sf_tag(SF_DIR),
                 "n_queries": len(timings),
                 "failed": sorted(k for k, v in timings.items() if v < 0),
+                # BASELINE.md measurement plan, recorded in the artifact
+                # so per-round numbers are comparable by construction.
+                "protocol": "min-of-2 warm runs per key, noop-sink "
+                "materialization, single warm JVM",
             }
         )
     )

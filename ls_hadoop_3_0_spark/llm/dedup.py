@@ -260,15 +260,14 @@ DEDUP_SIMHASH_SQL = f"""
         SELECT doc_id, t, substring(simhash, t*4 + 1, 4) AS band
         FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS t)
     ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS other
-        FROM bands a JOIN bands b
-          ON a.t = b.t AND a.band = b.band AND a.doc_id <> b.doc_id
-    ),
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM cand GROUP BY doc_id)
-    SELECT s.doc_id, s.simhash,
-           CAST(coalesce(c.n, 0) AS BIGINT) AS n_candidates
-    FROM sigs s LEFT JOIN counts c ON s.doc_id = c.doc_id
+    bc AS (SELECT t, band, COUNT(*) AS c FROM bands GROUP BY t, band),
+    per_doc AS (
+        SELECT b.doc_id, CAST(SUM(c - 1) AS BIGINT) AS n_band_collisions
+        FROM bands b JOIN bc ON b.t = bc.t AND b.band = bc.band
+        GROUP BY b.doc_id
+    )
+    SELECT s.doc_id, s.simhash, p.n_band_collisions
+    FROM sigs s JOIN per_doc p ON s.doc_id = p.doc_id
     """
 
 
@@ -387,37 +386,30 @@ def simhash_hamming_pairs(
 
 @query("dedup_simhash", DEDUP_SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 SimHash: 64-bit majority-vote signature + banded candidates.
+    """X2 SimHash: 64-bit majority-vote signature + banded probe cost.
 
-    Output: (doc_id, 16-hex-char simhash, n_candidates) where
-    n_candidates counts the other docs sharing ≥1 of the 4 16-bit bands
-    — exactly the docs a Hamming-≤3 probe would verify against
-    (simhash_hamming_pairs runs that verification; tests pin that
-    constructed near-dups land in shared bands with hamming ≤ 3).
-    Everything is integer arithmetic on md5 hex — bit-identical in both
-    engines by construction.
+    Output: (doc_id, 16-hex-char simhash, n_band_collisions) where
+    n_band_collisions = Σ over the doc's 4 bands of (bucket size − 1) —
+    the number of comparisons a Hamming-≤3 probe performs for that doc
+    (simhash_hamming_pairs runs the actual verification; tests pin that
+    constructed near-dups land in shared bands with hamming ≤ 3). This
+    is bucket-size arithmetic — one groupBy + equi-join, never a pair
+    self-join, so hot bands cost rows, not rows². Everything is integer
+    arithmetic on md5 hex — bit-identical in both engines.
     """
     prepare(spark)
     sigs = simhash_signatures(load(spark, sf_dir, "documents")).localCheckpoint(
         eager=False
     )
     bands = simhash_bands(sigs)
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("other"))
-        .distinct()
+    bc = bands.groupBy("t", "band").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        bands.join(bc, ["t", "band"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") - 1).cast("bigint").alias("n_band_collisions"))
     )
-    counts = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    return sigs.join(counts, "doc_id", "left").select(
-        "doc_id",
-        "simhash",
-        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_candidates"),
+    return sigs.join(per_doc, "doc_id").select(
+        "doc_id", "simhash", "n_band_collisions"
     )
 
 

@@ -57,6 +57,17 @@ def is_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
 
 
+def executed_plan(df: DataFrame) -> str:
+    """Final ADAPTIVE plan string — run the query, then read the plan.
+
+    AQE re-plans at runtime (skew-split, coalesce, SMJ→BHJ), so runtime
+    decisions like ``skew=true`` only exist on the executed plan, not on
+    ``explain()`` before an action.
+    """
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of SHUFFLE exchanges (broadcast exchanges excluded — a
     broadcast is exactly the technique that avoids the shuffle)."""

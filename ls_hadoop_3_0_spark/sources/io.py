@@ -281,6 +281,61 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sorted_indexed_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write ``part`` as a sorted+bucketed keyed table; return its name.
+
+    The MapFile analog (S10): SequenceFile + sorted keys + index ⇒ keyed
+    point lookup without a full scan. Spark-native equivalent:
+    ``bucketBy(8, key).sortBy(key)`` — the bucket hash is the index (a
+    key filter prunes to 1 of 8 buckets at planning time), and the
+    in-bucket sort gives parquet min/max row-group skipping within it.
+    """
+    prepare(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    tbl = f"sorted_part_{tag}"
+    path = scratch(sf_dir, "sink_sorted_indexed")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+    (
+        part.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "p_partkey")
+        .sortBy("p_partkey")
+        .option("path", path)
+        .saveAsTable(tbl)
+    )
+    return tbl
+
+
+def sorted_indexed_lookup(spark: SparkSession, tbl: str, *keys: int) -> DataFrame:
+    """Keyed point lookup against a sorted+bucketed table.
+
+    tests/test_plans.py asserts the scan reads only the matching buckets
+    (``SelectedBucketsCount`` < total) — the MapFile-index access path.
+    autoBucketedScan is turned off here: it only credits bucketing for
+    exchange elimination and would silently fall back to scanning all
+    buckets for a pure key lookup.
+    """
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    return (
+        spark.table(tbl)
+        .filter(F.col("p_partkey").isin(*keys))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@query(
+    "sink_sorted_indexed",
+    """
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    WHERE p_partkey IN (17, 42)
+    """,
+)
+def sink_sorted_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 MapFile parity: sorted+bucketed sink → pruned point lookup."""
+    tbl = sorted_indexed_table(spark, sf_dir)
+    return sorted_indexed_lookup(spark, tbl, 17, 42)
+
+
 @query(
     "sink_partitioned",
     """

@@ -48,6 +48,64 @@ def test_topk_plans_as_take_ordered(spark):
     assert checks.is_take_ordered(df), checks.formatted_plan(df)
 
 
+def test_sorted_indexed_sink_prunes_to_one_bucket(spark):
+    """S10 MapFile parity: a key lookup scans 1 of 8 buckets, not all."""
+    from ls_hadoop_3_0_spark.sources.io import sorted_indexed_lookup, sorted_indexed_table
+
+    tbl = sorted_indexed_table(spark, SF_DIR)
+    plan = checks.formatted_plan(sorted_indexed_lookup(spark, tbl, 17))
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
+def test_skewed_join_triggers_aqe_skew_split(spark):
+    """A 95%-one-key fact-fact join must get AQE's skew-split at runtime.
+
+    agg_salted covers the salted-aggregation path; this locks the join
+    path: with skew thresholds sized to the fixture, the executed
+    adaptive plan must carry ``skew=true`` on the sort-merge join (the
+    runtime splitting of the hot partition into subpartitions).
+    """
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # Sized to the fixture: the hot partition's COMPRESSED shuffle
+        # bytes must exceed the threshold (hence the incompressible sha2
+        # payload), and coalescing is off so the non-skewed partitions
+        # keep their sizes for the median comparison.
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        agg = joined.agg(F.count(F.lit(1)).alias("n"))
+        plan = checks.executed_plan(agg)
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_global_sort_uses_range_partitioning(spark):
     """O1: orderBy = sampled range partitioning (the TotalOrderPartitioner
     + InputSampler algorithm), not a single-partition sort."""

@@ -36,12 +36,95 @@ def test_streaming_tumbling_matches_batch(spark, events_stream):
     assert got == want
 
 
-def test_streaming_session_count_matches_batch(spark, events_stream):
+def test_streaming_session_rows_match_batch(spark, events_stream):
+    """Full row equality, not just counts: same sessions, same bounds."""
     sess = demo.sessionized_stream(events_stream)
     demo.run_to_memory(sess, "stream_session_out", output_mode="complete")
-    n_stream = spark.table("stream_session_out").count()
-    n_batch = batch_equiv.stream_session(spark, SF_DIR).count()
-    assert n_stream == n_batch
+    fmt = lambda v: str(v)[:19].replace("T", " ")  # noqa: E731
+    got = {
+        (r["user_id"], fmt(r["session_start"]), fmt(r["session_end"]), r["n_events"])
+        for r in spark.table("stream_session_out").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch_equiv.stream_session(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_watermark_drops_late_data_and_emits_closed_windows(spark):
+    """T4: the real watermark semantics across micro-batches + restart.
+
+    Two availableNow runs over one checkpoint: run 1 closes the 10:00
+    window (watermark reaches 12:30), run 2 delivers (a) an event at
+    10:15 — BEYOND the restored watermark, must be dropped, not
+    resurrect the closed window — and (b) on-time events that close the
+    12:00 and 13:00 windows. Fails if batch and streaming watermark
+    answers diverge in either direction.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = "/root/repo/.scratch/t4_watermark"
+    stage, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    shutil.rmtree(base, ignore_errors=True)
+
+    HOUR = 3600
+    t0 = 1704103200  # 2024-01-01T10:00:00Z
+    ns = lambda sec: (t0 + sec) * 1_000_000_000  # noqa: E731
+
+    def write_events(rows):
+        spark.createDataFrame(rows, demo.EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    def run():
+        # File sink: the one test-friendly sink that RECOVERS from a
+        # checkpoint (memory sink refuses), so run 2 genuinely restarts
+        # the query with the persisted watermark.
+        raw = spark.readStream.schema(demo.EVENTS_SCHEMA).format("parquet").load(stage)
+        events = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        q = (
+            demo.tumbling_counts_stream(events)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return {
+            (str(r["win_start"])[:19].replace("T", " "), r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    write_events(
+        [
+            (1, ns(5), 1, "click", 1.0, "{}"),
+            (2, ns(600), 2, "click", 1.0, "{}"),
+            (3, ns(2400), 3, "click", 1.0, "{}"),
+            (4, ns(3 * HOUR + 1800), 4, "click", 1.0, "{}"),  # 13:30 → wm 12:30
+        ]
+    )
+    run1 = run()
+    assert run1 == {("2024-01-01 10:00:00", "click"): 3}  # 10:00 closed; 13:00 open
+
+    write_events(
+        [
+            (5, ns(900), 5, "click", 1.0, "{}"),  # 10:15 — beyond wm, dropped
+            (6, ns(2 * HOUR + 2700), 6, "click", 1.0, "{}"),  # 12:45 — on time
+            (7, ns(5 * HOUR), 7, "click", 1.0, "{}"),  # 15:00 → wm 14:00
+        ]
+    )
+    run2 = run()
+    assert run2 == {
+        ("2024-01-01 10:00:00", "click"): 3,  # unchanged: late event dropped
+        ("2024-01-01 12:00:00", "click"): 1,  # the on-time 12:45 event
+        ("2024-01-01 13:00:00", "click"): 1,  # closed by the new watermark
+    }, "late event resurrected a closed window or on-time data was lost"
 
 
 def test_stateful_totals_match_batch_aggregation(spark, events_stream):
