@@ -98,20 +98,45 @@ def lsh_bucketed(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     )
 
 
-def probe_signatures(bucket_col: str = "bucket", n_planes: int = N_PLANES) -> F.Column:
-    """Spark array expr: the bucket itself + every single-bit flip.
-
-    Multi-probe LSH: a pair whose signatures differ in ≤1 bit meets in
-    some (probe, exact-bucket) match — recovering the pairs that a
-    hyperplane happens to split, at 1+n_planes probes per row instead of
-    2^n_planes buckets scanned.
-    """
-    return F.expr(
-        f"array_union(array({bucket_col}), transform(sequence(1, {n_planes}),"
-        f" i -> concat(substring({bucket_col}, 1, i - 1),"
-        f" CASE WHEN substring({bucket_col}, i, 1) = '1' THEN '0' ELSE '1' END,"
-        f" substring({bucket_col}, i + 1))))"
+def _flip_sql(s: str, i: str) -> str:
+    """SQL snippet: string ``s`` with the bit at 1-based position ``i`` flipped."""
+    return (
+        f"concat(substring({s}, 1, {i} - 1),"
+        f" CASE WHEN substring({s}, {i}, 1) = '1' THEN '0' ELSE '1' END,"
+        f" substring({s}, {i} + 1))"
     )
+
+
+def probe_signatures(
+    bucket_col: str = "bucket", n_planes: int = N_PLANES, radius: int = 1
+) -> F.Column:
+    """Spark array expr: the bucket itself + every signature within
+    Hamming distance ``radius`` (1 → single-bit flips, 2 → + bit-pair
+    flips).
+
+    Multi-probe LSH: a pair whose signatures differ in ≤``radius`` bits
+    meets in some (probe, exact-bucket) match — recovering the pairs
+    hyperplanes happen to split, at 1+n (+ n·(n−1)/2 for radius 2)
+    probes per row instead of 2^n buckets scanned. Radius trades probe
+    fan-out for recall; the knob is per-call so a pipeline can spend it
+    only on the query side.
+    """
+    if radius not in (1, 2):
+        raise ValueError(f"probe radius must be 1 or 2, got {radius}")
+    singles = (
+        f"transform(sequence(1, {n_planes}), i -> {_flip_sql(bucket_col, 'i')})"
+    )
+    expr = f"array_union(array({bucket_col}), {singles})"
+    if radius == 2:
+        # i < j always holds (i ≤ n−1, j starts at i+1) so the inner
+        # sequence() never runs backwards.
+        pair = _flip_sql(f"({_flip_sql(bucket_col, 'i')})", "j")
+        pairs = (
+            f"flatten(transform(sequence(1, {n_planes} - 1),"
+            f" i -> transform(sequence(i + 1, {n_planes}), j -> {pair})))"
+        )
+        expr = f"array_union({expr}, {pairs})"
+    return F.expr(expr)
 
 
 def probe_signatures_sql(bucket_expr: str = "bucket", n_planes: int = N_PLANES) -> str:

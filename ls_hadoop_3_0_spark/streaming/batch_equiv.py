@@ -170,6 +170,63 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_interval_join",
+    f"""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_sec
+    FROM {EVENTS_SQL} p JOIN {EVENTS_SQL} c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-EXT stream-stream interval join: clicks within 1h before a purchase.
+
+    Batch-equivalent of Structured Streaming's event-time interval join
+    (two watermarked streams, time-band condition — the real ``readStream``
+    twin runs in tests/test_streaming.py and must emit identical rows).
+    The plan is an equi-join on ``user_id`` with the band as a post-join
+    filter: one shuffle, no theta-join blowup — per-user click×purchase
+    products are bounded by the band, and at 100 TB the watermark bounds
+    streaming state to one hour of per-user clicks.
+
+    ``lag_sec`` is the whole-second boundary count (Spark
+    ``unix_timestamp`` floor-difference == DuckDB ``date_diff('second')``).
+    """
+    prepare(spark)
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            fmt_ts("p_ts").alias("purchase_ts"),
+            fmt_ts("c_ts").alias("click_ts"),
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_sec"),
+        )
+    )
+
+
+@query(
     "stream_funnel",
     f"""
     WITH stages AS (

@@ -87,6 +87,38 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_stream(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """T-EXT: genuine stream-stream event-time interval join.
+
+    Both sides watermarked (the engine derives per-side state retention
+    from the watermark + band: clicks older than purchase-watermark − 1 h
+    are evicted). Inner join ⇒ rows emit as soon as both sides arrive;
+    the batch twin is ``batch_equiv.stream_interval_join``.
+    """
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+        )
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return p.join(
+        c,
+        F.expr(
+            "user_id = c_user_id AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+    ).select("user_id", "purchase_id", "click_id", "p_ts", "c_ts")
+
+
 def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
     """T6 custom stateful operator via ``applyInPandasWithState``.
 

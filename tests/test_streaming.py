@@ -127,6 +127,36 @@ def test_watermark_drops_late_data_and_emits_closed_windows(spark):
     }, "late event resurrected a closed window or on-time data was lost"
 
 
+def test_streaming_interval_join_matches_batch(spark):
+    """T-EXT: two-stream interval join == the oracle-checked batch key.
+
+    Purchases and clicks arrive as two independent file streams; the
+    inner interval join must emit exactly the pairs the batch query
+    computes (same users, same 1-hour band), proving the plan
+    incrementalizes with two-sided watermarks.
+    """
+    purchases = demo.read_events_stream(spark, SF_DIR)
+    clicks = demo.read_events_stream(spark, SF_DIR)
+    joined = demo.interval_join_stream(purchases, clicks)
+    demo.run_to_memory(joined, "stream_ij_out", output_mode="append")
+    fmt = lambda v: str(v)[:19].replace("T", " ")  # noqa: E731
+    got = {
+        (r["user_id"], r["purchase_id"], r["click_id"], fmt(r["p_ts"]), fmt(r["c_ts"]))
+        for r in spark.table("stream_ij_out").collect()
+    }
+    want = {
+        (
+            r["user_id"],
+            r["purchase_id"],
+            r["click_id"],
+            r["purchase_ts"],
+            r["click_ts"],
+        )
+        for r in batch_equiv.stream_interval_join(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
 def test_stateful_totals_match_batch_aggregation(spark, events_stream):
     """T6: arbitrary per-key state across micro-batches == batch groupBy."""
     from pyspark.sql import functions as F
