@@ -172,6 +172,35 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_quantile", None)  # sketch ≠ SQL-oracle: rows-only check
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 capped variant: Greenwald-Khanna approximate quantiles.
+
+    The scale path next to ``agg_median``'s exact percentile: GK sketches
+    merge associatively (constant memory per key, one pass, map-side
+    partial) where exact quantiles need the full value multiset per key.
+    Sketch internals differ across engines (DuckDB uses t-digest), so
+    rows-only; tests/test_aggregates.py asserts each approx quantile
+    lands within the 1% relative-rank bound of the exact answer.
+    """
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 100
+            ).alias("quartiles")
+        )
+        .select(
+            "l_returnflag",
+            F.col("quartiles")[0].alias("p25"),
+            F.col("quartiles")[1].alias("p50"),
+            F.col("quartiles")[2].alias("p75"),
+        )
+    )
+
+
 @query(
     "agg_histogram",
     """

@@ -331,3 +331,102 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_psum").cast("double").alias("sum_price"),
         F.sum("_pn").alias("n"),
     )
+
+
+@query(
+    "analytics_promo_revenue",
+    f"""
+    SELECT ROUND(100.0
+             * {sql_dsum("CASE WHEN p.p_type = 'PROMO'"
+                         " THEN l.l_extendedprice * (1 - l.l_discount) END")}
+             / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 6)
+               AS promo_pct,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def analytics_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped: share of one month's revenue from PROMO parts.
+
+    The month filter prunes the fact at the scan (PushedFilters on
+    l_shipdate); part is broadcast. Both sums ride ONE aggregation pass
+    (conditional numerator via CASE), and the percent division happens
+    once on the two deterministic dsum doubles, rounded to 6 — the same
+    evaluation order the oracle mirrors.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type") == "PROMO", vol))
+                / dsum(vol),
+                6,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "analytics_bracket_revenue",
+    f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#18' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def analytics_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped: revenue under OR'd multi-column predicate brackets.
+
+    The disjunction mixes part-side (brand, size) and fact-side
+    (quantity) conditions, so it can't fully push to either scan — but
+    each bracket's fact-side range DOES push as
+    ``l_quantity BETWEEN 1 AND 30`` (the OR's hull), and the part dim
+    broadcasts, keeping the join map-side with the residual OR as a
+    post-join filter. The classic "predicates too entangled to prune"
+    stress query.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#18")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .filter(bracket)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

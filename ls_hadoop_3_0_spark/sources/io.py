@@ -281,6 +281,39 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_orc",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS sum_price,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-family columnar-container breadth: ORC write → read → reduce.
+
+    ORC is the other Hadoop-native columnar container (alongside
+    parquet) a reference user would bring; Spark's vectorized ORC reader
+    gives it the same pushdown/pruning path. The oracle computes the
+    identical aggregate from the parquet source — so the hash match
+    proves the ORC roundtrip is value-lossless, not just countable.
+    zlib compression (ORC's Hadoop-era default) exercised.
+    """
+    prepare(spark)
+    path = scratch(sf_dir, "scan_orc")
+    li = load(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
 def sorted_indexed_table(spark: SparkSession, sf_dir: str) -> str:
     """Write ``part`` as a sorted+bucketed keyed table; return its name.
 

@@ -58,3 +58,28 @@ def test_median_is_exact_not_sketch(spark):
     n = len(vals)
     exact = vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
     assert got == exact
+
+
+def test_approx_quantile_within_rank_bound(spark):
+    """agg_approx_quantile: each GK quartile must sit within the 1%
+    relative-rank window of the exact per-group distribution."""
+    import ls_hadoop_3_0_spark as engine  # noqa: F401 (registers keys)
+    from ls_hadoop_3_0_spark.registry import QUERIES
+
+    got = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+        for r in QUERIES["agg_approx_quantile"](spark, SF_DIR).collect()
+    }
+    li = load(spark, SF_DIR, "lineitem")
+    for flag, qs in got.items():
+        vals = sorted(
+            r["l_extendedprice"]
+            for r in li.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, v in zip((0.25, 0.5, 0.75), qs):
+            lo = vals[max(0, int(math.floor((q - 0.01) * n)) - 1)]
+            hi = vals[min(n - 1, int(math.ceil((q + 0.01) * n)))]
+            assert lo <= v <= hi, (flag, q, v, lo, hi)
