@@ -325,3 +325,43 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmt_ts("last_click_ts").alias("last_click_ts"),
         )
     )
+
+
+@query(
+    "join_salted",
+    f"""
+    SELECT s.s_name,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS sum_price
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (EXT) manually salted equi-join — the skew fallback when AQE
+    can't help (e.g. the skew is in a broadcast-ineligible mid-size dim,
+    or the engine predates runtime splitting).
+
+    Fact side gets a deterministic salt in [0, 8); the dim side is
+    replicated once per salt value (|dim|×8 rows — fine for a mid-size
+    dim, and each replica row is tiny). The join key becomes
+    (suppkey, salt), so one hot supplier's rows spread over 8 reducers
+    instead of one. The oracle is the PLAIN unsalted join — proving the
+    rewrite is semantics-preserving, exactly like agg_salted.
+    """
+    prepare(spark)
+    n_salts = 8
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.col("l_orderkey") * 31 + F.col("l_linenumber"), F.lit(n_salts))
+    )
+    supp = load(spark, sf_dir, "supplier").withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return (
+        li.join(supp, (li.l_suppkey == supp.s_suppkey) & (li._salt == supp._salt))
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )

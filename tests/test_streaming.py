@@ -186,3 +186,65 @@ def test_streaming_dedup_is_exact_on_unique_ids(spark, events_stream):
 
     n_events = load(spark, SF_DIR, "events").select("event_id").distinct().count()
     assert spark.table("stream_dedup_out").count() == n_events
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """T-FT: a checkpointed query resumed after stop processes ONLY the
+    new files and the file sink holds every event exactly once —
+    Structured Streaming's recovery contract (WAL offsets + idempotent
+    sink), the piece a 100 TB pipeline leans on when an executor or the
+    whole app dies mid-backfill.
+    """
+    import duckdb
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    con = duckdb.connect()
+    halves = []
+    for half, pred in (("h1", "event_id % 2 = 0"), ("h2", "event_id % 2 = 1")):
+        p = str(tmp_path / f"{half}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+            f" WHERE {pred}) TO '{p}' (FORMAT PARQUET)"
+        )
+        halves.append(p)
+
+    import os
+    import shutil
+
+    os.makedirs(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(demo.EVENTS_SCHEMA)
+            .format("parquet")
+            .load(src)
+            .select("event_id", "event_type")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    shutil.copy(halves[0], f"{src}/h1.parquet")
+    run_once()
+    n_after_first = spark.read.parquet(out).count()
+    shutil.copy(halves[1], f"{src}/h2.parquet")
+    run_once()
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    )
+    n_h1 = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/events.parquet')"
+        " WHERE event_id % 2 = 0"
+    ).fetchone()[0]
+    assert n_after_first == n_h1, "first run must process exactly the first file"
+    assert got == want, "restart duplicated or dropped events"
