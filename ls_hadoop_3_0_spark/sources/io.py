@@ -396,3 +396,80 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("total"),
     )
+
+
+@query(
+    "sink_upsert",
+    """
+    WITH changes AS (
+        SELECT c_custkey AS k, 'U' AS op, c_name,
+               c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey, 'D', NULL, NULL, NULL
+        FROM customer WHERE c_custkey % 97 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'I', 'new_' || CAST(c_custkey AS VARCHAR),
+               0.0, 'NEW'
+        FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT COALESCE(ch.k, b.c_custkey) AS c_custkey,
+           COALESCE(ch.c_name, b.c_name) AS c_name,
+           COALESCE(ch.c_acctbal, b.c_acctbal) AS c_acctbal,
+           COALESCE(ch.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+    FROM customer b FULL OUTER JOIN changes ch ON b.c_custkey = ch.k
+    WHERE COALESCE(ch.op, '') <> 'D'
+    """,
+)
+def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-EXT copy-on-write MERGE: apply an I/U/D changeset to a base table.
+
+    The changeset (updates to every 10th customer, deletes of every
+    97th, inserts of new keys) is staged to parquet and read back —
+    a real CDC batch, not an in-plan construct — then applied with ONE
+    full-outer shuffle join on the key: op 'D' drops the row, 'U'/'I'
+    take the change's values, absent keys keep the base row. That is
+    exactly the copy-on-write merge lakehouse formats run per partition
+    at 100 TB; partition pruning (only partitions with changed keys
+    rewrite) is the deployment knob, the join shape is this one.
+    """
+    prepare(spark)
+    base = load(spark, sf_dir, "customer")
+    updates = base.filter(
+        (F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 97 != 0)
+    ).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("U").alias("op"),
+        "c_name",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    deletes = base.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    inserts = base.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("new_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    path = scratch(sf_dir, "sink_upsert_changes")
+    updates.unionByName(deletes).unionByName(inserts).write.mode("overwrite").parquet(
+        path
+    )
+    ch = spark.read.parquet(path)
+    return (
+        base.join(ch, base.c_custkey == ch.k, "full_outer")
+        .filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            F.coalesce(F.col("k"), F.col("c_custkey")).alias("c_custkey"),
+            F.coalesce(ch["c_name"], base["c_name"]).alias("c_name"),
+            F.coalesce(ch["c_acctbal"], base["c_acctbal"]).alias("c_acctbal"),
+            F.coalesce(ch["c_mktsegment"], base["c_mktsegment"]).alias("c_mktsegment"),
+        )
+    )
