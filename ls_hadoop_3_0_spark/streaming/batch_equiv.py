@@ -269,3 +269,45 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (pur >= clk)
         ).alias("purchased_after_click"),
     )
+
+
+@query(
+    "stream_changelog",
+    f"""
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           value AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM {EVENTS_SQL}
+    ) WHERE rn = 1
+    """,
+)
+def stream_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-EXT changelog compaction: latest event per user (keyed state).
+
+    The batch twin of a streaming materialized view: one shuffle on the
+    key, per-partition ordered pick of the newest row (event_id breaks
+    timestamp ties deterministically). The incremental version —
+    ``foreachBatch`` merging each micro-batch's per-key maximum into a
+    keyed store — is driven in tests/test_streaming.py and must land on
+    this exact table. At 100 TB state is O(|keys|), not O(stream).
+    """
+    prepare(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            fmt_ts("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )

@@ -166,3 +166,49 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     q.awaitTermination(120)
     q.stop()
     return q
+
+
+def changelog_upsert_stream(events: DataFrame, state_path: str):
+    """T-EXT incremental changelog materialization via ``foreachBatch``.
+
+    Each micro-batch reduces to its per-user newest row, then MERGES
+    into the keyed parquet store: newer (ts, event_id) wins, unseen keys
+    insert. The merged result is localCheckpointed before the overwrite
+    so the store is never read and rewritten in the same job. State is
+    O(|users|); the batch twin (``batch_equiv.stream_changelog``) must
+    produce the identical table for any arrival order / batch split —
+    asserted in tests/test_streaming.py with maxFilesPerTrigger=1.
+    Returns the DataStreamWriter (caller starts/awaits it).
+    """
+    from pyspark.sql import Window
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        try:
+            base = spark.read.parquet(state_path)
+        except Exception:
+            base = None
+        if base is not None:
+            merged = (
+                base.unionByName(latest)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        else:
+            merged = latest
+        merged.localCheckpoint().write.mode("overwrite").parquet(state_path)
+
+    return (
+        events.select("user_id", "event_id", "event_type", "ts", "value")
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+    )

@@ -248,3 +248,49 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     ).fetchone()[0]
     assert n_after_first == n_h1, "first run must process exactly the first file"
     assert got == want, "restart duplicated or dropped events"
+
+
+def test_foreachbatch_changelog_upsert_matches_batch(spark, tmp_path):
+    """T-EXT: per-micro-batch upsert into a keyed store converges to the
+    batch changelog key regardless of how the stream is batched."""
+    import os
+    import shutil
+
+    import duckdb
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    con = duckdb.connect()
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1
+    for i, pred in enumerate(
+        ["event_id % 3 = 0", "event_id % 3 = 1", "event_id % 3 = 2"]
+    ):
+        # ts must stay int64 nanos (demo.EVENTS_SCHEMA); DuckDB would
+        # otherwise rewrite TIMESTAMP(NANOS) as µs timestamps.
+        con.execute(
+            f"COPY (SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type,"
+            f" value, props FROM read_parquet('{SF_DIR}/events.parquet')"
+            f" WHERE {pred}) TO '{src}/f{i}.parquet' (FORMAT PARQUET)"
+        )
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.schema(demo.EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    state = str(tmp_path / "state")
+    q = demo.changelog_upsert_stream(raw, state).start()
+    q.awaitTermination(120)
+
+    got = {
+        r["user_id"]: (r["event_id"], str(r["ts"])[:19].replace("T", " "), r["value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r["user_id"]: (r["event_id"], r["last_ts"], r["last_value"])
+        for r in batch_equiv.stream_changelog(spark, SF_DIR).collect()
+    }
+    assert got == want
