@@ -175,7 +175,12 @@ def changelog_upsert_stream(events: DataFrame, state_path: str):
     into the keyed parquet store: newer (ts, event_id) wins, unseen keys
     insert. The merged result is localCheckpointed before the overwrite
     so the store is never read and rewritten in the same job. State is
-    O(|users|); the batch twin (``batch_equiv.stream_changelog``) must
+    O(|users|). At 100 TB the store is key-bucketed
+    (``partitionBy(pmod(hash(user_id), B))``) and each batch rewrites
+    ONLY the buckets its keys hash into (the lakehouse MERGE shape —
+    same full-outer join as ``sink_upsert``, scoped per bucket), not
+    the whole store as this single-file demo does. The batch twin
+    (``batch_equiv.stream_changelog``) must
     produce the identical table for any arrival order / batch split —
     asserted in tests/test_streaming.py with maxFilesPerTrigger=1.
     Returns the DataStreamWriter (caller starts/awaits it).
