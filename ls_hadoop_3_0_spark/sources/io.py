@@ -473,3 +473,41 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(ch["c_mktsegment"], base["c_mktsegment"]).alias("c_mktsegment"),
         )
     )
+
+
+@query(
+    "sink_compact",
+    """
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    """,
+)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6-dual small-files compaction: fragmented table → few right-sized
+    files.
+
+    The read side of the small-files problem is config
+    (``files.maxPartitionBytes`` coalesces splits); the WRITE side needs
+    an operator — a table fragmented into thousands of tiny files (here:
+    deliberately sharded ×64) is rewritten at a target file count with
+    ``repartition``, the shape of every nightly lakehouse compaction
+    job. At 100 TB the count comes from ``table_bytes / target_file_size``
+    (plus ``maxRecordsPerFile`` as the guard); compaction also re-sorts
+    within partitions when a clustering key matters. The aggregate is
+    hash-matched to the source-table oracle: compaction must be
+    byte-lossless, and the test additionally pins the file counts.
+    """
+    prepare(spark)
+    frag = scratch(sf_dir, "sink_compact_fragmented")
+    compacted = scratch(sf_dir, "sink_compact_out")
+    docs = load(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )

@@ -121,3 +121,43 @@ def test_text_sink_preserves_lines(spark):
     assert sorted(r["value"] for r in back.collect()) == sorted(
         r["text"] for r in docs.collect()
     )
+
+
+def test_compaction_reduces_file_count_losslessly(spark):
+    """sink_compact: 64 fragments -> 4 files, same rows/bytes."""
+    import glob
+
+    from ls_hadoop_3_0_spark.sources.io import scratch, sink_compact
+
+    sink_compact(spark, SF_DIR)
+    n_frag = len(glob.glob(f"{scratch(SF_DIR, 'sink_compact_fragmented')}/part-*"))
+    n_comp = len(glob.glob(f"{scratch(SF_DIR, 'sink_compact_out')}/part-*"))
+    assert n_frag == 64 and n_comp == 4, (n_frag, n_comp)
+    a = spark.read.parquet(scratch(SF_DIR, "sink_compact_fragmented"))
+    b = spark.read.parquet(scratch(SF_DIR, "sink_compact_out"))
+    assert a.count() == b.count()
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_merge_schema_reads_evolved_table(spark, tmp_path):
+    """Schema evolution: batches written before/after adding a column
+    read back as one table (new column NULL for old rows) — the
+    append-only evolution contract a long-lived 100 TB table needs."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.tables import load
+
+    p = str(tmp_path / "evolved")
+    nation = load(spark, SF_DIR, "nation")
+    nation.select("n_nationkey", "n_name").write.mode("append").parquet(p)
+    nation.select(
+        "n_nationkey", "n_name", F.lit("v2").alias("schema_ver")
+    ).write.mode("append").parquet(p)
+    back = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(back.columns) == {"n_nationkey", "n_name", "schema_ver"}
+    n = nation.count()
+    assert back.count() == 2 * n
+    assert back.filter(F.col("schema_ver").isNull()).count() == n
+    assert back.filter(F.col("schema_ver") == "v2").count() == n
