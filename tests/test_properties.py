@@ -104,3 +104,101 @@ def test_decimal_sum_invariant_under_repartitioning(spark, rows, nparts):
     one = df.coalesce(1).groupBy("k").agg(dsum).collect()
     many = df.repartition(nparts, "k").groupBy("k").agg(dsum).collect()
     assert {(r["k"], r["s"]) for r in one} == {(r["k"], r["s"]) for r in many}
+
+
+@SMALL
+@given(kv_lists)
+def test_salted_join_equals_plain_join(spark, rows):
+    """join_salted's rewrite (salt fact, replicate dim) must be
+    semantics-preserving for ANY fact multiset, including all-one-key
+    skew (the case it exists for)."""
+    if not rows:
+        return
+    fact = spark.createDataFrame(rows, "k int, v int")
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(6)], "k int, name string")
+    plain = (
+        fact.join(dim, "k").groupBy("name").agg(F.sum("v").alias("s")).collect()
+    )
+    n_salts = 4
+    salted_fact = fact.withColumn("_salt", F.pmod(F.col("v") * 7 + F.col("k"), F.lit(n_salts)))
+    rep_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    salted = (
+        salted_fact.join(rep_dim, ["k", "_salt"])
+        .groupBy("name")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    assert {(r["name"], r["s"]) for r in plain} == {(r["name"], r["s"]) for r in salted}
+
+
+@SMALL
+@given(kv_lists)
+def test_changelog_upsert_order_independent(spark, rows):
+    """Merging a changelog in ANY batch split must land on the same
+    final state as one-shot row_number compaction (stream_changelog's
+    incremental contract). (k=user, v=version; latest version wins.)"""
+    if not rows:
+        return
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k int, v int, uid int"
+    )
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("uid").desc())
+    oneshot = {
+        (r["k"], r["v"], r["uid"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+        .collect()
+    }
+    # incremental: two arbitrary halves merged sequentially
+    h1 = df.filter(F.col("uid") % 2 == 0)
+    h2 = df.filter(F.col("uid") % 2 == 1)
+    state = h1.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    state = (
+        state.unionByName(
+            h2.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    assert {(r["k"], r["v"], r["uid"]) for r in state.collect()} == oneshot
+
+
+@SMALL
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 3600)), min_size=1, max_size=30))
+def test_interval_join_band_contract(spark, rows):
+    """Every emitted (purchase, click) pair respects the 1h band; every
+    in-band pair is emitted — checked against a python reference on
+    random single-or-few-user event sets (worst-case per-user skew)."""
+    events = [
+        (i, u, "purchase" if i % 3 == 0 else "click", s) for i, (u, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(events, "eid int, u int, typ string, sec int")
+    p = df.filter(F.col("typ") == "purchase").select(
+        F.col("u").alias("pu"), F.col("eid").alias("pid"), F.col("sec").alias("psec")
+    )
+    c = df.filter(F.col("typ") == "click").select(
+        F.col("u").alias("cu"), F.col("eid").alias("cid"), F.col("sec").alias("csec")
+    )
+    got = {
+        (r["pid"], r["cid"])
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("csec") >= F.col("psec") - 3600)
+            & (F.col("csec") <= F.col("psec")),
+        ).collect()
+    }
+    want = {
+        (pi, ci)
+        for pi, pu, pt, ps in events
+        if pt == "purchase"
+        for ci, cu, ct, cs in events
+        if ct == "click" and cu == pu and ps - 3600 <= cs <= ps
+    }
+    assert got == want
