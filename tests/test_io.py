@@ -161,3 +161,45 @@ def test_merge_schema_reads_evolved_table(spark, tmp_path):
     assert back.count() == 2 * n
     assert back.filter(F.col("schema_ver").isNull()).count() == n
     assert back.filter(F.col("schema_ver") == "v2").count() == n
+
+
+def test_upsert_changeset_larger_than_base(spark):
+    """Adversarial CDC batch: a changeset 3x the base (every key updated
+    + 2 inserts per key + every 3rd deleted) must apply in one pass."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(50)], "k int, name string, bal double"
+    )
+    updates = base.select(
+        "k", F.lit("U").alias("op"), F.concat(F.lit("u"), "name").alias("name"),
+        (F.col("bal") + 1).alias("bal"),
+    )
+    inserts = base.selectExpr("k + 1000 AS k").union(
+        base.selectExpr("k + 2000 AS k")
+    ).select("k", F.lit("I").alias("op"), F.lit("new").alias("name"), F.lit(0.0).alias("bal"))
+    deletes = base.filter(F.col("k") % 3 == 0).select(
+        "k", F.lit("D").alias("op"), F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("double").alias("bal"),
+    )
+    # D beats U for the same key (deletes listed last win via anti-join)
+    ch = updates.filter(F.col("k") % 3 != 0).unionByName(inserts).unionByName(deletes)
+    merged = (
+        base.withColumnRenamed("k", "bk")
+        .withColumnRenamed("name", "bname")
+        .withColumnRenamed("bal", "bbal")
+        .join(ch, F.col("bk") == F.col("k"), "full_outer")
+        .filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            F.coalesce(F.col("k"), F.col("bk")).alias("k"),
+            F.coalesce(F.col("name"), F.col("bname")).alias("name"),
+            F.coalesce(F.col("bal"), F.col("bbal")).alias("bal"),
+        )
+    )
+    got = {(r["k"], r["name"], r["bal"]) for r in merged.collect()}
+    want = {
+        (i, f"un{i}", float(i) + 1) for i in range(50) if i % 3 != 0
+    } | {(i + 1000, "new", 0.0) for i in range(50)} | {
+        (i + 2000, "new", 0.0) for i in range(50)
+    }
+    assert got == want

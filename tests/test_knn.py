@@ -101,3 +101,41 @@ def test_lsh_ranks_are_dense_and_bounded(spark):
         ranks = sorted(rnk for rnk, _ in nbrs.values())
         assert ranks == list(range(1, len(ranks) + 1))
         assert ranks[-1] <= 10
+
+
+def test_ivf_degenerate_one_cell_still_correct(spark):
+    """Adversarial quantizer input: 90% of vectors identical ⇒ they all
+    land in ONE cell. Probing must still return exact-cosine top-k for
+    queries in that cell, and training must not corrupt centroids
+    (empty cells keep their seed)."""
+    import pandas as pd
+
+    from ls_hadoop_3_0_spark.llm.embeddings import DIM
+    from ls_hadoop_3_0_spark.llm.similarity import IVF_K, train_centroids
+
+    base = [1.0] + [0.0] * (DIM - 1)
+    other = [0.0, 1.0] + [0.0] * (DIM - 2)
+    rows = [(i, base) for i in range(90)] + [(90 + j, other) for j in range(10)]
+    e = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "u": [r[1] for r in rows]})
+    )
+    cents = train_centroids(e)
+    assert len(cents) == IVF_K
+    for row in cents:
+        assert abs(sum(x * x for x in row) - 1.0) < 1e-6  # unit (incl. seeds)
+
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.llm.similarity import _cell, _centroid_lit, _dots
+
+    assigned = (
+        e.withColumn("cents", _centroid_lit(cents))
+        .withColumn("dots", _dots())
+        .withColumn("cell", _cell())
+        .select("vec_id", "cell")
+        .collect()
+    )
+    cells = {r["vec_id"]: r["cell"] for r in assigned}
+    dup_cells = {cells[i] for i in range(90)}
+    assert len(dup_cells) == 1, "identical vectors split across cells"
+    assert all(0 <= c < IVF_K for c in cells.values())
