@@ -118,3 +118,62 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return payload_df.mapInPandas(extract, schema)
+
+
+RESIZE_STRIDE = 4  # fake "resize": keep every 4th byte (deterministic)
+
+
+def resize_payload(df: DataFrame, stride: int = RESIZE_STRIDE) -> DataFrame:
+    """X5 resize/downsample transform over binary payloads.
+
+    Real image resize (PIL/opencv) is stubbed per the task charter; the
+    deterministic stand-in keeps every ``stride``-th byte — same plumbing
+    shape (binary in → smaller binary out through one Arrow batch pass,
+    no Python row objects). Input needs columns (doc_id, payload).
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = [
+                np.frombuffer(p, dtype=np.uint8)[::stride].tobytes()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "payload_small": out,
+                }
+            )
+
+    return df.mapInPandas(resize, "doc_id long, n_bytes long, payload_small binary")
+
+
+@query(
+    "multimodal_resize",
+    f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ceil(octet_length(encode(text)) / {RESIZE_STRIDE}.0) AS BIGINT)
+               AS resized_n_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 resize: the downsampled payload's size is recomputed FROM the
+    actual mapInPandas output (not predicted), so the oracle match
+    proves the transform ran and shrank every payload to ceil(n/stride);
+    byte-level equivalence to ``payload[::stride]`` is pinned in
+    tests/test_multimodal.py.
+    """
+    prepare(spark)
+    payload_df = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return resize_payload(payload_df).select(
+        "doc_id",
+        "n_bytes",
+        F.length("payload_small").cast("long").alias("resized_n_bytes"),
+    )

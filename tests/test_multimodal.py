@@ -42,3 +42,23 @@ def test_meta_agrees_with_extract(spark):
         for r in engine.QUERIES["multimodal_extract"](spark, SF_DIR).collect()
     }
     assert meta == ext  # JVM-side metadata == Python-side feature extract
+
+
+def test_resize_matches_python_stride(spark):
+    """resize_payload == payload[::stride] byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.llm.multimodal import RESIZE_STRIDE, resize_payload
+    from ls_hadoop_3_0_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").limit(20)
+    payload_df = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    got = {
+        r["doc_id"]: bytes(r["payload_small"])
+        for r in resize_payload(payload_df).collect()
+    }
+    want = {
+        r["doc_id"]: r["text"].encode("utf-8")[::RESIZE_STRIDE]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert got == want
