@@ -45,8 +45,22 @@ _STAMPED_PRIOR = frozenset(
 
 
 def _sweep_order(keys: dict) -> list[str]:
-    """Never-driver-stamped keys first (stable within each group)."""
+    """Never-driver-stamped keys first (stable within each group).
+
+    Within the fresh group: oracle-backed keys precede rows-only keys
+    (a capped sweep should spend each early slot on a full
+    rows+schema+hash stamp, not a weaker rows-only row), and the
+    round-1 verdict's explicitly-unstamped families (llm/, streaming/,
+    functions/) come before the rest.
+    """
+
+    def prio(k: str) -> tuple[int, int]:
+        mod = getattr(engine.QUERIES[k], "__module__", "")
+        flagged = (".llm." in mod) or (".streaming." in mod) or (".functions." in mod)
+        return (k not in engine.ORACLES, not flagged)
+
     fresh = [k for k in keys if k not in _STAMPED_PRIOR]
+    fresh.sort(key=prio)  # stable within each (oracle, family) tier
     stamped = [k for k in keys if k in _STAMPED_PRIOR]
     return fresh + stamped
 
