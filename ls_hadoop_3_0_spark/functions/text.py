@@ -295,3 +295,33 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint"
         ),
     )
+
+
+@query(
+    "text_normalize",
+    r"""
+    SELECT doc_id,
+           CAST(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                AS BIGINT) AS norm_len,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_md5
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 text normalization: the canonical pre-dedup cleanup pass.
+
+    Lowercase + trim + collapse whitespace runs to single spaces — the
+    normalization every exact-dedup/fingerprint stage should share so
+    cosmetic variation doesn't defeat it (dedup_exact hashes raw text by
+    declared contract; this op is the composable pre-pass). Output is
+    the normalized text's length + md5 so the oracle certifies the
+    exact transform without shipping whole documents through the
+    comparator. Pure JVM-side expressions — one scan, no shuffle.
+    """
+    prepare(spark)
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(norm).cast("long").alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )

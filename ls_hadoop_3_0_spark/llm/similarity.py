@@ -215,7 +215,10 @@ def train_centroids(e: DataFrame, k: int = IVF_K) -> list[list[float]]:
 
 @query("knn_ivf", None)  # ANN: approximate by design → rows-only check
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 IVF-style ANN: coarse quantizer cells + nprobe cell scoring.
+    """X3 IVF-style ANN: coarse quantizer cells + nprobe cell scoring
+    (the inverted-file scheme of Sivic & Zisserman's Video Google and
+    Jégou et al.'s IVFADC — public literature; cells here score exact
+    dot products instead of PQ codes).
 
     Index side: every vector is assigned map-side to its nearest of
     IVF_K trained centroids (argmax-dot expression — no shuffle). Query
