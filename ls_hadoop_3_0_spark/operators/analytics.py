@@ -351,7 +351,10 @@ def analytics_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14-shaped: share of one month's revenue from PROMO parts.
 
     The month filter prunes the fact at the scan (PushedFilters on
-    l_shipdate); part is broadcast. Both sums ride ONE aggregation pass
+    l_shipdate). part is NOT hinted broadcast — unlike nation/region it
+    scales with SF (200k rows per SF unit: billions at 100 TB), so the
+    planner/AQE must pick broadcast-vs-shuffle from actual size (it
+    broadcasts at test scale). Both sums ride ONE aggregation pass
     (conditional numerator via CASE), and the percent division happens
     once on the two deterministic dsum doubles, rounded to 6 — the same
     evaluation order the oracle mirrors.
@@ -364,7 +367,7 @@ def analytics_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -397,10 +400,10 @@ def analytics_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     The disjunction mixes part-side (brand, size) and fact-side
     (quantity) conditions, so it can't fully push to either scan — but
     each bracket's fact-side range DOES push as
-    ``l_quantity BETWEEN 1 AND 30`` (the OR's hull), and the part dim
-    broadcasts, keeping the join map-side with the residual OR as a
-    post-join filter. The classic "predicates too entangled to prune"
-    stress query.
+    ``l_quantity BETWEEN 1 AND 30`` (the OR's hull). part is left
+    unhinted (it scales with SF — AQE broadcasts it at test scale,
+    shuffles at warehouse scale); the residual OR applies post-join.
+    The classic "predicates too entangled to prune" stress query.
     """
     prepare(spark)
     li = load(spark, sf_dir, "lineitem")
@@ -423,7 +426,7 @@ def analytics_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .filter(bracket)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
