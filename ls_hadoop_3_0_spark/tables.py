@@ -55,3 +55,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (nanos-normalized).
+
+    The switch-over path for a reference user's own SQL: after this,
+    ``spark.sql("SELECT ... FROM lineitem JOIN ...")`` works against the
+    same normalized tables every registered key reads (events included,
+    with its NANOS→µs handling applied).
+    """
+    for t, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(t)

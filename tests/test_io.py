@@ -203,3 +203,21 @@ def test_upsert_changeset_larger_than_base(spark):
         (i + 2000, "new", 0.0) for i in range(50)
     }
     assert got == want
+
+
+def test_register_views_enables_adhoc_sql(spark):
+    """register_views: a user's own SQL runs against normalized tables
+    (events gets the NANOS -> µs treatment, so ts is a real timestamp)."""
+    from ls_hadoop_3_0_spark.tables import TABLES, register_views
+
+    register_views(spark, SF_DIR)
+    for t in TABLES:
+        assert spark.sql(f"SELECT * FROM {t} LIMIT 1").count() >= 0
+    row = spark.sql(
+        "SELECT min(ts) AS lo, max(ts) AS hi FROM events"
+    ).collect()[0]
+    assert str(row["lo"]).startswith("20"), "events.ts not a normalized timestamp"
+    n = spark.sql(
+        "SELECT count(*) AS n FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    ).collect()[0]["n"]
+    assert n > 0
