@@ -17,7 +17,7 @@ state anywhere).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ls_hadoop_3_0_spark.exprs import davg, dsum, sql_davg, sql_dsum
@@ -377,4 +377,45 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_extendedprice").alias("sum_price"))
+    )
+
+
+@query(
+    "agg_mode",
+    """
+    WITH freq AS (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                     ORDER BY c DESC, l_quantity) AS rn
+        FROM freq
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_n
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5-family mode: most frequent value per key, ties to the LOWEST
+    value — native ``F.mode`` leaves tie order engine-defined, so the
+    deterministic formulation is count-then-pick (two hash aggregations
+    + a per-key window over the tiny frequency table), which both
+    engines mirror exactly.
+    """
+    prepare(spark)
+    freq = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("c").desc(), "l_quantity")
+    return (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("c").alias("mode_n"),
+        )
     )
