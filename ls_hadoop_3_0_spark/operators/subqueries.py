@@ -80,3 +80,58 @@ def cte_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-CTE pipeline (agg → window → join) in one SQL statement —
     the JobControl DAG the reference runs as 3 jobs, as one lazy plan."""
     return _run_sql(spark, sf_dir, CTE_SQL, ["orders", "customer"])
+
+
+SUBQUERY_EXISTS_SQL = """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45.0
+    )
+    GROUP BY o.o_orderpriority
+"""
+
+SUBQUERY_NOT_EXISTS_SQL = """
+    SELECT o.o_orderstatus, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08
+    )
+    GROUP BY o.o_orderstatus
+"""
+
+SUBQUERY_SCALAR_UNCORRELATED_SQL = """
+    SELECT l_returnflag, COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_extendedprice > (
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM lineitem
+    )
+    GROUP BY l_returnflag
+"""
+
+
+@query("subquery_exists", SUBQUERY_EXISTS_SQL)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped correlated EXISTS → left-semi join after decorrelation
+    (orders with any high-quantity line, counted by priority)."""
+    return _run_sql(spark, sf_dir, SUBQUERY_EXISTS_SQL, ["orders", "lineitem"])
+
+
+@query("subquery_not_exists", SUBQUERY_NOT_EXISTS_SQL)
+def subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS → left-anti join after decorrelation."""
+    return _run_sql(spark, sf_dir, SUBQUERY_NOT_EXISTS_SQL, ["orders", "lineitem"])
+
+
+@query("subquery_scalar_uncorrelated", SUBQUERY_SCALAR_UNCORRELATED_SQL)
+def subquery_scalar_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-idiom uncorrelated scalar subquery: one global aggregate
+    computed once (subquery broadcast as a literal at runtime), then a
+    full-scan filter against it — no join at all in the final plan."""
+    return _run_sql(
+        spark, sf_dir, SUBQUERY_SCALAR_UNCORRELATED_SQL, ["lineitem"]
+    )
