@@ -114,3 +114,29 @@ def test_global_sort_uses_range_partitioning(spark):
 
     df = load(spark, SF_DIR, "orders").orderBy(F.col("o_totalprice"))
     assert "rangepartitioning" in checks.formatted_plan(df).lower()
+
+
+def test_exists_subqueries_decorrelate_to_semi_and_anti(spark):
+    """EXISTS/NOT EXISTS must plan as (Broadcast/SortMerge) semi/anti
+    joins — Catalyst decorrelation, never a per-row subquery probe."""
+    from ls_hadoop_3_0_spark.operators.subqueries import (
+        subquery_exists,
+        subquery_not_exists,
+    )
+
+    p_exists = checks.executed_plan(subquery_exists(spark, SF_DIR))
+    assert "LeftSemi" in p_exists, p_exists
+    p_not = checks.executed_plan(subquery_not_exists(spark, SF_DIR))
+    assert "LeftAnti" in p_not, p_not
+
+
+def test_uncorrelated_scalar_subquery_is_not_a_join(spark):
+    """The global-aggregate filter must execute the subquery once
+    (Subquery/ReusedSubquery scalar) — no join of fact against fact."""
+    from ls_hadoop_3_0_spark.operators.subqueries import (
+        subquery_scalar_uncorrelated,
+    )
+
+    p = checks.executed_plan(subquery_scalar_uncorrelated(spark, SF_DIR))
+    assert "Subquery" in p or "scalar-subquery" in p, p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
