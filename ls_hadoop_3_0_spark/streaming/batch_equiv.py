@@ -311,3 +311,51 @@ def stream_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@query(
+    "stream_top_users",
+    f"""
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win, user_id,
+               {sql_dsum('value')} AS sum_value, COUNT(*) AS n_events
+        FROM {EVENTS_SQL} e GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY win
+                                     ORDER BY sum_value DESC, user_id) AS rn
+        FROM agg
+    )
+    SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start,
+           user_id, sum_value, n_events
+    FROM r WHERE rn <= 3
+    """,
+)
+def stream_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-EXT windowed leaderboard: top-3 users by value per event-hour.
+
+    Composite of the windowed-aggregation and top-n-per-group shapes:
+    one shuffle for the (window, user) aggregate (map-side partial), one
+    for the per-window rank — both keyed, both bounded. The ordering
+    column is a deterministic dsum double with user_id as tie-break, so
+    the leaderboard is stable across engines and partitionings. In
+    Structured Streaming this materializes per closed window
+    (watermark + append), same plan.
+    """
+    prepare(spark)
+    ev = load(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
+        .agg(dsum("value").alias("sum_value"), F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("win").orderBy(F.col("sum_value").desc(), "user_id")
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            fmt_ts(F.col("win.start")).alias("win_start"),
+            "user_id",
+            "sum_value",
+            "n_events",
+        )
+    )
