@@ -334,6 +334,225 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "analytics_priority_lines",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def analytics_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped: urgent-vs-other order counts per return flag.
+
+    (TPC-H Q12 splits by l_shipmode; the fixture has no shipmode column,
+    so returnflag plays the grouping role — the plan shape is identical.)
+    The year filter pushes to the lineitem scan; both conditional counts
+    ride ONE aggregation pass as CASE sums — the MR idiom would be two
+    jobs or a custom combiner (SURVEY §2.4 A6).
+    """
+    prepare(spark)
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@query(
+    "analytics_order_distribution",
+    """
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY n_orders
+    """,
+)
+def analytics_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped: distribution of orders-per-customer (custdist).
+
+    Two chained aggregations over a LEFT OUTER join — zero-order
+    customers must survive as n_orders=0 (COUNT of the null-extended
+    side counts non-null keys only). The second groupBy keys on the
+    first's output: AQE reuses the small intermediate without a wide
+    shuffle at any scale.
+    """
+    prepare(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "analytics_small_qty",
+    f"""
+    SELECT ROUND({sql_dsum('l.l_extendedprice')} / 7.0, 6) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < (
+          SELECT 0.5 * ((CAST(SUM(CAST(round(l2.l_quantity * 1000000) AS BIGINT))
+                              AS DOUBLE) / 1000000.0) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def analytics_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped: revenue lost to small-quantity orders of one brand.
+
+    The correlated AVG subquery decorrelates into a per-part aggregate
+    joined back to the fact (exactly what Catalyst's
+    RewriteCorrelatedScalarSubquery does to the oracle's form). Scale
+    design: the per-part average is only needed for the brand's parts,
+    so the fact is semi-join-pruned by the broadcast part dim BEFORE
+    the aggregate — at 100 TB that's the difference between averaging
+    every part and averaging 1/25 of them. The average composes from
+    the exact scaled-long sum (exprs.dsum) so the `<` threshold
+    comparison is bit-identical in both engines.
+    """
+    prepare(spark)
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    li = load(spark, sf_dir, "lineitem")
+    brand_keys = F.broadcast(p.select("p_partkey"))
+    brand_li = li.join(brand_keys, li.l_partkey == F.col("p_partkey"), "left_semi")
+    avg_qty = brand_li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(avg_qty), brand_li.l_partkey == F.col("a_partkey")
+        )
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(dsum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "analytics_large_orders",
+    f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           o.o_totalprice,
+           t.sum_qty
+    FROM (
+        SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {sql_dsum('l_quantity')} > 150.0
+    ) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def analytics_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped: top-20 largest orders by total quantity (HAVING).
+
+    The HAVING aggregate shrinks the fact to a handful of hot orders
+    BEFORE any join — the surviving set is tiny at every scale, so both
+    dimension joins broadcast it. Final top-20 is TakeOrderedAndProject.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150.0)
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "analytics_idle_customers",
+    f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           {sql_dsum('c.c_acctbal')} AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT CAST(SUM(CAST(round(c2.c_acctbal * 1000000) AS BIGINT))
+                        AS DOUBLE) / 1000000.0 / COUNT(*)
+            FROM customer c2 WHERE c2.c_acctbal > 0.0
+          )
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def analytics_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped: well-funded customers gone idle, by segment.
+
+    Anti join (no orders since 2000 — every fixture customer has SOME
+    order, so the date predicate is what makes the key non-trivial) +
+    uncorrelated scalar average (computed once, broadcast as a 1-row
+    dim — never a shuffle). The average composes from the exact
+    scaled-long sum so the `>` threshold can't flip on aggregation
+    order. (TPC-H Q22 groups by phone country code; the fixture has no
+    phone column, so mktsegment plays that role.)
+    """
+    prepare(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((dsum("c_acctbal") / F.count(F.lit(1))).alias("_threshold"))
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left_anti")
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_threshold"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@query(
     "analytics_promo_revenue",
     f"""
     SELECT ROUND(100.0

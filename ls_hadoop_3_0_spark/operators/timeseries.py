@@ -1,0 +1,176 @@
+"""Time-series operators over the ``events`` stream table — SURVEY.md §2.9 EXT.
+
+The reference has no time-series surface at all (Hadoop MR is batch-only,
+SURVEY §1.1); these keys supply the hypertable-style operations a
+time-series user of the engine needs, on top of the same event-time
+semantics as the §2.9 streaming keys:
+
+- ``timeseries_resample`` — regularize an irregular event stream onto a
+  fixed 1-hour grid per series (event_type), emitting explicit gap rows
+  and forward-filling the last observed value across gaps (the
+  ``LOCF`` / TimescaleDB ``time_bucket_gapfill + locf`` operation).
+- ``timeseries_rollup``  — multi-resolution continuous-aggregate parity:
+  hour and day grains of the same measure in ONE pass via GROUPING SETS
+  (a hypertable rollup ladder without re-scanning the fact per grain).
+
+Scale notes: the spine (bucket grid) grows with the TIME SPAN, not the
+data volume — cross-joining it with the ≤5-row series dim is a broadcast
+of metadata-scale rows, never a fact shuffle. The forward-fill window
+partitions by series (bounded state per series, exactly the streaming
+watermark state shape); the islands trick (running count of non-nulls)
+keeps it a single window pass with no self-join. All value sums ride the
+exact scaled-long accumulation (exprs.dsum) so the filled values are
+bit-identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ls_hadoop_3_0_spark.exprs import dsum, fmt_ts, sql_dsum
+from ls_hadoop_3_0_spark.registry import query
+from ls_hadoop_3_0_spark.session import prepare
+from ls_hadoop_3_0_spark.tables import EVENTS_SQL, load
+
+
+@query(
+    "timeseries_resample",
+    f"""
+    WITH e AS (SELECT * FROM {EVENTS_SQL}),
+    hourly AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+               COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+        FROM e GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, MIN(ts)) AS lo,
+               time_bucket(INTERVAL 1 HOUR, MAX(ts)) AS hi
+        FROM e
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds
+    ),
+    grid AS (
+        SELECT s.bucket, t.event_type
+        FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+    ),
+    joined AS (
+        SELECT g.bucket, g.event_type, h.n, h.sum_value
+        FROM grid g LEFT JOIN hourly h
+          ON h.bucket = g.bucket AND h.event_type = g.event_type
+    ),
+    islands AS (
+        SELECT *,
+               COUNT(sum_value) OVER (PARTITION BY event_type ORDER BY bucket
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+        FROM joined
+    )
+    SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           MAX(sum_value) OVER (PARTITION BY event_type, grp) AS filled_value,
+           (n IS NULL) AS is_gap
+    FROM islands
+    """,
+)
+def timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + LOCF resample of events onto a 1-hour grid per series.
+
+    Plan shape: one aggregation of the fact (hourly), one metadata-scale
+    spine (sequence over the [min,max] hour bounds — a 1-row aggregate
+    exploded, never a collect), a broadcast grid join, and ONE window
+    pass for the forward fill. The islands trick (running COUNT of
+    non-null observations = island id, then MAX within island — the
+    island's only non-null is its first row) is portable SQL, identical
+    in both engines, and avoids ``last_value IGNORE NULLS`` dialect
+    drift.
+    """
+    prepare(spark)
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    joined = grid.join(F.broadcast(hourly), ["bucket", "event_type"], "left")
+    run = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_grp = joined.withColumn("grp", F.count("sum_value").over(run))
+    island = Window.partitionBy("event_type", "grp")
+    return with_grp.select(
+        fmt_ts("bucket").alias("win_start"),
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.max("sum_value").over(island).alias("filled_value"),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "timeseries_rollup",
+    f"""
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S')
+               AS day_bucket,
+           strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+               AS hour_bucket,
+           CASE WHEN time_bucket(INTERVAL 1 HOUR, ts) IS NULL
+                THEN 'day' ELSE 'hour' END AS grain,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM {EVENTS_SQL} e
+    GROUP BY GROUPING SETS (
+        (event_type, time_bucket(INTERVAL 1 DAY, ts)),
+        (event_type, time_bucket(INTERVAL 1 DAY, ts),
+         time_bucket(INTERVAL 1 HOUR, ts))
+    )
+    """,
+)
+def timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup: hour + day in one pass.
+
+    GROUPING SETS computes both resolutions from a single scan with
+    partial aggregation before the shuffle (Expand feeds one
+    HashAggregate) — the continuous-aggregate ladder without one job
+    per grain (the MR user runs N jobs; a naive SQL user runs N scans).
+    The hour grain's rows carry their day bucket too, so a reader can
+    roll hour→day without re-scanning. ``ts`` is never NULL in the
+    fixture, so ``hour_bucket IS NULL`` marks the day-grain rows
+    unambiguously.
+    """
+    prepare(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("_ts_events")
+    from ls_hadoop_3_0_spark.exprs import SCALE
+
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               date_format(date_trunc('DAY', ts), 'yyyy-MM-dd HH:mm:ss')
+                   AS day_bucket,
+               date_format(date_trunc('HOUR', ts), 'yyyy-MM-dd HH:mm:ss')
+                   AS hour_bucket,
+               CASE WHEN date_trunc('HOUR', ts) IS NULL
+                    THEN 'day' ELSE 'hour' END AS grain,
+               COUNT(*) AS n_events,
+               SUM(CAST(round(value * {SCALE}) AS LONG)) / CAST({SCALE} AS DOUBLE)
+                   AS sum_value
+        FROM _ts_events
+        GROUP BY GROUPING SETS (
+            (event_type, date_trunc('DAY', ts)),
+            (event_type, date_trunc('DAY', ts), date_trunc('HOUR', ts))
+        )
+        """
+    )

@@ -130,6 +130,35 @@ def test_exists_subqueries_decorrelate_to_semi_and_anti(spark):
     assert "LeftAnti" in p_not, p_not
 
 
+def test_large_orders_top20_is_take_ordered(spark):
+    """Q18 shape: the final top-20 must be per-partition heaps
+    (TakeOrderedAndProject), never a global sort of the joined set."""
+    from ls_hadoop_3_0_spark.operators.analytics import analytics_large_orders
+
+    df = analytics_large_orders(spark, SF_DIR)
+    assert checks.is_take_ordered(df), checks.formatted_plan(df)
+
+
+def test_small_qty_avg_joins_broadcast(spark):
+    """Q17 shape: the per-part average (brand-pruned, tiny) and the part
+    dim must both broadcast — the fact shuffles zero times for joins."""
+    from ls_hadoop_3_0_spark.operators.analytics import analytics_small_qty
+
+    df = analytics_small_qty(spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert checks.has_broadcast_hash_join(df), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_idle_customers_plans_anti_join(spark):
+    """Q22 shape: NOT-since-cutoff must be a LeftAnti join; the scalar
+    average must ride a broadcast (1-row), not a shuffle."""
+    from ls_hadoop_3_0_spark.operators.analytics import analytics_idle_customers
+
+    plan = checks.formatted_plan(analytics_idle_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+
+
 def test_uncorrelated_scalar_subquery_is_not_a_join(spark):
     """The global-aggregate filter must execute the subquery once
     (Subquery/ReusedSubquery scalar) — no join of fact against fact."""
