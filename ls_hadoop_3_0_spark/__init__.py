@@ -36,13 +36,20 @@ from ls_hadoop_3_0_spark.operators import (  # noqa: F401
     setops,
     sort,
     subqueries,
+    timeseries,
     udf,
     windows,
 )
 from ls_hadoop_3_0_spark.sources import io  # noqa: F401
 from ls_hadoop_3_0_spark.functions import scalars, text  # noqa: F401
 from ls_hadoop_3_0_spark.streaming import batch_equiv  # noqa: F401
-from ls_hadoop_3_0_spark.llm import dedup, multimodal, pipeline, similarity  # noqa: F401
+from ls_hadoop_3_0_spark.llm import (  # noqa: F401
+    dedup,
+    embeddings,
+    multimodal,
+    pipeline,
+    similarity,
+)
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

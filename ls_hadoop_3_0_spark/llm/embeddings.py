@@ -147,3 +147,82 @@ def probe_signatures_sql(bucket_expr: str = "bucket", n_planes: int = N_PLANES) 
         f" (CASE WHEN substring({bucket_expr}, i, 1) = '1' THEN '0' ELSE '1' END)"
         f" || substring({bucket_expr}, i + 1)), {bucket_expr})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered keys (embedding storage transforms)
+
+from ls_hadoop_3_0_spark.registry import query  # noqa: E402
+
+
+@query(
+    "embedding_quantize",
+    """
+    WITH s AS (
+        SELECT vec_id, label, embedding,
+               127.0 / greatest(list_max(list_transform(embedding,
+                                    x -> abs(CAST(x AS DOUBLE)))), 1e-30)
+                   AS scale
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id, label, scale,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qv
+        FROM s
+    )
+    SELECT vec_id, label,
+           round(scale, 6) AS scale_r,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           list_min(qv) AS q_min,
+           list_max(qv) AS q_max,
+           CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT)
+               AS n_saturated
+    FROM q
+    """,
+)
+def embedding_quantize(spark, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (max-abs scaling).
+
+    The storage transform every 100 TB embedding corpus applies before
+    ANN serving: 4× smaller vectors, dot products on integers. Pure
+    map-side higher-order functions — zero shuffle, zero Python. The
+    per-vector scale is 127/max|x| (the ``1e-30`` floor guards a
+    hypothetical all-zero vector identically in both engines); outputs
+    summarize the quantized vector with EXACT integer stats (sum, min,
+    max, saturation count) — array columns themselves never cross the
+    oracle comparator (registry.py rules).
+    """
+    from ls_hadoop_3_0_spark.session import prepare
+    from ls_hadoop_3_0_spark.tables import load
+
+    prepare(spark)
+    e = load(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(
+            "127.0 / greatest(array_max(transform(embedding,"
+            " x -> abs(cast(x as double)))), 1e-30d)"
+        ).alias("scale"),
+    )
+    q = s.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * scale)"
+            " as int))"
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale_r"),
+        F.expr("aggregate(qv, 0L, (acc, v) -> acc + v)").alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.expr("cast(size(filter(qv, v -> abs(v) = 127)) as long)").alias(
+            "n_saturated"
+        ),
+    )

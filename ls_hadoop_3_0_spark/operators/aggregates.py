@@ -419,3 +419,42 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("mode_n"),
         )
     )
+
+
+@query(
+    "agg_heavy_hitters",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING CAST(COUNT(*) AS DOUBLE) > 1.5 * (
+        SELECT CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT o_custkey)
+        FROM orders
+    )
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-family exact heavy hitters: keys with >1.5× the mean frequency.
+
+    The curation-pipeline primitive for hot-key discovery (stop-grams,
+    spam users, skewed join keys — the same keys dedup_ngram's DF cap
+    drops). Plan: ONE aggregation of the fact (partial→final), a 1-row
+    global stats aggregate broadcast as a scalar threshold, and a filter
+    over the (small) per-key counts — never a second fact scan for the
+    threshold. The threshold is exact-integer division on both engines,
+    so the `>` cut cannot flip on aggregation order.
+    """
+    prepare(spark)
+    o = load(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    stats = o.agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.count_distinct(F.col("o_custkey"))
+        ).alias("_mean_freq")
+    )
+    return (
+        per_key.join(F.broadcast(stats))
+        .filter(F.col("n_orders").cast("double") > 1.5 * F.col("_mean_freq"))
+        .select("o_custkey", "n_orders")
+    )
