@@ -658,6 +658,10 @@ def _connected_components_impl(
     the round budget without converging RAISES (silently returning
     partial labels would emit wrong cluster_ids downstream).
     """
+    # One lazy checkpoint on the pair stream: edges AND nodes below each
+    # trigger an action, and without this the whole upstream candidate
+    # pipeline (minhash bands + verify join) would materialize twice.
+    pairs = pairs.localCheckpoint(eager=False)
     edges = (
         pairs.select(
             F.greatest("doc_a", "doc_b").alias("hi"),
@@ -680,17 +684,31 @@ def _connected_components_impl(
         # 2·log2(n) + cushion: the paper's bound is O(log² n) worst-case
         # but O(log n) in practice; the raise below catches pathologies.
         max_rounds = 2 * n.bit_length() + 6
-    n_edges = edges.count()
     rounds = 0
     converged = False
     for rounds in range(1, max_rounds + 1):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
-        n_new = new_edges.count()
-        if n_new == n_edges and new_edges.subtract(edges).limit(1).count() == 0:
-            converged = True
-            edges = new_edges
-            break
-        edges, n_edges = new_edges, n_new
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # Fixpoint = star forest (the algorithm's unique stable state):
+        # (a) every non-root points to exactly one root, and (b) no node
+        # is both a child and a root (two-level, no chains). Testing the
+        # invariant directly on the (tiny, AQE-coalesced) edge set costs
+        # two metadata-scale probes — strictly cheaper than the
+        # recompute-a-round-and-subtract test, which always burns one
+        # full extra star round just to observe "nothing changed".
+        multi_root = (
+            edges.groupBy("hi")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .count()
+        )
+        if multi_root == 0:
+            chained = (
+                edges.select("hi").intersect(edges.select("lo")).limit(1).count()
+            )
+            if chained == 0:
+                converged = True
+                break
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds; "
