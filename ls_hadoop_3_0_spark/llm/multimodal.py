@@ -177,3 +177,81 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.length("payload_small").cast("long").alias("resized_n_bytes"),
     )
+
+
+N_SAMPLE_FRAMES = 4  # target number of frames kept per payload
+
+
+@query(
+    "multimodal_framesample",
+    f"""
+    WITH p AS (SELECT doc_id, hex(encode(text)) AS hex_payload FROM documents),
+    f AS (
+        SELECT doc_id, hex_payload,
+               CAST(ceil((length(hex_payload) / 2) / {FRAME_BYTES}.0) AS BIGINT)
+                   AS n_frames
+        FROM p
+    ),
+    idx AS (
+        SELECT doc_id, hex_payload, n_frames,
+               unnest(generate_series(0, n_frames - 1,
+                   greatest(1, CAST(ceil(n_frames / {N_SAMPLE_FRAMES}.0)
+                                    AS BIGINT)))) AS frame_idx
+        FROM f
+    )
+    SELECT doc_id, frame_idx, n_frames,
+           md5(upper(substring(hex_payload,
+                               CAST(frame_idx * {FRAME_BYTES} * 2 + 1 AS BIGINT),
+                               {FRAME_BYTES} * 2))) AS frame_md5
+    FROM idx
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 frame sampling: keep ≤{N} evenly-strided frames per payload.
+
+    The video-curation primitive (sample K frames per clip for feature
+    extraction) on the byte level: payload → fixed-size frames → every
+    ceil(n/{N})-th frame, 1→K rows per input through ONE Arrow
+    ``mapInPandas`` pass — bytes never become Python row objects, and
+    the fan-out happens executor-side (no driver explode). The oracle
+    recomputes the identical frames with blob substring + md5 in SQL,
+    so the hash match proves the sampled byte windows are exact, not
+    just counted.
+    """
+    prepare(spark)
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, totals, frames = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"].values, pdf["payload"]):
+                n_frames = (len(p) + FRAME_BYTES - 1) // FRAME_BYTES
+                step = max(1, -(-n_frames // N_SAMPLE_FRAMES))
+                for i in range(0, n_frames, step):
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    totals.append(n_frames)
+                    frames.append(p[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_frames": pd.Series(totals, dtype="int64"),
+                    "frame": pd.Series(frames, dtype=object),
+                }
+            )
+
+    payload_df = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    sampled = payload_df.mapInPandas(
+        sample_frames, "doc_id long, frame_idx long, n_frames long, frame binary"
+    )
+    return sampled.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        # md5 over the UPPER-hex rendering of the frame bytes: DuckDB
+        # can't substring a BLOB, so the oracle frames on the hex string
+        # — same bytes, case-normalized on both sides.
+        F.md5(F.upper(F.hex("frame"))).alias("frame_md5"),
+    )
