@@ -22,8 +22,10 @@ from ls_hadoop_3_0_spark.exprs import dsum
 from ls_hadoop_3_0_spark.session import prepare
 from ls_hadoop_3_0_spark.tables import load
 
-#: ts is int64 NANOS in the fixture (read long, truncate to µs — same as
-#: tables.load's batch path).
+#: Schema for tests that synthesize their own int64-NANOS event files
+#: (the watermark/changelog tests write raw nanos and truncate to µs
+#: themselves). The real fixture reader below does NOT assume this —
+#: current driver fixtures store ts as TIMESTAMP(µs) (FIXTURES.md).
 EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
@@ -35,10 +37,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The file source wants a *directory* (new files appearing = new
     micro-batches); the single fixture file is staged into a scratch dir.
+
+    The stream schema is taken from a batch read of the staged file — the
+    same arrival types ``tables.load`` sees — and ``ts`` is normalized
+    exactly like the batch path: converted from int64 nanos only when it
+    actually arrives as long (under ``nanosAsLong`` with a NANOS fixture),
+    passed through untouched when the fixture already stores µs
+    timestamps. Hardcoding either unit breaks when the driver regenerates
+    fixtures with the other one.
     """
     prepare(spark)
     import os
     import shutil
+
+    from pyspark.sql import types as T
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     stage = f"/root/repo/.scratch/{tag}/stream_events_src"
@@ -46,8 +58,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = f"{stage}/events.parquet"
     if not os.path.exists(dst):
         shutil.copyfile(f"{sf_dir}/events.parquet", dst)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    arrival = spark.read.parquet(stage).schema
+    raw = spark.readStream.schema(arrival).format("parquet").load(stage)
+    if isinstance(arrival["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(arrival["ts"].dataType, T.TimestampNTZType):
+        # Watermarks require TIMESTAMP (LTZ); the fixture is tz-naive.
+        # Under the pinned UTC session timezone this cast is value-identity.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts_stream(events: DataFrame) -> DataFrame:
