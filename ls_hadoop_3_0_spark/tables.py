@@ -25,9 +25,12 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-#: DuckDB-side FROM-clause replacement for ``events``: truncates the
-#: nanosecond fixture timestamps to microseconds exactly as the Spark
-#: side does (int64 floor-division), so event-time semantics align.
+#: DuckDB-side FROM-clause replacement for ``events``. The fixture's ts
+#: unit DRIFTS across driver regenerations (TIMESTAMP(NANOS) in r1-r2,
+#: timestamp[us] since r3 — FIXTURES.md); ``epoch_ns`` is unit-agnostic
+#: in DuckDB, and the ``// 1000`` floor-division truncates to µs exactly
+#: as the Spark side does when nanos actually arrive, so both engines
+#: agree whichever unit the driver ships next.
 EVENTS_SQL = (
     "(SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,"
     " user_id, event_type, value, props FROM events)"
@@ -42,11 +45,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F  # local import, cheap
         from pyspark.sql import types as T
 
-        # The driver fixture carries TIMESTAMP(NANOS): with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as int64 —
-        # truncate (not round) to µs; `div` is integer division, safe at
-        # 1.7e18-scale nanos where double math is not. Events data with
-        # ordinary µs timestamps (e.g. our own re-written sinks) passes
+        # Arrival-type detection — never hardcode the fixture's ts unit
+        # (it drifts across driver regenerations: NANOS in r1-r2,
+        # timestamp[us] since r3). A TIMESTAMP(NANOS) fixture arrives as
+        # int64 under spark.sql.legacy.parquet.nanosAsLong — truncate
+        # (not round) to µs; `div` is integer division, safe at
+        # 1.7e18-scale nanos where double math is not. µs fixtures (and
+        # our own re-written sinks) arrive as timestamps and pass
         # through untouched.
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

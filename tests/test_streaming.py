@@ -250,6 +250,91 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     assert got == want, "restart duplicated or dropped events"
 
 
+def test_unit_drift_nanos_and_micros_fixtures_agree(spark, tmp_path):
+    """Fixture ts-unit drift guard: BOTH arrival units, SAME answers.
+
+    The driver's events fixture has shipped int64/TIMESTAMP(NANOS) (r1-r2)
+    and timestamp[us] (r3+). ``tables.load`` and ``read_events_stream``
+    branch on arrival type; this test stages the same events through a
+    synthesized int64-nanos file AND a timestamp[us] file and asserts
+    identical normalized output from both the batch and streaming readers
+    — so both branches stay covered regardless of which unit the driver
+    ships next.
+    """
+    import duckdb
+
+    from ls_hadoop_3_0_spark import tables
+
+    con = duckdb.connect()
+    dirs = {}
+    for unit, expr in (
+        ("nanos", "epoch_ns(ts)"),  # int64 column → LongType arrival
+        ("micros", "make_timestamp(epoch_ns(ts) // 1000)"),  # timestamp[us]
+    ):
+        d = tmp_path / f"drift_{unit}"
+        d.mkdir()
+        con.execute(
+            f"COPY (SELECT event_id, {expr} AS ts, user_id, event_type,"
+            f" value, props FROM read_parquet('{SF_DIR}/events.parquet'))"
+            f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+        dirs[unit] = str(d)
+
+    fmt = lambda v: str(v)[:19].replace("T", " ")  # noqa: E731
+    batch = {
+        unit: sorted(
+            (r["event_id"], fmt(r["ts"]))
+            for r in tables.load(spark, d, "events").select("event_id", "ts").collect()
+        )
+        for unit, d in dirs.items()
+    }
+    assert batch["nanos"] and batch["nanos"] == batch["micros"]
+
+    stream = {}
+    for unit, d in dirs.items():
+        agg = demo.tumbling_counts_stream(demo.read_events_stream(spark, d))
+        demo.run_to_memory(agg, f"drift_out_{unit}", output_mode="complete")
+        stream[unit] = sorted(
+            (fmt(r["win_start"]), r["event_type"], r["n_events"],
+             round(r["sum_value"], 6))
+            for r in spark.table(f"drift_out_{unit}").collect()
+        )
+    assert stream["nanos"] and stream["nanos"] == stream["micros"]
+
+
+def test_stream_stage_recopies_when_fixture_changes(spark, tmp_path):
+    """A regenerated fixture must invalidate the staged stream copy.
+
+    Stage once, then swap the source fixture for a differently-sized one;
+    read_events_stream must re-copy (size/mtime check) so the stream never
+    silently reads stale data while batch twins read the fresh fixture.
+    """
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    d = tmp_path / "restage_sf"
+    d.mkdir()
+
+    def write_fixture(limit):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+            f" LIMIT {limit}) TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+
+    write_fixture(10)
+    demo.read_events_stream(spark, str(d))
+    staged = "/root/repo/.scratch/restage_sf/stream_events_src/events.parquet"
+    assert os.path.getsize(staged) == os.path.getsize(f"{d}/events.parquet")
+
+    write_fixture(25)  # driver regeneration: different size + mtime
+    stream = demo.read_events_stream(spark, str(d))
+    assert os.path.getsize(staged) == os.path.getsize(f"{d}/events.parquet")
+    demo.run_to_memory(stream.groupBy().count(), "restage_out")
+    assert spark.table("restage_out").collect()[0][0] == 25
+
+
 def test_foreachbatch_changelog_upsert_matches_batch(spark, tmp_path):
     """T-EXT: per-micro-batch upsert into a keyed store converges to the
     batch changelog key regardless of how the stream is batched."""
