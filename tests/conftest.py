@@ -17,6 +17,14 @@ from ls_hadoop_3_0_spark.tables import TABLES
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "streaming: genuine readStream micro-batch runs (the verify recipe's "
+        "streaming leg: python -m pytest -m streaming)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("ls_hadoop_tests")

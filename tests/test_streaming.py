@@ -14,6 +14,12 @@ from ls_hadoop_3_0_spark.streaming import batch_equiv, demo
 
 from .conftest import SF_DIR
 
+#: Verify-recipe streaming leg — every test here drives at least one real
+#: micro-batch through readStream against the current fixtures, so
+#: ``pytest -m streaming`` is the gate that keeps the readStream path
+#: from silently rotting when fixtures change (it did between r2 and r3).
+pytestmark = pytest.mark.streaming
+
 
 @pytest.fixture(scope="module")
 def events_stream(spark):
