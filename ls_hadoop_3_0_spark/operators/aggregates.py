@@ -202,6 +202,44 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentile_exact",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 oracle-backed twin of ``agg_approx_quantile``.
+
+    The identical quartile surface (p25/p50/p75 of l_extendedprice per
+    return flag) computed EXACTLY — Spark ``percentile`` vs DuckDB
+    ``quantile_cont``, both continuous-interpolation, rounded to 6
+    decimals per the registry's composed-double rule — so the quantile
+    family gets a full rows+schema+hash correctness row while the
+    GK-sketch key stays rows-only. At 100 TB the sketch is the default
+    (one pass, constant memory per key, associative merge); exact
+    percentile shuffles the full per-key value multiset and is the
+    verification rung.
+    """
+    prepare(spark)
+    qs = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(qs.alias("qs"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("qs")[0], 6).alias("p25"),
+            F.round(F.col("qs")[1], 6).alias("p50"),
+            F.round(F.col("qs")[2], 6).alias("p75"),
+        )
+    )
+
+
+@query(
     "agg_histogram",
     """
     WITH freq AS (

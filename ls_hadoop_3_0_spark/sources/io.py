@@ -370,6 +370,29 @@ def sink_sorted_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_indexed_lookup",
+    """
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    WHERE p_partkey = 17
+    """,
+)
+def sink_indexed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 read half as its own driver key: single-key pruned lookup.
+
+    ``sink_sorted_indexed`` certifies the write+read roundtrip on a
+    two-key IN; this key certifies the MapFile *index* access path in
+    isolation — one equality key against the bucketed+sorted table,
+    which the planner must serve from exactly 1 of 8 buckets
+    (``SelectedBucketsCount: 1 out of 8``, asserted in
+    tests/test_plans.py::test_indexed_lookup_key_scans_one_bucket).
+    At 100 TB this is the difference between touching ~1/B of the data
+    per point lookup and a full scan.
+    """
+    tbl = sorted_indexed_table(spark, sf_dir)
+    return sorted_indexed_lookup(spark, tbl, 17)
+
+
+@query(
     "sink_partitioned",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

@@ -57,6 +57,15 @@ def test_sorted_indexed_sink_prunes_to_one_bucket(spark):
     assert "SelectedBucketsCount: 1 out of 8" in plan, plan
 
 
+def test_indexed_lookup_key_scans_one_bucket(spark):
+    """The registered sink_indexed_lookup key itself must plan the pruned
+    single-bucket scan — not just the helper it wraps."""
+    from ls_hadoop_3_0_spark.sources.io import sink_indexed_lookup
+
+    plan = checks.formatted_plan(sink_indexed_lookup(spark, SF_DIR))
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
 def test_skewed_join_triggers_aqe_skew_split(spark):
     """A 95%-one-key fact-fact join must get AQE's skew-split at runtime.
 
