@@ -180,6 +180,54 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """T6 twin on the Spark 4.x-preferred API: ``transformWithStateInPandas``.
+
+    Same per-user running (count, value-sum) state as
+    ``stateful_user_totals_stream``, expressed as a ``StatefulProcessor``
+    — the API that adds typed state (value/list/map), timers, and state
+    schema evolution over ``applyInPandasWithState``'s single tuple.
+    Requires the RocksDB state store provider (set here, runtime-settable)
+    and — at RUNTIME only — the ``protobuf`` package, which this container
+    does not ship; plan construction and analysis need neither, and the
+    executable path is covered by tests/test_streaming.py whenever
+    ``google.protobuf`` is importable (importorskip otherwise).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, v DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, v = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._totals.update((n, v))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [v]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DataFrame to completion into a memory sink.
 

@@ -185,6 +185,52 @@ def test_stateful_totals_match_batch_aggregation(spark, events_stream):
     assert got == want
 
 
+def test_transform_with_state_plan_builds(spark, events_stream):
+    """T6 twin (transformWithStateInPandas): the Spark 4.x stateful API
+    must analyze into a TransformWithStateInPySpark operator.
+
+    Plan construction/analysis needs neither RocksDB nor protobuf, so
+    this assert always runs; the executable micro-batch leg below skips
+    when the container lacks protobuf.
+    """
+    out = demo.stateful_user_totals_tws(events_stream)
+    assert out.isStreaming
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "TransformWithState" in plan, plan
+
+
+def test_transform_with_state_totals_match_batch(spark, events_stream):
+    """T6 twin, executable leg: one availableNow run == batch groupBy.
+
+    transformWithStateInPandas spins up a driver-side Python worker that
+    imports google.protobuf; this container ships no protobuf, so skip
+    there (the plan-level test above still runs) and execute for real
+    wherever the dependency exists.
+    """
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf at runtime",
+    )
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.tables import load
+
+    out = demo.stateful_user_totals_tws(events_stream)
+    demo.run_to_memory(out, "tws_out", output_mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.table("tws_out").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["v"], 6))
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_dedup_is_exact_on_unique_ids(spark, events_stream):
     dedup = demo.dedup_stream(events_stream)
     demo.run_to_memory(dedup, "stream_dedup_out", output_mode="append")
