@@ -21,12 +21,36 @@ import ls_hadoop_3_0_spark as engine
 from ls_hadoop_3_0_spark.operators.aggregates import pricing_summary
 from ls_hadoop_3_0_spark.tables import DEFAULT_SF_DIR
 
-#: Keys already stamped by a driver sweep (union of CORRECTNESS_r01.json
-#: and the identical r02/r03/r04 sets).  Each sweep processes the first
-#: 50 ``queries()`` keys and stops, so ``queries()`` yields never-stamped
-#: keys first — each round's sweep reaches the keys with the least
-#: driver-side evidence.
-_STAMPED_PRIOR = frozenset(
+def _stamped_from_artifacts() -> frozenset[str]:
+    """Keys present in any driver-written CORRECTNESS_r*.json.
+
+    The driver drops its per-round correctness artifact into the repo
+    root; reading them at import time keeps the sweep order
+    self-maintaining — newly stamped keys leave the fresh pool
+    automatically next round, with no hand-edited list to go stale
+    (which happened three rounds running with the static set below).
+    """
+    import glob
+    import json
+    import os
+
+    keys: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                keys.update(json.load(fh))
+        except Exception:
+            continue  # a malformed artifact must not break the contract
+    return frozenset(keys)
+
+
+#: Keys already stamped by a driver sweep — the static union of
+#: CORRECTNESS_r01..r04 as a floor, plus whatever artifacts exist on
+#: disk. Each sweep processes the first 50 ``queries()`` keys and stops,
+#: so ``queries()`` yields never-stamped keys first — each round's sweep
+#: reaches the keys with the least driver-side evidence.
+_STAMPED_STATIC = frozenset(
     {
         # CORRECTNESS_r01.json (round-1 sweep)
         "pricing_summary", "agg_sum", "agg_minmax", "agg_count",
@@ -62,6 +86,8 @@ _STAMPED_PRIOR = frozenset(
         "subquery_not_exists", "subquery_scalar_uncorrelated",
     }
 )
+
+_STAMPED_PRIOR = _STAMPED_STATIC | _stamped_from_artifacts()
 
 
 def _sweep_order(keys: dict) -> list[str]:
