@@ -160,6 +160,72 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_hash",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 deterministic variant: md5-threshold sampling, engine-agnostic.
+
+    ``sample_fraction``'s seeded RNG is reproducible per engine but not
+    across engines (rows-only check); hashing the key and comparing the
+    hex prefix (``md5 < '1a'`` ⇒ 26/256 ≈ 10.2%) gives the SAME sample
+    on Spark, DuckDB, or anything else with md5 — so this key is fully
+    hash-checked. This is the sampling a training pipeline wants at
+    100 TB: membership is a pure function of the key — stable across
+    reruns, engines, partitionings, and cluster sizes, and the predicate
+    evaluates map-side with no shuffle and no sampling state.
+    """
+    prepare(spark)
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "split_train_test",
+    """
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train' ELSE 'test' END AS split,
+               n_chars
+        FROM documents)
+    GROUP BY split
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/test split for the documents corpus.
+
+    Same md5-prefix trick as ``sample_hash`` with a two-way label
+    (``< 'e6'`` ⇒ 230/256 ≈ 89.8% train): every document lands in the
+    same split on every engine, every rerun, every scale — the property
+    a training-data pipeline needs so no example silently migrates from
+    test to train between dataset versions. Label assignment is a
+    map-side expression; the only shuffle is the 2-group count/sum.
+    """
+    prepare(spark)
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "e6", "train"
+    ).otherwise("test")
+    return (
+        load(spark, sf_dir, "documents")
+        .select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@query(
     "secondary_sort",
     """
     SELECT l_suppkey, seq, l_orderkey, l_linenumber,

@@ -44,6 +44,34 @@ def test_sample_stratified_is_seeded_and_per_stratum(spark):
         assert got.get("P", 0) / totals["P"] > got.get("F", 0) / totals["F"]
 
 
+def test_sample_hash_is_deterministic_and_partition_invariant(spark):
+    """md5-threshold sampling: membership is a pure function of the key —
+    identical row set under any repartitioning, fraction near 26/256."""
+    df = engine.QUERIES["sample_hash"](spark, SF_DIR)
+    keys1 = sorted(r["o_orderkey"] for r in df.collect())
+    total = load(spark, SF_DIR, "orders").count()
+    assert keys1, "sample must be non-empty"
+    frac = len(keys1) / total
+    assert 0.06 <= frac <= 0.15, frac  # 26/256 ≈ 0.102 ± sampling noise
+    reshuffled = (
+        load(spark, SF_DIR, "orders")
+        .repartition(7)
+        .filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a")
+    )
+    keys2 = sorted(r["o_orderkey"] for r in reshuffled.collect())
+    assert keys1 == keys2, "sample membership changed under repartitioning"
+
+
+def test_split_train_test_is_exhaustive_and_disjoint(spark):
+    """Every document lands in exactly one split; ratios near 230/256."""
+    rows = {r["split"]: r["n_docs"] for r in
+            engine.QUERIES["split_train_test"](spark, SF_DIR).collect()}
+    total = load(spark, SF_DIR, "documents").count()
+    assert set(rows) == {"train", "test"}
+    assert rows["train"] + rows["test"] == total
+    assert 0.80 <= rows["train"] / total <= 0.97  # 230/256 ≈ 0.898
+
+
 def test_teravalidate_global_order(spark):
     """TeraValidate parity: after orderBy, every partition is internally
     sorted AND partition boundaries are globally monotone (last of
