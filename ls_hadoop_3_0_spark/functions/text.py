@@ -68,6 +68,47 @@ def grep_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ngram_counts",
+    """
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents)
+    )
+    GROUP BY bigram
+    """,
+)
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 n-gram statistics: corpus bigram counts (wordcount's big sibling).
+
+    The n-gram language-model table a text pipeline derives from a
+    corpus. Same tokenization as ``wordcount`` (space split, empties
+    dropped), then adjacent pairs via ``zip_with`` over two shifted
+    slices — all inside codegen; the shuffle carries (bigram, partial
+    count) after map-side combine, so shuffle volume is bounded by the
+    distinct-bigram vocabulary, not corpus size. Total bigram rows are
+    at most total tokens − docs, linear in corpus size at 100 TB.
+    """
+    prepare(spark)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    bigrams = F.expr(
+        "CASE WHEN size(t) >= 2 THEN"
+        "  zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+        "           (a, b) -> concat(a, ' ', b)) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(toks.alias("t"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 STOPWORDS = ("the", "of", "and", "a", "to", "in", "is", "it", "on", "for")
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
