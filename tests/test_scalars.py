@@ -119,3 +119,23 @@ def test_rdd_pipe_parity(spark):
     sc = spark.sparkContext
     out = sc.parallelize(["a\t1", "b\t2"], 2).pipe("cat").collect()
     assert sorted(out) == ["a\t1", "b\t2"]
+
+
+def test_ngram_counts_mass_conservation(spark):
+    """Σ bigram counts == Σ per-doc max(0, n_tokens - 1): every adjacent
+    token pair is counted exactly once, none invented or dropped."""
+    import ls_hadoop_3_0_spark as engine
+
+    total_bigrams = (
+        engine.QUERIES["ngram_counts"](spark, SF_DIR)
+        .agg(F.sum("n").alias("s"))
+        .collect()[0]["s"]
+    )
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    expected = (
+        load(spark, SF_DIR, "documents")
+        .select(F.greatest(F.size(toks) - 1, F.lit(0)).alias("m"))
+        .agg(F.sum("m").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total_bigrams == expected and expected > 0
