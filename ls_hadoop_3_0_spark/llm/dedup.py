@@ -177,7 +177,15 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_T) -> Data
         .select("doc_id", F.col("bs.b").alias("b"), F.col("bs.sig").alias("sig"))
         .localCheckpoint(eager=False)
     )
-    a, c = bands.alias("a"), bands.alias("c")
+    # Every join side below grows linearly with the corpus — the join
+    # hints veto Catalyst's static broadcast (its size estimate for these
+    # checkpointed intermediates is corpus-independent and wildly low; a
+    # statically-planned broadcast CANNOT be demoted by AQE and became a
+    # 512 MB driver allocation on the 100× corpus). shuffle_hash here
+    # (no sort of the array-heavy sides; per-partition build stays small
+    # under AQE partition sizing); the other dedup families use merge —
+    # both stay shuffle-bound at any scale and AQE can still skew-split.
+    a, c = bands.alias("a"), bands.alias("c").hint("shuffle_hash")
     cand = (
         a.join(
             c,
@@ -188,8 +196,8 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_T) -> Data
         .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")).hint("shuffle_hash")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")).hint("shuffle_hash")
     jac = F.round(
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b")),
@@ -355,7 +363,8 @@ def simhash_hamming_pairs(
     cand = (
         bands.alias("a")
         .join(
-            bands.alias("b"),
+            # merge: band table is corpus-sized — see minhash_pairs note.
+            bands.alias("b").hint("merge"),
             (F.col("a.t") == F.col("b.t"))
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -374,8 +383,8 @@ def simhash_hamming_pairs(
         + digs.format(c="sig_b")
         + ", (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"
     )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")).hint("merge")
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")).hint("merge")
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -404,11 +413,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = simhash_bands(sigs)
     bc = bands.groupBy("t", "band").agg(F.count(F.lit(1)).alias("c"))
     per_doc = (
-        bands.join(bc, ["t", "band"])
+        bands.join(bc.hint("merge"), ["t", "band"])
         .groupBy("doc_id")
         .agg(F.sum(F.col("c") - 1).cast("bigint").alias("n_band_collisions"))
     )
-    return sigs.join(per_doc, "doc_id").select(
+    return sigs.join(per_doc.hint("merge"), "doc_id").select(
         "doc_id", "simhash", "n_band_collisions"
     )
 
@@ -521,7 +530,7 @@ def ngram_candidates(sh: DataFrame, max_df: int = MAX_GRAM_DF) -> DataFrame:
         F.col("source").alias("source_b"),
         F.col("gram").alias("gram_b"),
         F.col("doc_id").alias("doc_b"),
-    )
+    ).hint("merge")  # exploded-gram table: corpus-sized, never broadcast
     return (
         a.join(
             b,
@@ -556,7 +565,7 @@ def ngram_pairs(
         F.col("source").alias("source_b"),
         F.col("gram").alias("gram_b"),
         F.col("doc_id").alias("doc_b"),
-    )
+    ).hint("merge")  # exploded-gram table: corpus-sized, never broadcast
     inter = (
         a.join(
             b,
@@ -567,8 +576,8 @@ def ngram_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a")).hint("merge")
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b")).hint("merge")
     jac = F.round(
         F.col("n_inter").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -623,7 +632,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
         edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     )
-    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv")).hint("merge")
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
@@ -634,7 +643,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Small-star round: link all smaller neighbors (and u) to the min."""
-    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m")).hint("merge")
     to_min = (
         edges.join(mins, "hi")
         .filter(F.col("lo") != F.col("m"))
@@ -716,7 +725,7 @@ def _connected_components_impl(
         )
     non_root = edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id"))
     roots = nodes.join(
-        non_root, nodes.node == non_root.doc_id, "left_anti"
+        non_root.hint("merge"), nodes.node == non_root.doc_id, "left_anti"
     ).select(F.col("node").alias("doc_id"), F.col("node").alias("cluster_id"))
     return non_root.unionByName(roots), rounds
 
@@ -747,7 +756,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_pairs(load(spark, sf_dir, "documents"))
     comps = connected_components(pairs)
     sizes = comps.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
-    return comps.join(sizes, "cluster_id").select("doc_id", "cluster_id", "csize")
+    return comps.join(sizes.hint("merge"), "cluster_id").select(
+        "doc_id", "cluster_id", "csize"
+    )
 
 
 #: Normalized-vector CTE shared by the embedding oracle queries: cosine of
@@ -812,7 +823,7 @@ def embedding_candidates(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
         F.col("label").alias("label_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("bucket").alias("sig_b"),
-    )
+    ).hint("merge")  # bucketed corpus side: linear growth, never broadcast
     return (
         a.join(
             c,
@@ -830,8 +841,8 @@ def embedding_pairs(e: DataFrame, threshold: float = EMB_COSINE_T) -> DataFrame:
     # Normalization feeds candidate generation + both verify sides.
     e = e.localCheckpoint(eager=False)
     cand = embedding_candidates(e)
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")).hint("merge")
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub")).hint("merge")
     cos = F.round(
         F.expr("aggregate(zip_with(ua, ub, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"),
         6,
