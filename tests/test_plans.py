@@ -66,6 +66,26 @@ def test_indexed_lookup_key_scans_one_bucket(spark):
     assert "SelectedBucketsCount: 1 out of 8" in plan, plan
 
 
+def test_dedup_joins_never_broadcast_corpus_sides(spark):
+    """No statically-planned broadcast of a corpus-scale relation.
+
+    Catalyst's estimates for the checkpointed dedup intermediates are
+    corpus-independent; a static BroadcastHashJoin there cannot be
+    demoted by AQE and turned into a 512 MB driver broadcast at 100×.
+    The join hints must keep every corpus-side join shuffle-bound
+    (SMJ/SHJ). The knn keys keep their broadcast by design (bounded
+    query side), so they are not asserted here.
+    """
+    import ls_hadoop_3_0_spark as engine
+
+    for key in ["dedup_minhash", "dedup_simhash", "dedup_embedding"]:
+        df = engine.QUERIES[key](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, f"{key} broadcasts a corpus side"
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), key
+
+
 def test_skewed_join_triggers_aqe_skew_split(spark):
     """A 95%-one-key fact-fact join must get AQE's skew-split at runtime.
 
