@@ -185,8 +185,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 TF-IDF: term frequency × inverse document frequency, top-3/doc.
 
-    df (vocabulary-sized) is broadcast into the scoring join; the doc
-    count is a literal-ish 1-row cross join. Ties broken by word asc.
+    The df table is vocabulary-sized — Heaps' law says vocabulary keeps
+    growing (sub-linearly) with the corpus, so it must NOT be broadcast:
+    at 100 TB it is GBs, and a statically-planned broadcast can never be
+    demoted by AQE. merge keeps the scoring join shuffle-bound (AQE
+    converts it to broadcast at runtime when df is actually small). The
+    doc count is a literal-ish 1-row stat. Ties broken by word asc.
     """
     prepare(spark)
     docs = load(spark, sf_dir, "documents")
@@ -198,7 +202,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # scalar fixture stat, not a data-path collect
-    scored = tf.join(F.broadcast(df), "word").select(
+    scored = tf.join(df.hint("merge"), "word").select(
         "doc_id",
         "word",
         F.round(

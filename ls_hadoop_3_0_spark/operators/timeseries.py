@@ -103,8 +103,13 @@ def timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket")
     )
     types = ev.select("event_type").distinct()
+    # types is genuinely bounded (event-type vocabulary) — broadcast stays.
+    # hourly is grid-sized: time_buckets × types grows with the stream's
+    # time span, so it must not be statically broadcast (un-demotable at
+    # scale); merge keeps it shuffle-bound and AQE re-broadcasts at
+    # runtime when it is actually small.
     grid = spine.crossJoin(F.broadcast(types))
-    joined = grid.join(F.broadcast(hourly), ["bucket", "event_type"], "left")
+    joined = grid.join(hourly.hint("merge"), ["bucket", "event_type"], "left")
     run = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
