@@ -1,0 +1,270 @@
+"""Training-data curation operators — SURVEY.md §2.12 X4 (EXT).
+
+The three corpus-preparation passes every LLM data pipeline runs between
+raw scrape and tokenizer, complementing the dedup families (llm/dedup.py)
+and the per-doc stats (functions/text.py):
+
+- ``doc_chunk``           — split documents into fixed-size overlapping
+  token windows (the context-window packing pre-pass).
+- ``text_quality``        — Gopher-style rule-based quality filter with
+  per-document keep/reject verdicts and machine-readable reasons.
+- ``contamination_check`` — benchmark decontamination: flag corpus
+  documents sharing token n-grams with a held-out evaluation set.
+
+Scale notes: chunking and quality scoring are pure map-side higher-order
+functions (zero shuffle, zero Python — one scan each at 100 TB). The
+contamination join is an equi-join on gram hash where the benchmark side
+is an EVAL SET — genuinely bounded (benchmarks are authored, they do not
+grow with the corpus), so the static broadcast is safe here in a way it
+is not for corpus-derived sides (see SCALE.md's no-corpus-broadcast
+invariant); the corpus side streams through map-side distinct + one
+aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ls_hadoop_3_0_spark.registry import query
+from ls_hadoop_3_0_spark.session import prepare
+from ls_hadoop_3_0_spark.tables import load
+
+#: Chunking geometry: 16-token windows advancing 12 tokens (4 overlap).
+CHUNK_SIZE = 16
+CHUNK_STRIDE = 12
+
+#: Tokenizer shared with functions/text.py: space-split, empties dropped.
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@query(
+    "doc_chunk",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    s AS (SELECT doc_id, t,
+                 unnest(range(0, len(t), {CHUNK_STRIDE})) AS s
+          FROM t)
+    SELECT doc_id,
+           CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(len(t[s + 1 : s + {CHUNK_SIZE}]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(t[s + 1 : s + {CHUNK_SIZE}], ' ')) AS chunk_md5
+    FROM s
+    """,
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 chunking: overlapping 16-token windows advancing 12 tokens.
+
+    Every start position 0, stride, 2·stride, … below the token count
+    yields one chunk (the tail chunk may be short). Chunk content crosses
+    the oracle as an md5 so whole documents never hit the comparator.
+    Pure map-side: tokenize → sequence of starts → explode → slice, all
+    inside codegen; output size is ~n_tokens/stride rows per doc, linear
+    in corpus size. No shuffle at any scale.
+    """
+    prepare(spark)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), F.size("t") - 1, F.lit(CHUNK_STRIDE))
+            ).alias("s"),
+        )
+    )
+    ck = F.slice("t", F.col("s") + 1, CHUNK_SIZE)
+    return d.select(
+        "doc_id",
+        F.expr(f"CAST(s div {CHUNK_STRIDE} AS BIGINT)").alias("chunk_id"),
+        F.col("s").cast("long").alias("chunk_start"),
+        F.size(ck).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(ck, " ")).alias("chunk_md5"),
+    )
+
+
+#: Quality-rule constants (Gopher-ish, tuned to discriminate on the
+#: fixture corpus: token counts 10-99, ttr 0.28-1.0, stopword 0-0.29).
+QMIN_TOKENS = 20
+QMAX_TOKENS = 2000
+QMIN_AVG_WORD_LEN = 2.0
+QMAX_AVG_WORD_LEN = 5.0
+QMIN_STOPWORD_RATIO = 0.02
+QMIN_TTR = 0.35
+
+_STOP = ("the", "of", "and", "a", "to", "in", "is", "it", "on", "for")
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOP) + "]"
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                   / len(t) AS awl,
+               CAST(len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))
+                    AS DOUBLE) / len(t) AS stop_ratio,
+               CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           awl, stop_ratio, ttr,
+           (n_tokens >= {QMIN_TOKENS} AND n_tokens <= {QMAX_TOKENS}
+            AND awl >= {QMIN_AVG_WORD_LEN} AND awl <= {QMAX_AVG_WORD_LEN}
+            AND stop_ratio >= {QMIN_STOPWORD_RATIO}
+            AND ttr >= {QMIN_TTR}) AS keep,
+           concat_ws(';',
+               CASE WHEN n_tokens < {QMIN_TOKENS} THEN 'short' END,
+               CASE WHEN n_tokens > {QMAX_TOKENS} THEN 'long' END,
+               CASE WHEN awl < {QMIN_AVG_WORD_LEN}
+                      OR awl > {QMAX_AVG_WORD_LEN} THEN 'word_len' END,
+               CASE WHEN stop_ratio < {QMIN_STOPWORD_RATIO}
+                    THEN 'low_stopword' END,
+               CASE WHEN ttr < {QMIN_TTR} THEN 'repetitive' END) AS reasons
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 quality filter: rule-based keep/reject with reason codes.
+
+    The Gopher-style heuristic gate (length bounds, mean word length,
+    stopword floor, type-token-ratio floor). Every ratio is an
+    exact-integer division — bit-stable doubles, so the rule comparisons
+    and the emitted metrics agree across engines and partitionings.
+    Reasons are fixed-order ';'-joined codes (concat_ws skips the NULL
+    branches identically in both engines). One scan, zero shuffle.
+    """
+    prepare(spark)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    t = F.col("t")
+    n = F.size(t)
+    stop_arr = F.array(*[F.lit(w) for w in _STOP])
+    m = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            (
+                F.aggregate(
+                    t, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+                ).cast("double")
+                / n
+            ).alias("awl"),
+            (
+                F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))).cast(
+                    "double"
+                )
+                / n
+            ).alias("stop_ratio"),
+            (F.size(F.array_distinct(t)).cast("double") / n).alias("ttr"),
+        )
+    )
+    nt, awl, sr, ttr = (F.col(c) for c in ("n_tokens", "awl", "stop_ratio", "ttr"))
+    keep = (
+        (nt >= QMIN_TOKENS)
+        & (nt <= QMAX_TOKENS)
+        & (awl >= QMIN_AVG_WORD_LEN)
+        & (awl <= QMAX_AVG_WORD_LEN)
+        & (sr >= QMIN_STOPWORD_RATIO)
+        & (ttr >= QMIN_TTR)
+    )
+    reasons = F.concat_ws(
+        ";",
+        F.when(nt < QMIN_TOKENS, "short"),
+        F.when(nt > QMAX_TOKENS, "long"),
+        F.when((awl < QMIN_AVG_WORD_LEN) | (awl > QMAX_AVG_WORD_LEN), "word_len"),
+        F.when(sr < QMIN_STOPWORD_RATIO, "low_stopword"),
+        F.when(ttr < QMIN_TTR, "repetitive"),
+    )
+    return m.select(
+        "doc_id",
+        nt.cast("long").alias("n_tokens"),
+        "awl",
+        "stop_ratio",
+        "ttr",
+        keep.alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+#: Contamination shingle width (tokens). 3-grams are the standard
+#: decontamination unit for short benchmark strings; wider grams miss
+#: paraphrase-level overlap entirely on small docs.
+CONTAM_GRAM = 3
+
+
+@query(
+    "contamination_check",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {CONTAM_GRAM - 2}),
+                      i -> md5(array_to_string(t[i : i + {CONTAM_GRAM - 1}], ' '))))
+                   AS gram
+        FROM t WHERE len(t) >= {CONTAM_GRAM}
+    ),
+    bench AS (SELECT DISTINCT doc_id AS bench_id, gram FROM grams
+              WHERE doc_id % 100 = 0),
+    corp AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 100 <> 0)
+    SELECT corp.doc_id,
+           CAST(COUNT(DISTINCT corp.gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT bench.bench_id) AS BIGINT) AS n_bench_docs
+    FROM corp JOIN bench ON corp.gram = bench.gram
+    GROUP BY corp.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 decontamination: corpus docs sharing 3-grams with the eval set.
+
+    Benchmark = docs with ``doc_id % 100 = 0`` (stand-in for a held-out
+    eval suite). Both sides shingle with the same tokenizer, hash grams
+    to md5 (fixed-width shuffle keys), distinct per doc, then equi-join
+    corpus grams against benchmark grams and count distinct shared grams
+    and distinct matched benchmark docs per corpus doc.
+
+    100 TB: the benchmark side is an authored eval set — bounded by
+    construction, never corpus-scale — so the static broadcast is
+    correct here (the one legitimate exception to SCALE.md's
+    no-corpus-broadcast rule, same as the hyperplane constants). The
+    corpus side is one explode + map-side distinct + one aggregation.
+    """
+    prepare(spark)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    t = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= CONTAM_GRAM)
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {CONTAM_GRAM - 1}),"
+                f" i -> md5(array_join(slice(t, i, {CONTAM_GRAM}), ' ')))"
+            )
+        ).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 100 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "gram")
+        .distinct()
+    )
+    corp = grams.filter(F.col("doc_id") % 100 != 0).distinct()
+    return (
+        corp.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_shared_grams"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+    )

@@ -226,3 +226,49 @@ def embedding_quantize(spark, sf_dir: str) -> DataFrame:
             "n_saturated"
         ),
     )
+
+
+from ls_hadoop_3_0_spark.exprs import sql_davg  # noqa: E402
+
+
+@query(
+    "embedding_centroids",
+    f"""
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_davg('val')} AS centroid
+    FROM (SELECT label,
+                 unnest(range(1, len(embedding) + 1)) AS pos,
+                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                     AS val
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (mean pooling by class).
+
+    The class-centroid table behind nearest-centroid classification,
+    coarse quantizer seeding (knn_ivf trains one from a sample), and
+    cluster drift monitoring. posexplode flattens (label, position,
+    component); one groupBy(label, pos) with the exact scaled-long mean
+    (exprs.davg) makes the centroids bit-identical across engines and
+    partitionings. Shuffle volume is labels × dim after map-side partial
+    aggregation — independent of corpus row count, so the plan is flat
+    at 100 TB.
+    """
+    from ls_hadoop_3_0_spark.exprs import davg
+    from ls_hadoop_3_0_spark.session import prepare
+    from ls_hadoop_3_0_spark.tables import load
+
+    prepare(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias(
+            "pos", "val"
+        ),
+    )
+    return (
+        e.groupBy("label", (F.col("pos") + 1).cast("long").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("n"), davg("val").alias("centroid"))
+    )

@@ -652,3 +652,47 @@ def analytics_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "analytics_top_supplier",
+    f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped: supplier(s) with maximum quarterly revenue.
+
+    The view-over-aggregate TPC-H shape: revenue per supplier for one
+    quarter, then the argmax via a 1-row MAX joined back (the scalar is
+    broadcast — metadata-scale, never a fact shuffle). Equality on the
+    revenue double is safe because both sides of the comparison are the
+    SAME dsum-derived exact value. supplier and rev both scale with SF,
+    so their join is left unhinted for AQE to pick the strategy.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx")).drop("mx")
+    sup = load(spark, sf_dir, "supplier")
+    return sup.join(top, sup.s_suppkey == top.l_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )

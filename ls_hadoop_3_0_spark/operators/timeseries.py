@@ -179,3 +179,95 @@ def timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "scd2_history",
+    f"""
+    WITH e AS (SELECT * FROM {EVENTS_SQL}),
+    o AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM e
+    ),
+    r AS (
+        SELECT *,
+               SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM o
+    ),
+    runs AS (
+        SELECT user_id, run_id, MIN(event_type) AS event_type,
+               MIN(ts) AS valid_from, COUNT(*) AS n_events
+        FROM r GROUP BY user_id, run_id
+    ),
+    hist AS (
+        SELECT *,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY run_id) AS valid_to
+        FROM runs
+    )
+    SELECT user_id, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(valid_to, '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00') AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events,
+           (valid_to IS NULL) AS is_current
+    FROM hist
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an event log (CDC).
+
+    Collapses each user's event stream into [valid_from, valid_to)
+    intervals per run of equal event_type — the dimension-history build
+    every warehouse derives from change events. Classic gaps-and-islands:
+    lag to mark run starts, running SUM to number runs, one aggregate per
+    run, lead for the closing edge (open runs get the 9999 sentinel and
+    ``is_current``). Ties on ts break by event_id so run numbering is
+    total-ordered and deterministic.
+
+    100 TB: three window passes + one aggregate all partition on
+    user_id — ONE shuffle (Catalyst reuses the (user_id) hash partitioning
+    across the window/agg chain; lead's re-sort is within partitions).
+    State per user is bounded by that user's events, the same per-key
+    locality a streaming CDC pipeline has.
+    """
+    prepare(spark)
+    ev = load(spark, sf_dir, "events")
+    by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(by_time).alias("prev"),
+    )
+    r = o.withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1
+            ).otherwise(0)
+        ).over(by_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = r.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    by_run = Window.partitionBy("user_id").orderBy("run_id")
+    hist = runs.withColumn("valid_to", F.lead("valid_from").over(by_run))
+    return hist.select(
+        "user_id",
+        "event_type",
+        fmt_ts("valid_from").alias("valid_from"),
+        F.coalesce(fmt_ts("valid_to"), F.lit("9999-12-31 00:00:00")).alias(
+            "valid_to"
+        ),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )

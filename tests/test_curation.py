@@ -1,0 +1,123 @@
+"""Invariants for the corpus-curation keys (llm/curation.py) and the
+round-5 profiling/CDC additions — semantics the oracle hash can't state
+directly (geometry, rule consistency, interval tiling)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ls_hadoop_3_0_spark.llm.curation import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    contamination_check,
+    doc_chunk,
+    text_quality,
+)
+from ls_hadoop_3_0_spark.operators.relational import profile_table
+from ls_hadoop_3_0_spark.operators.timeseries import scd2_history
+from ls_hadoop_3_0_spark.plans import checks
+from ls_hadoop_3_0_spark.tables import load
+
+from .conftest import SF_DIR
+
+
+def test_chunk_geometry_covers_every_token_exactly(spark):
+    """ceil(n_tokens/stride) chunks per doc; chunk i holds exactly
+    min(size, n_tokens − i·stride) tokens; starts tile [0, n_tokens)."""
+    chunks = doc_chunk(spark, SF_DIR)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    docs = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(toks).alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    j = chunks.join(docs, "doc_id")
+    bad = j.filter(
+        F.col("n_chunk_tokens")
+        != F.least(F.lit(CHUNK_SIZE), F.col("n_tokens") - F.col("chunk_start"))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"), F.max("chunk_start").alias("last_start")
+    )
+    bad2 = docs.join(per_doc, "doc_id", "left").filter(
+        (F.col("n_chunks") != F.ceil(F.col("n_tokens") / F.lit(CHUNK_STRIDE)))
+        | (F.col("last_start") >= F.col("n_tokens"))
+    )
+    assert bad2.count() == 0, bad2.limit(5).collect()
+    assert chunks.filter(F.col("n_chunk_tokens") == 0).count() == 0
+
+
+def test_doc_chunk_is_map_only(spark):
+    assert checks.shuffle_count(doc_chunk(spark, SF_DIR)) == 0
+
+
+def test_quality_keep_iff_no_reasons(spark):
+    q = text_quality(spark, SF_DIR)
+    assert q.filter(F.col("keep") & (F.col("reasons") != "")).count() == 0
+    assert q.filter(~F.col("keep") & (F.col("reasons") == "")).count() == 0
+    # The rules must discriminate on the fixture corpus: both verdicts occur.
+    verdicts = {r["keep"] for r in q.select("keep").distinct().collect()}
+    assert verdicts == {True, False}
+
+
+def test_contamination_benchmark_is_broadcast_and_nonempty(spark):
+    df = contamination_check(spark, SF_DIR)
+    assert checks.has_broadcast_hash_join(df), checks.formatted_plan(df)
+    rows = df.collect()
+    assert len(rows) > 0, "contamination rules found no overlap — not discriminating"
+    assert all(r["n_shared_grams"] >= 1 and r["n_bench_docs"] >= 1 for r in rows)
+    # Benchmark docs must never flag themselves.
+    assert all(r["doc_id"] % 100 != 0 for r in rows)
+
+
+def test_scd2_intervals_tile_each_user_timeline(spark):
+    """Per user: exactly one open (is_current) run; run row-counts sum to
+    the user's event count; intervals are disjoint and ordered."""
+    h = scd2_history(spark, SF_DIR).cache()
+    try:
+        assert h.filter(F.col("is_current")).groupBy("user_id").count().filter(
+            F.col("count") != 1
+        ).count() == 0
+        ev = load(spark, SF_DIR, "events").groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_ev")
+        )
+        per_user = h.groupBy("user_id").agg(F.sum("n_events").alias("n_run"))
+        assert (
+            ev.join(per_user, "user_id")
+            .filter(F.col("n_ev") != F.col("n_run"))
+            .count()
+            == 0
+        )
+        # valid_from < valid_to for every closed interval (string compare is
+        # chronological for the fixed yyyy-MM-dd HH:mm:ss format).
+        assert h.filter(
+            ~F.col("is_current") & (F.col("valid_from") >= F.col("valid_to"))
+        ).count() == 0
+    finally:
+        h.unpersist()
+
+
+def test_scd2_single_shuffle(spark):
+    """The window/agg/window chain must reuse the (user_id) partitioning."""
+    assert checks.shuffle_count(scd2_history(spark, SF_DIR)) == 1
+
+
+def test_profile_single_scan(spark):
+    """One row per profiled column; ONE FileScan feeds all 25 statistics
+    (the whole point vs six per-column scans). The multi-distinct
+    aggregate legitimately plans a few extra exchanges, but they carry
+    distinct values / 1-row partials — never a rescan of the fact."""
+    df = profile_table(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 6
+    by_col = {r["col_name"]: r for r in rows}
+    li = load(spark, SF_DIR, "lineitem")
+    n = li.count()
+    assert all(r["n_rows"] == n for r in rows)
+    assert by_col["l_returnflag"]["min_str"] is not None
+    assert by_col["l_quantity"]["min_num"] is not None
+    import re
+
+    plan = checks.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
