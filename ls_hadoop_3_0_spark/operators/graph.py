@@ -143,6 +143,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "node"
     )
     n_nodes = deg.count()  # metadata-scale scalar (node count)
+    if n_nodes == 0:
+        # Empty graph (filtered-to-nothing input): return the empty
+        # result with the production schema instead of dividing by zero.
+        return deg.select(
+            "node", F.col("deg").cast("long").alias("deg"), F.lit(0.0).alias("pr")
+        )
     pr = deg.select("node", "deg", _q6_spark(F.lit(1.0) / n_nodes).alias("pr"))
     base = (1.0 - DAMPING) / n_nodes
     # No per-round localCheckpoint: at K=5 one pipelined DAG beats five
