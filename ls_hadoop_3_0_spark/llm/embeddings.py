@@ -272,3 +272,98 @@ def embedding_centroids(spark, sf_dir: str) -> DataFrame:
         e.groupBy("label", (F.col("pos") + 1).cast("long").alias("pos"))
         .agg(F.count(F.lit(1)).alias("n"), davg("val").alias("centroid"))
     )
+
+
+#: Centroid CTE body for the classify oracle — mirrors the
+#: ``embedding_centroids`` oracle above minus its ``n`` column (keep the
+#: two in sync; both ride sql_davg so the floats are identical).
+_CENTROIDS_SQL = f"""
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           {sql_davg('val')} AS centroid
+    FROM (SELECT label,
+                 unnest(range(1, len(embedding) + 1)) AS pos,
+                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                     AS val
+          FROM embeddings)
+    GROUP BY label, pos
+"""
+
+
+@query(
+    "knn_centroid_classify",
+    f"""
+    WITH cent AS ({_CENTROIDS_SQL}),
+    carr AS (SELECT label, list(centroid ORDER BY pos) AS c
+             FROM cent GROUP BY label),
+    v AS (SELECT vec_id, label AS true_label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    d AS (SELECT vec_id, true_label, carr.label AS cand,
+                 list_sum(list_transform(generate_series(1, {DIM}),
+                          i -> (v[i] - c[i]) * (v[i] - c[i]))) AS dist2
+          FROM v CROSS JOIN carr)
+    SELECT vec_id, true_label, cand AS pred_label, dist2
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist2, cand) AS rn
+          FROM d)
+    WHERE rn = 1
+    """,
+)
+def knn_centroid_classify(spark, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification of every vector, oracle-exact.
+
+    The serving-side twin of ``embedding_centroids``: build the
+    per-label mean vectors (exact scaled-long means → identical floats
+    both engines), then assign each vector to the centroid minimizing
+    squared L2 distance. The distance is a sequential left-to-right
+    fold over the 64 components — the same bit-identical pattern as
+    knn_cosine's dot product — and the argmin tie-breaks on label, so
+    the predicted classes hash-match across engines.
+
+    100 TB: centroids are labels × dim (design-bounded — a label
+    vocabulary, not a corpus) → static broadcast is correct; the
+    candidate set per vector is the label count (×10 row amplification
+    through the broadcast cross join), then one windowed argmin
+    partitioned by vec_id. No corpus-scale shuffle beyond the vectors
+    themselves.
+    """
+    from ls_hadoop_3_0_spark.session import prepare
+    from ls_hadoop_3_0_spark.tables import load
+
+    prepare(spark)
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.select(
+        "label",
+        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias(
+            "pos", "val"
+        ),
+    ).groupBy("label", (F.col("pos") + 1).alias("pos"))
+    from ls_hadoop_3_0_spark.exprs import davg
+
+    cent = cent.agg(davg("val").alias("centroid"))
+    carr = cent.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, centroid))),"
+            " s -> s.centroid)"
+        ).alias("c")
+    )
+    v = e.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D,"
+        " (acc, p) -> acc + p)"
+    )
+    d = v.crossJoin(F.broadcast(carr.withColumnRenamed("label", "cand"))).select(
+        "vec_id", "true_label", "cand", dist2.alias("dist2")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cand")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", F.col("cand").alias("pred_label"), "dist2")
+    )

@@ -696,3 +696,56 @@ def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.join(top, sup.s_suppkey == top.l_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
+
+
+@query(
+    "anomaly_zscore",
+    f"""
+    WITH st AS (
+        SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('value')} AS s, {sql_dsum('value * value')} AS q
+        FROM events GROUP BY event_type
+    ),
+    p AS (
+        SELECT event_type, s / n AS mean,
+               sqrt(q / n - (s / n) * (s / n)) AS std
+        FROM st
+    )
+    SELECT event_id, e.event_type, value, (value - mean) / std AS z
+    FROM events e JOIN p ON e.event_type = p.event_type
+    WHERE abs((value - mean) / std) > 3.0
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-score outlier detection (event-stream QC).
+
+    Population moments per event_type from EXACT scaled-long sums
+    (Σv, Σv²), variance/std composed with identical double arithmetic on
+    both sides (registry.py rule — never the engines' streaming stddev),
+    then flag |z| > 3. Both engines derive bit-identical means/stds from
+    the exact moments, so the flag set and the emitted z values
+    hash-match. The per-type stats table is bounded by the event-type
+    vocabulary → broadcast; the fact streams map-side through the join.
+    Uses `value` only — unit-drift-immune (no ts in the plan).
+    """
+    prepare(spark)
+    ev = load(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("value").alias("s"),
+        dsum(F.col("value") * F.col("value")).alias("q"),
+    )
+    p = st.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.col("q") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        ).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", "value", z.alias("z"))
+    )

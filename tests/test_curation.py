@@ -121,3 +121,33 @@ def test_profile_single_scan(spark):
 
     plan = checks.formatted_plan(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_centroid_classify_covers_all_vectors_and_beats_chance(spark):
+    from ls_hadoop_3_0_spark.llm.embeddings import knn_centroid_classify
+
+    df = knn_centroid_classify(spark, SF_DIR).cache()
+    try:
+        n_vec = load(spark, SF_DIR, "embeddings").count()
+        assert df.count() == n_vec  # exactly one prediction per vector
+        n_labels = df.select("pred_label").distinct().count()
+        acc = df.select(
+            F.avg((F.col("true_label") == F.col("pred_label")).cast("double"))
+        ).collect()[0][0]
+        assert acc > 2.0 / max(n_labels, 2), acc
+    finally:
+        df.unpersist()
+
+
+def test_anomaly_zscore_flags_are_extreme_and_rare(spark):
+    from ls_hadoop_3_0_spark.operators.analytics import anomaly_zscore
+
+    df = anomaly_zscore(spark, SF_DIR).cache()
+    try:
+        rows = df.collect()
+        assert len(rows) > 0
+        assert all(abs(r["z"]) > 3.0 for r in rows)
+        n_events = load(spark, SF_DIR, "events").count()
+        assert len(rows) / n_events < 0.05  # outliers are rare by construction
+    finally:
+        df.unpersist()
