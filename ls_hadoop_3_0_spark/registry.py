@@ -27,6 +27,18 @@ Determinism rules (SURVEY.md §5.2/§7 "oracle dialect drift"):
 - **Arrays/maps** never appear raw in outputs — joined to strings.
 - No ``rand()`` without seed; no engine-specific hash (xxhash64) in
   oracle-compared columns (md5/sha2 are identical hex both sides).
+- **Never ``round(x, d)`` on compared doubles** — the decimal-digits
+  rounding paths differ by 1 ulp between engines on .5-boundary values
+  (observed live on graph_pagerank). Quantize through the integer path
+  instead: ``round(x * 1e6)`` → long/BIGINT → divide (dsum's mechanics;
+  ``operators/graph._q6`` is the standalone helper).
+- **Cast numeric constants to DOUBLE in oracle SQL** when the Spark side
+  uses float literals: DuckDB parses ``0.85``/``1.0`` as DECIMAL, so
+  ``(1.0 - 0.85)/n`` is exact-decimal 0.15/n — a different double than
+  IEEE ``1.0 - 0.85``. ``CAST(0.85 AS DOUBLE)`` restores bit-parity.
+- Iterative numerics CAN be oracle-exact: re-quantize state through the
+  scaled-long path after every iteration and unroll the oracle as
+  chained CTEs (graph_pagerank: 5 PageRank rounds, hash-identical).
 """
 
 from __future__ import annotations
