@@ -749,3 +749,56 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3.0)
         .select("event_id", "event_type", "value", z.alias("z"))
     )
+
+
+@query(
+    "analytics_cohort_retention",
+    f"""
+    WITH first AS (
+        SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_month,
+           CAST((year(date_trunc('month', o.o_orderdate)) * 12
+                 + month(date_trunc('month', o.o_orderdate)))
+                - (year(cohort) * 12 + month(cohort)) AS BIGINT)
+               AS months_since,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+           {sql_dsum('o.o_totalprice')} AS revenue
+    FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+    GROUP BY cohort, 2
+    """,
+)
+def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: activity by first-order month × months since.
+
+    The classic warehouse retention triangle: cohort each customer by
+    the month of their first order, then count distinct active
+    customers (and exact revenue) for every (cohort, months-since)
+    cell. Month distance is computed as integer year·12+month
+    arithmetic — portable across engines, no interval/months_between
+    dialect drift. Two shuffles at any scale: the per-customer MIN and
+    the cohort-cell aggregate; the first-order side is customer-sized
+    and joins back on the same key the fact shuffles on.
+    """
+    prepare(spark)
+    o = load(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    j = o.join(first, "o_custkey")
+    om = F.date_trunc("month", F.col("o_orderdate"))
+    months_since = (
+        (F.year(om) * 12 + F.month(om))
+        - (F.year("cohort") * 12 + F.month("cohort"))
+    ).cast("long")
+    return (
+        j.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_month"),
+            months_since.alias("months_since"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

@@ -534,3 +534,63 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders+customer as co-bucketed tables; return their names.
+
+    The persisted CompositeInputFormat analog (SURVEY §2.6 D-family):
+    both sides bucketed 8-ways on the join key, so any later join is a
+    zero-exchange sort-merge over co-located buckets. Overwritten per
+    call (like sorted_indexed_table) so a driver fixture regeneration
+    can never leave stale buckets behind.
+    """
+    prepare(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    names = (f"b_orders_{tag}", f"b_customer_{tag}")
+    for name, table, key in (
+        (names[0], "orders", "o_custkey"),
+        (names[1], "customer", "c_custkey"),
+    ):
+        (
+            load(spark, sf_dir, table)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", scratch(sf_dir, f"join_bucketed_{table}"))
+            .saveAsTable(name)
+        )
+    return names
+
+
+@query(
+    "join_bucketed",
+    f"""
+    SELECT o_orderstatus, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o_orderstatus, c_mktsegment
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-family: the big-big join over persisted co-bucketed tables.
+
+    Same answer as a plain orders⋈customer (the oracle), but the fact
+    join runs over the bucketed pair with a merge hint — SortMergeJoin
+    with ZERO exchanges on either side (bucket hash = co-partitioning,
+    asserted in tests/test_plans.py); the only shuffle in the plan is
+    the final aggregation's. At 100 TB this is the difference between
+    re-shuffling both fact tables per join and reading co-located
+    buckets — the reason warehouses bucket their biggest join keys.
+    """
+    b_orders, b_customer = bucketed_pair(spark, sf_dir)
+    j = spark.table(b_orders).join(
+        spark.table(b_customer).hint("merge"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.groupBy("o_orderstatus", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total_price"),
+    )

@@ -198,3 +198,14 @@ def test_uncorrelated_scalar_subquery_is_not_a_join(spark):
     p = checks.executed_plan(subquery_scalar_uncorrelated(spark, SF_DIR))
     assert "Subquery" in p or "scalar-subquery" in p, p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+
+
+def test_join_bucketed_key_joins_with_zero_exchanges(spark):
+    """The registered bucketed-join key: SMJ over co-bucketed tables —
+    the ONLY exchange in the plan is the final aggregation's."""
+    from ls_hadoop_3_0_spark.sources.io import join_bucketed
+
+    df = join_bucketed(spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert checks.shuffle_count(df) == 1, plan
