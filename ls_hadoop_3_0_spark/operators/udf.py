@@ -164,3 +164,54 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             weighted_mean, "l_returnflag string, n_rows bigint, weighted_qty double"
         )
     )
+
+
+@query(
+    "udtf_parse_props",
+    """
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS sum_v
+    FROM (
+        SELECT unnest(json_keys(props)) AS k,
+               json_extract(props, '$.' || unnest(json_keys(props))) AS v
+        FROM events
+    )
+    GROUP BY k
+    """,
+)
+def udtf_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 UDTF rung: Spark 4 Python UDTF, lateral-joined then aggregated.
+
+    A real ``@udtf`` table function (one input row → N output rows)
+    parsing the events ``props`` JSON into (key, value) rows via
+    ``LATERAL`` — the 1→N expansion MR users wrote as a flat-mapping
+    Mapper. Like ``udf_scalar`` this is the documented SLOW rung kept
+    for API parity: row-at-a-time Python with pickling per batch; the
+    fast path for this exact job is ``scalar_json``'s JVM-side
+    ``get_json_object``/``from_json`` (functions/scalars.py). Keys are
+    yielded in sorted order so output is deterministic regardless of
+    dict ordering.
+    """
+    from pyspark.sql.functions import udtf
+
+    prepare(spark)
+
+    @udtf(returnType="k string, v long")
+    class ParseProps:
+        def eval(self, props: str):  # noqa: ANN001 - UDTF contract
+            import json
+
+            if props is None:
+                return
+            for k, v in sorted(json.loads(props).items()):
+                yield k, int(v)
+
+    spark.udtf.register("parse_props_udtf", ParseProps)
+    load(spark, sf_dir, "events").createOrReplaceTempView("_udtf_events")
+    return spark.sql(
+        """
+        SELECT p.k, COUNT(*) AS n, SUM(p.v) AS sum_v
+        FROM _udtf_events e, LATERAL parse_props_udtf(e.props) p
+        GROUP BY p.k
+        """
+    )
