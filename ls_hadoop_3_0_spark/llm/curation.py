@@ -13,12 +13,14 @@ and the per-doc stats (functions/text.py):
 
 Scale notes: chunking and quality scoring are pure map-side higher-order
 functions (zero shuffle, zero Python — one scan each at 100 TB). The
-contamination join is an equi-join on gram hash where the benchmark side
-is an EVAL SET — genuinely bounded (benchmarks are authored, they do not
-grow with the corpus), so the static broadcast is safe here in a way it
-is not for corpus-derived sides (see SCALE.md's no-corpus-broadcast
-invariant); the corpus side streams through map-side distinct + one
-aggregation.
+contamination join is an equi-join on gram hash; whether the benchmark
+side may be statically broadcast depends on where it comes from:
+``contamination_check``'s stand-in eval set is a CORPUS SLICE (grows
+with the corpus → no static hint, AQE decides), while
+``contamination_check_v2``'s eval set is AUTHORED module constants —
+design-bounded, so its static broadcast is structurally safe (see
+SCALE.md's no-corpus-broadcast invariant). The corpus side streams
+through map-side distinct + one aggregation in both.
 """
 
 from __future__ import annotations
@@ -108,10 +110,11 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOP) + "]"
         SELECT doc_id,
                len(t) AS n_tokens,
                CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-                   / len(t) AS awl,
+                   / NULLIF(len(t), 0) AS awl,
                CAST(len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))
-                    AS DOUBLE) / len(t) AS stop_ratio,
-               CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+                    AS DOUBLE) / NULLIF(len(t), 0) AS stop_ratio,
+               CAST(len(list_distinct(t)) AS DOUBLE) / NULLIF(len(t), 0)
+                   AS ttr
         FROM t
     )
     SELECT doc_id,
@@ -141,11 +144,19 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the emitted metrics agree across engines and partitionings.
     Reasons are fixed-order ';'-joined codes (concat_ws skips the NULL
     branches identically in both engines). One scan, zero shuffle.
+
+    Empty-document guard (matches doc_chunk's defensiveness): a
+    whitespace-only doc has zero tokens, and under the session's ANSI
+    mode a bare ``/ n`` would throw DIVIDE_BY_ZERO where the oracle
+    emits NULL metrics. Dividing by NULLIF(n, 0) on BOTH sides makes
+    the two engines agree on the same NULL-metrics row (keep stays
+    FALSE via three-valued AND with the failing length bound).
     """
     prepare(spark)
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     t = F.col("t")
     n = F.size(t)
+    nz = F.nullif(n, F.lit(0))
     stop_arr = F.array(*[F.lit(w) for w in _STOP])
     m = (
         load(spark, sf_dir, "documents")
@@ -157,15 +168,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.aggregate(
                     t, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
                 ).cast("double")
-                / n
+                / nz
             ).alias("awl"),
             (
                 F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))).cast(
                     "double"
                 )
-                / n
+                / nz
             ).alias("stop_ratio"),
-            (F.size(F.array_distinct(t)).cast("double") / n).alias("ttr"),
+            (F.size(F.array_distinct(t)).cast("double") / nz).alias("ttr"),
         )
     )
     nt, awl, sr, ttr = (F.col(c) for c in ("n_tokens", "awl", "stop_ratio", "ttr"))
@@ -232,11 +243,15 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus grams against benchmark grams and count distinct shared grams
     and distinct matched benchmark docs per corpus doc.
 
-    100 TB: the benchmark side is an authored eval set — bounded by
-    construction, never corpus-scale — so the static broadcast is
-    correct here (the one legitimate exception to SCALE.md's
-    no-corpus-broadcast rule, same as the hyperplane constants). The
-    corpus side is one explode + map-side distinct + one aggregation.
+    100 TB: this key's "benchmark" is a CORPUS SLICE (doc_id % 100), so
+    its gram side grows linearly with the corpus — a static broadcast
+    here is exactly the un-demotable class the r5 audit removed from the
+    dedup/tfidf keys (AQE can never demote a planned broadcast). No
+    static hint: AQE broadcasts while the side is small and falls back
+    to shuffle join as it grows. ``contamination_check_v2`` is the
+    variant with a genuinely authored (design-bounded) eval set where a
+    static broadcast IS structurally correct. The corpus side is one
+    explode + map-side distinct + one aggregation either way.
     """
     prepare(spark)
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
@@ -261,7 +276,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corp = grams.filter(F.col("doc_id") % 100 != 0).distinct()
     return (
-        corp.join(F.broadcast(bench), "gram")
+        corp.join(bench, "gram")
         .groupBy("doc_id")
         .agg(
             F.count_distinct("gram").alias("n_shared_grams"),

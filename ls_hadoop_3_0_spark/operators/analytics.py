@@ -708,12 +708,14 @@ def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     p AS (
         SELECT event_type, s / n AS mean,
-               sqrt(q / n - (s / n) * (s / n)) AS std
+               sqrt(greatest(q / n - (s / n) * (s / n), CAST(0 AS DOUBLE)))
+                   AS std
         FROM st
     )
-    SELECT event_id, e.event_type, value, (value - mean) / std AS z
+    SELECT event_id, e.event_type, value,
+           (value - mean) / NULLIF(std, 0) AS z
     FROM events e JOIN p ON e.event_type = p.event_type
-    WHERE abs((value - mean) / std) > 3.0
+    WHERE abs((value - mean) / NULLIF(std, 0)) > 3.0
     """,
 )
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,6 +729,13 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match. The per-type stats table is bounded by the event-type
     vocabulary → broadcast; the fact streams map-side through the join.
     Uses `value` only — unit-drift-immune (no ts in the plan).
+
+    Degenerate-series guards (identical both sides, so a drifted fixture
+    can't split the engines): quantization can round q/n−(s/n)² to a tiny
+    negative → clamp with greatest(·, 0) (Spark sqrt(neg) is NaN, DuckDB
+    errors); a zero-variance series (one event, constant values) must
+    yield NULL z, not DIVIDE_BY_ZERO under the session's ANSI mode →
+    divide by NULLIF(std, 0) and let the |z| filter drop the NULLs.
     """
     prepare(spark)
     ev = load(spark, sf_dir, "events")
@@ -739,11 +748,14 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("s") / F.col("n")).alias("mean"),
         F.sqrt(
-            F.col("q") / F.col("n")
-            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+            F.greatest(
+                F.col("q") / F.col("n")
+                - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+                F.lit(0.0),
+            )
         ).alias("std"),
     )
-    z = (F.col("value") - F.col("mean")) / F.col("std")
+    z = (F.col("value") - F.col("mean")) / F.nullif(F.col("std"), F.lit(0.0))
     return (
         ev.join(F.broadcast(p), "event_type")
         .filter(F.abs(z) > 3.0)

@@ -170,7 +170,8 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_parse_props",
     """
     SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS sum_v
+           CAST(SUM(CAST(trunc(CAST(v AS DOUBLE)) AS BIGINT)) AS BIGINT)
+               AS sum_v
     FROM (
         SELECT unnest(json_keys(props)) AS k,
                json_extract(props, '$.' || unnest(json_keys(props))) AS v
@@ -191,6 +192,11 @@ def udtf_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``get_json_object``/``from_json`` (functions/scalars.py). Keys are
     yielded in sorted order so output is deterministic regardless of
     dict ordering.
+
+    Truncation parity: Python ``int(v)`` truncates toward zero, so the
+    oracle truncates EXPLICITLY (``trunc(CAST(v AS DOUBLE))``) instead
+    of a bare BIGINT cast, which in DuckDB would round-to-nearest and
+    silently diverge on any non-integer prop value (2.7 → 2 vs 3).
     """
     from pyspark.sql.functions import udtf
 

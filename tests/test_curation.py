@@ -61,9 +61,15 @@ def test_quality_keep_iff_no_reasons(spark):
     assert verdicts == {True, False}
 
 
-def test_contamination_benchmark_is_broadcast_and_nonempty(spark):
+def test_contamination_no_static_broadcast_and_nonempty(spark):
     df = contamination_check(spark, SF_DIR)
-    assert checks.has_broadcast_hash_join(df), checks.formatted_plan(df)
+    # ADVICE r5: the bench side is a corpus slice (grows with the corpus),
+    # so the plan must NOT pin a static broadcast — AQE decides at runtime
+    # (initial plan shows the shuffle join; AQE may still broadcast small
+    # sides dynamically, which is exactly the desired demotable behavior).
+    assert "broadcast" not in df._jdf.queryExecution().analyzed().toString().lower(), (
+        checks.formatted_plan(df)
+    )
     rows = df.collect()
     assert len(rows) > 0, "contamination rules found no overlap — not discriminating"
     assert all(r["n_shared_grams"] >= 1 and r["n_bench_docs"] >= 1 for r in rows)
