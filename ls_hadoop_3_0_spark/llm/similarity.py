@@ -42,10 +42,9 @@ TOP_K = 10
 
 _DOT_SPARK = DOT_SPARK
 
-
-@query(
-    "knn_cosine",
-    f"""
+#: Exact brute-force top-k as a reusable oracle CTE body (also the
+#: ground-truth arm of the knn_recall oracle below).
+KNN_COSINE_SQL = f"""
     WITH e AS ({NORM_EMB_SQL}),
     q AS (SELECT vec_id AS q_id, u AS qu FROM e WHERE vec_id % 100 = 0),
     scored AS (
@@ -60,8 +59,10 @@ _DOT_SPARK = DOT_SPARK
                                   ORDER BY cosine DESC, n_id) AS rnk
         FROM scored)
     WHERE rnk <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("knn_cosine", KNN_COSINE_SQL)
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 brute-force cosine top-k (queries: vec_id ≡ 0 mod 100).
 
@@ -278,4 +279,213 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "n_id", "cosine", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle-backed ANN recall gate (VERDICT r5 task 1): recall@k of the two
+# approximate paths vs the exact baseline, recomputed end-to-end in SQL.
+
+
+def ivf_seeds_sql() -> str:
+    """The md5-seeded IVF quantizer seeds as a DuckDB list-of-lists literal.
+
+    Same repr round-trip argument as embeddings.planes_sql: shortest
+    round-tripping decimal + correctly-rounded literal parsers ⇒ the
+    oracle's seed doubles are bit-identical to Spark's ``F.lit`` values.
+    """
+    return (
+        "["
+        + ",".join(
+            "[" + ",".join(repr(x) for x in row) + "]"
+            for row in _seed_centroids()
+        )
+        + "]"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB sequential-fold dot product (bit-twin of DOT_SPARK)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {DIM}),"
+        f" i -> {a}[i] * {b}[i]))"
+    )
+
+
+def _knn_recall_sql() -> str:
+    """Full DuckDB mirror of exact + LSH + IVF top-k and their recall.
+
+    Every arm re-derives its candidates from the embeddings table with
+    the same deterministic constants Spark uses (hyperplanes, IVF seeds,
+    one scaled-long-exact Lloyd step), so the approximate result sets —
+    not just the summary counts — are independently recomputed.
+    """
+    from ls_hadoop_3_0_spark.exprs import sql_davg
+    from ls_hadoop_3_0_spark.llm.embeddings import (
+        lsh_bucket_sql,
+        probe_signatures_sql,
+    )
+
+    return f"""
+    WITH e AS ({NORM_EMB_SQL}),
+    -- ---- exact arm (knn_cosine's CTE body) -------------------------
+    q AS (SELECT vec_id AS q_id, u AS qu FROM e WHERE vec_id % 100 = 0),
+    exscored AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+               round({_dot_sql('q.qu', 'e.u')}, 6) AS cosine
+        FROM q JOIN e ON e.vec_id <> q.q_id
+    ),
+    ex AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rnk
+            FROM exscored)
+        WHERE rnk <= {TOP_K}
+    ),
+    -- ---- LSH arm ---------------------------------------------------
+    bk AS (SELECT vec_id, u, {lsh_bucket_sql()} AS bucket FROM e),
+    lpr AS (SELECT vec_id AS q_id, u AS qu,
+                   unnest({probe_signatures_sql('bucket')}) AS sig
+            FROM bk WHERE vec_id % 100 = 0),
+    lsc AS (
+        SELECT lpr.q_id, bk.vec_id AS n_id,
+               round({_dot_sql('lpr.qu', 'bk.u')}, 6) AS cosine
+        FROM lpr JOIN bk ON lpr.sig = bk.bucket AND bk.vec_id <> lpr.q_id
+    ),
+    lshtop AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rnk
+            FROM lsc)
+        WHERE rnk <= {TOP_K}
+    ),
+    -- ---- IVF arm: seeded quantizer + one exact Lloyd step ----------
+    seedrows AS (
+        SELECT i - 1 AS cell, s[i] AS c
+        FROM (SELECT {ivf_seeds_sql()} AS s), generate_series(1, {IVF_K}) t(i)
+    ),
+    sampc AS (
+        SELECT vec_id, u,
+               CAST(list_position(dots, list_max(dots)) AS INT) - 1 AS cell
+        FROM (SELECT vec_id, u,
+                     list_transform({ivf_seeds_sql()},
+                                    c -> {_dot_sql('c', 'u')}) AS dots
+              FROM e WHERE vec_id % {IVF_TRAIN_MOD} = 1)
+    ),
+    means AS (
+        SELECT cell, pos, {sql_davg('x')} AS m
+        FROM (SELECT cell, unnest(range(1, len(u) + 1)) AS pos,
+                     unnest(u) AS x
+              FROM sampc)
+        GROUP BY cell, pos
+    ),
+    refined AS (
+        SELECT cell, mlist,
+               sqrt(list_sum(list_transform(mlist, x -> x * x))) AS nrm
+        FROM (SELECT cell, list(m ORDER BY pos) AS mlist
+              FROM means GROUP BY cell)
+    ),
+    cents AS (
+        SELECT s.cell,
+               COALESCE(CASE WHEN r.nrm > 1e-9
+                             THEN list_transform(r.mlist, x -> x / r.nrm)
+                        END, s.c) AS c
+        FROM seedrows s LEFT JOIN refined r ON r.cell = s.cell
+    ),
+    carr AS (SELECT list(c ORDER BY cell) AS cl FROM cents),
+    idx AS (
+        SELECT vec_id, u,
+               list_transform(cl, c -> {_dot_sql('c', 'u')}) AS dots
+        FROM e, carr
+    ),
+    idxc AS (
+        SELECT vec_id, u,
+               CAST(list_position(dots, list_max(dots)) AS INT) - 1 AS cell
+        FROM idx
+    ),
+    qp AS (
+        SELECT q_id, qu, cell FROM (
+            SELECT vec_id AS q_id, u AS qu,
+                   unnest(range(0, {IVF_K})) AS cell, unnest(dots) AS d
+            FROM idx WHERE vec_id % 100 = 0
+        ) qd
+        QUALIFY row_number() OVER (PARTITION BY q_id
+                                   ORDER BY d DESC, cell) <= {IVF_NPROBE}
+    ),
+    isc AS (
+        SELECT qp.q_id, idxc.vec_id AS n_id,
+               round({_dot_sql('qp.qu', 'idxc.u')}, 6) AS cosine
+        FROM qp JOIN idxc
+          ON qp.cell = idxc.cell AND idxc.vec_id <> qp.q_id
+    ),
+    ivftop AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rnk
+            FROM isc)
+        WHERE rnk <= {TOP_K}
+    ),
+    -- ---- recall summary -------------------------------------------
+    exs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries
+            FROM ex),
+    hits AS (
+        SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM lshtop JOIN ex USING (q_id, n_id)
+        UNION ALL
+        SELECT 'ivf', CAST(COUNT(*) AS BIGINT)
+        FROM ivftop JOIN ex USING (q_id, n_id)
+    )
+    SELECT method, n_queries, n_exact, n_hits,
+           CAST(n_hits AS DOUBLE) / n_exact AS recall
+    FROM hits, exs
+    """
+
+
+@query("knn_recall", _knn_recall_sql())
+def knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X5 ANN quality gate: recall@{k} of knn_lsh and knn_ivf vs the
+    exact knn_cosine baseline, computed inside Spark and hash-checked
+    against a DuckDB oracle that re-derives ALL THREE result sets
+    independently (deterministic hyperplanes/seeds + the scaled-long
+    Lloyd step make the approximate candidates SQL-portable).
+
+    This converts the ANN arms' quality from a test-pinned number
+    (tests/test_knn.py's 0.15 floor) into a driver-visible, per-round
+    stamped measurement — the missing piece VERDICT r5 ranked first.
+    The rows-only `knn_lsh`/`knn_ivf` keys stay as the serving API.
+
+    recall = |approx@k ∩ exact@k| / |exact@k| as an exact-integer
+    double division — bit-stable on both engines. The exact arm is
+    localCheckpointed: it is queries×k rows (KB) and feeds both the
+    semi-joins and the denominator, so it must not recompute the
+    brute-force scan three times.
+    """
+    prepare(spark)
+    ex = knn_cosine(spark, sf_dir).select("q_id", "n_id").localCheckpoint()
+    exs = ex.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct("q_id").alias("n_queries"),
+    )
+
+    def hits(approx: DataFrame, method: str) -> DataFrame:
+        return (
+            approx.select("q_id", "n_id")
+            .join(ex, ["q_id", "n_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(method).alias("method"), "n_hits")
+        )
+
+    res = hits(lsh_topk(spark, sf_dir, radius=1), "lsh").unionByName(
+        hits(knn_ivf(spark, sf_dir), "ivf")
+    )
+    return res.crossJoin(F.broadcast(exs)).select(
+        "method",
+        "n_queries",
+        "n_exact",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
     )

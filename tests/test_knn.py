@@ -139,3 +139,22 @@ def test_ivf_degenerate_one_cell_still_correct(spark):
     dup_cells = {cells[i] for i in range(90)}
     assert len(dup_cells) == 1, "identical vectors split across cells"
     assert all(0 <= c < IVF_K for c in cells.values())
+
+
+def test_knn_recall_key_consistent_with_raw_pipelines(spark):
+    """The driver-visible knn_recall summary must equal the recall
+    recomputed here from the raw exact/approx top-k sets, and its
+    arithmetic must be internally consistent (n_exact = queries×k,
+    n_hits ≤ n_exact, recall = n_hits/n_exact exactly)."""
+    rows = {r["method"]: r for r in engine.QUERIES["knn_recall"](spark, SF_DIR).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    exact = _topk(engine.QUERIES["knn_cosine"](spark, SF_DIR))
+    for method, key in (("lsh", "knn_lsh"), ("ivf", "knn_ivf")):
+        approx = _topk(engine.QUERIES[key](spark, SF_DIR))
+        hits = sum(len(set(approx.get(q, {})) & set(ns)) for q, ns in exact.items())
+        r = rows[method]
+        assert r["n_hits"] == hits
+        assert r["n_exact"] == sum(len(ns) for ns in exact.values())
+        assert r["n_queries"] == len(exact)
+        assert r["recall"] == r["n_hits"] / r["n_exact"]
+        assert r["recall"] >= 0.15, f"{method} recall collapsed: {r['recall']}"
