@@ -31,6 +31,7 @@ from ls_hadoop_3_0_spark import registry  # noqa: F401
 from ls_hadoop_3_0_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
+    examples,
     graph,
     joins,
     relational,

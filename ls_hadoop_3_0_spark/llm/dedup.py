@@ -869,3 +869,107 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare(spark)
     return embedding_pairs(normalized_embeddings(load(spark, sf_dir, "embeddings")))
+
+
+DEDUP_APPLY_SQL = f"""
+    WITH labels AS (SELECT doc_id, cluster_id FROM ({DEDUP_CLUSTERS_SQL}) t),
+    k AS (
+        SELECT d.doc_id, d.n_chars,
+               (l.doc_id IS NULL OR l.doc_id = l.cluster_id) AS kept
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ),
+    b AS (
+        SELECT doc_id // 1000 AS bkt,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+                   AS bmd5
+        FROM k WHERE kept GROUP BY bkt
+    ),
+    dg AS (SELECT md5(string_agg(bmd5, ',' ORDER BY bkt)) AS kept_md5 FROM b),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               CAST(SUM(CASE WHEN kept THEN n_chars END) AS BIGINT)
+                   AS kept_chars
+        FROM k
+    )
+    SELECT s.n_kept, s.n_dropped, s.kept_chars, dg.kept_md5 FROM s, dg
+    """
+
+
+@query("dedup_apply", DEDUP_APPLY_SQL)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 end-to-end dedup APPLY: actually drop the duplicates.
+
+    Pairs → components → keep rule (``doc_id == cluster_id``, i.e. each
+    component survives through its min-id representative; docs in no
+    pair keep themselves via the left join's NULL) → surviving-corpus
+    stats. This is the pass every training pipeline runs after the
+    cluster labels exist — VERDICT r5 task 5. The oracle re-derives the
+    components with its independent recursive-CTE closure and applies
+    the same keep rule.
+
+    The kept-id digest is a TWO-LEVEL merkle-ish md5: per-1000-id
+    bucket digests (ordered within bucket), then one digest over the
+    bucket digests (ordered by bucket). Each aggregation buffer is
+    bounded (≤1000 ids / ≤n/1000 bucket digests) instead of one
+    corpus-sized sorted concat — the shape that survives 100 TB, where
+    the outer level would recurse once more. md5 hex is identical on
+    both engines (registry.py rules); ids sort NUMERICALLY both sides
+    (sort_array on longs / ORDER BY doc_id), never as strings.
+    """
+    prepare(spark)
+    docs = load(spark, sf_dir, "documents")
+    labels = connected_components(minhash_pairs(docs)).select(
+        "doc_id", "cluster_id"
+    )
+    k = (
+        docs.select("doc_id", "n_chars")
+        .join(labels.hint("merge"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("doc_id") == F.col("cluster_id"))
+            ).alias("kept"),
+        )
+        .localCheckpoint(eager=False)  # feeds both stats and the digest
+    )
+    b = (
+        k.filter("kept")
+        .groupBy(F.expr("doc_id div 1000").alias("bkt"))
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(sort_array(collect_list(doc_id)),"
+                        " x -> cast(x as string))"
+                    ),
+                    ",",
+                )
+            ).alias("bmd5")
+        )
+    )
+    dg = b.agg(
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(bkt, bmd5))),"
+                    " s -> s.bmd5)"
+                ),
+                ",",
+            )
+        ).alias("kept_md5")
+    )
+    s = k.agg(
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("kept"), F.col("n_chars")))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+    return s.crossJoin(dg)

@@ -1,0 +1,130 @@
+"""Reference example workloads — SURVEY.md §2 MR-ex rows.
+
+The upstream ``hadoop-mapreduce-examples`` jar ships self-contained
+demonstration jobs; the ones with operator substance are already keys
+(WordCount → ``wordcount``, Grep → ``grep_count``, TeraSort →
+``sort_global`` / ``sort_validate``, WordMean family → ``agg_stats``).
+This module carries the remaining workload-parity item:
+
+- ``examples_pi`` — the QuasiMonteCarlo pi estimator (Halton-sequence
+  sampling, SURVEY §2 notes it as the canonical generated-input
+  map+reduce example).
+
+The upstream job is famously non-verifiable (RNG-seeded darts); the
+Halton low-discrepancy sequence it actually uses is DETERMINISTIC, so
+re-expressing it with exact integer arithmetic makes even this one
+oracle-checkable — every digit of the estimate hash-matches DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ls_hadoop_3_0_spark.registry import query
+from ls_hadoop_3_0_spark.session import prepare
+
+#: Sample count and radical-inverse digit budgets. N must not exceed
+#: base^digits for either base, so every index's radical inverse is
+#: EXACT with that many digits (no truncation anywhere).
+PI_N = 50_000
+PI_B2_DIGITS = 16  # 2^16 = 65536  >= PI_N
+PI_B3_DIGITS = 10  # 3^10 = 59049  >= PI_N
+
+_D2 = 2**PI_B2_DIGITS
+_D3 = 3**PI_B3_DIGITS
+#: Common-denominator half-width: the circle test
+#:   (x-1/2)^2 + (y-1/2)^2 <= 1/4   with x = num2/2^16, y = num3/3^10
+#: cross-multiplied by (2^16 * 3^10)^2 becomes
+#:   (num2*3^10 - HALF)^2 + (num3*2^16 - HALF)^2 <= HALF^2
+#: in EXACT 64-bit integers (HALF^2 ~ 3.7e18, sum of two squares
+#: <= 2*HALF^2 ~ 7.5e18 < 2^63-1 — no overflow, ANSI mode would shout).
+_HALF = (_D2 // 2) * _D3
+_R2 = _HALF * _HALF
+
+assert PI_N <= _D2 and PI_N <= _D3
+
+
+def _radical_inverse(col: str, base: int, digits: int) -> str:
+    """Spark/DuckDB-shared SQL: scaled radical inverse of ``col``.
+
+    Returns the integer  num = sum_d digit_d(i) * base^(digits-1-d),
+    i.e. the base-``base`` Halton value of i times base^digits — kept
+    as an exact integer so the circle test needs no floating point.
+    ``pow(base, d)`` is a double but exact for every power used here
+    (max 3^10 = 59049 << 2^53), and both engines' casts agree on exact
+    values. The identical string is valid Spark SQL and DuckDB SQL —
+    one source of truth, zero dialect drift.
+    """
+    return (
+        f"aggregate(sequence(0, {digits - 1}), CAST(0 AS BIGINT), (acc, d) -> "
+        f"acc + (({col} div CAST(pow({base}, d) AS BIGINT)) % {base})"
+        f" * CAST(pow({base}, {digits - 1} - d) AS BIGINT))"
+    )
+
+
+#: DuckDB spells the sequential fold list_sum(list_transform(...)) and
+#: integer division `//`; everything else mirrors _radical_inverse.
+def _radical_inverse_duck(col: str, base: int, digits: int) -> str:
+    return (
+        f"list_sum(list_transform(range(0, {digits}), d -> "
+        f"(({col} // CAST(pow({base}, d) AS BIGINT)) % {base})"
+        f" * CAST(pow({base}, {digits - 1} - d) AS BIGINT)))"
+    )
+
+
+@query(
+    "examples_pi",
+    f"""
+    WITH pts AS (
+        SELECT {_radical_inverse_duck('i', 2, PI_B2_DIGITS)} AS num2,
+               {_radical_inverse_duck('i', 3, PI_B3_DIGITS)} AS num3
+        FROM range({PI_N}) t(i)
+    ),
+    d AS (
+        SELECT (num2 * {_D3} - {_HALF}) AS dx,
+               (num3 * {_D2} - {_HALF}) AS dy
+        FROM pts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CASE WHEN dx * dx + dy * dy <= {_R2}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+           CAST(4 AS DOUBLE)
+               * SUM(CASE WHEN dx * dx + dy * dy <= {_R2}
+                          THEN 1 ELSE 0 END) / COUNT(*) AS pi_estimate
+    FROM d
+    """,
+)
+def examples_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MR-ex QuasiMonteCarlo: Halton-sequence pi, exact-integer inside test.
+
+    Point i = (halton_2(i), halton_3(i)) in the unit square; count the
+    points inside the inscribed circle; pi ≈ 4 * inside / n. Upstream
+    runs this as one generated-input map per split + a 2-counter reduce;
+    here it is ``spark.range`` → two codegen'd integer folds → one agg —
+    map-only until a single 2-long partial-aggregated reduce, so the
+    plan is embarrassingly parallel at any scale (10^12 darts = more
+    range partitions, same 2-value shuffle).
+
+    Everything is exact 64-bit integer arithmetic (see _HALF), so both
+    engines agree bit-for-bit even on the final double estimate
+    (4.0 * inside / n: one exact multiply, one IEEE divide).
+    ``sf_dir`` is unused — the input is generated, as upstream's is.
+    """
+    prepare(spark)
+    pts = spark.range(PI_N).select(
+        F.expr(_radical_inverse("id", 2, PI_B2_DIGITS)).alias("num2"),
+        F.expr(_radical_inverse("id", 3, PI_B3_DIGITS)).alias("num3"),
+    )
+    d = pts.select(
+        (F.col("num2") * _D3 - _HALF).alias("dx"),
+        (F.col("num3") * _D2 - _HALF).alias("dy"),
+    )
+    inside = F.when(
+        F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy") <= _R2, 1
+    ).otherwise(0)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(inside).alias("n_inside"),
+        (F.lit(4.0) * F.sum(inside) / F.count(F.lit(1))).alias("pi_estimate"),
+    )

@@ -261,3 +261,98 @@ def secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("shipdate"),
         )
     )
+
+
+@query(
+    "sort_validate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS within_violations,
+           CAST(0 AS BIGINT) AS boundary_violations,
+           TRUE AS is_globally_sorted,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    """,
+)
+def sort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 TeraValidate parity: prove the range-partitioned sort is sorted.
+
+    Upstream TeraValidate re-reads TeraSort's output and checks (a) each
+    partition file is internally ordered, (b) partition p's last key <=
+    partition p+1's first key, (c) a key checksum matches the input.
+    Same pass here over the PHYSICAL layout Spark's orderBy produced:
+
+    - ``monotonically_increasing_id`` captures physical row position
+      inside each partition, so the lag() comparison checks the actual
+      stored order (not a re-sort of it);
+    - per-partition (first, last, count) reduce via min_by/max_by on
+      that position, boundaries compared across adjacent partition ids
+      (range partitioning assigns ascending key ranges to ascending
+      pids) — partition-count-sized metadata, like TeraValidate's
+      per-file records;
+    - checksum = exact SUM over a unique BIGINT key.
+
+    The oracle states the EXPECTED verdict (0 violations, sorted=TRUE)
+    plus independently recomputed count/min/max/checksum — so if the
+    sort ever mis-ordered or dropped a row, the value-hash gate fails.
+    localCheckpoint freezes one layout: range boundaries are sampled
+    per evaluation, and validating one evaluation's layout against
+    another's metadata would be exactly the TOCTOU TeraValidate avoids
+    by reading the finished files.
+    """
+    prepare(spark)
+    n = spark.sparkContext.defaultParallelism
+    s = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .repartitionByRange(n, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    within = s.withColumn("prev", F.lag("o_orderkey").over(w)).agg(
+        F.sum(
+            F.when(F.col("prev") > F.col("o_orderkey"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("within_violations")
+    )
+    per = s.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min_by("o_orderkey", "_mid").alias("first_key"),
+        F.max_by("o_orderkey", "_mid").alias("last_key"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+    # Partition-count-sized frame: the single-partition window is over
+    # ~32 metadata rows, not data (same posture as global_rank offsets).
+    wb = Window.orderBy("_pid")
+    bound = per.withColumn("prev_last", F.lag("last_key").over(wb)).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(
+            F.when(F.col("prev_last") > F.col("first_key"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("boundary_violations"),
+        F.sum("cnt").alias("n_rows"),
+        F.min("min_key").alias("min_key"),
+        F.max("max_key").alias("max_key"),
+        F.sum("key_sum").alias("key_sum"),
+    )
+    return bound.crossJoin(within).select(
+        "n_rows",
+        "within_violations",
+        "boundary_violations",
+        (
+            (F.col("within_violations") == 0)
+            & (F.col("boundary_violations") == 0)
+        ).alias("is_globally_sorted"),
+        "min_key",
+        "max_key",
+        "key_sum",
+    )

@@ -594,3 +594,74 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+@query(
+    "scan_csv_badrecords",
+    """
+    SELECT CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad,
+           CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END)
+                AS BIGINT) AS good_key_sum,
+           CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_regionkey END)
+                AS BIGINT) AS good_region_sum
+    FROM nation
+    """,
+)
+def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 malformed-record ingest: PERMISSIVE + corrupt-record column.
+
+    Real ingest hits broken rows daily (VERDICT r5 gap 4); this key
+    stages a TSV in which every 5th nation row is DELIBERATELY mangled
+    (non-numeric key field, wrong arity), reads it back under
+    ``mode=PERMISSIVE`` with ``columnNameOfCorruptRecord``, and reduces
+    to (good, bad, recovered-column checksums). The corruption rule is a
+    pure function of the source table, so the oracle predicts the exact
+    split and the recovered sums without reading the staged file.
+
+    The ``cache()`` is REQUIRED, not an optimization: Spark refuses
+    queries that filter/aggregate on only the corrupt-record column of
+    a lazy CSV relation (internal-column pushdown restriction) — the
+    documented idiom is to materialize first. The staged file is
+    nation-sized; at 100 TB the same pattern runs per-batch with the
+    corrupt rows quarantined to a side sink (test_io.py exercises the
+    DROPMALFORMED / FAILFAST twins of this read).
+    """
+    prepare(spark)
+    path = scratch(sf_dir, "scan_csv_badrecords")
+    nation = load(spark, sf_dir, "nation")
+    line = F.when(
+        F.col("n_nationkey") % 5 == 0,
+        F.concat(F.lit("corrupt<"), F.col("n_name"), F.lit(">row")),
+    ).otherwise(
+        F.concat_ws(
+            "\t",
+            F.col("n_nationkey").cast("string"),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("string"),
+        )
+    )
+    nation.select(line.alias("value")).write.mode("overwrite").text(path)
+    df = (
+        spark.read.schema(
+            "n_nationkey int, n_name string, n_regionkey int, _corrupt string"
+        )
+        .option("sep", "\t")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .cache()
+    )
+    good = F.col("_corrupt").isNull()
+    return df.agg(
+        F.sum(F.when(good, 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(~good, 1).otherwise(0)).cast("long").alias("n_bad"),
+        F.sum(F.when(good, F.col("n_nationkey"))).cast("long").alias(
+            "good_key_sum"
+        ),
+        F.sum(F.when(good, F.col("n_regionkey"))).cast("long").alias(
+            "good_region_sum"
+        ),
+    )

@@ -221,3 +221,30 @@ def test_register_views_enables_adhoc_sql(spark):
         "SELECT count(*) AS n FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
     ).collect()[0]["n"]
     assert n > 0
+
+
+def test_badrecords_dropmalformed_and_failfast_twins(spark):
+    """The PERMISSIVE key stages 1-in-5 corrupt rows; the two other CSV
+    parse modes must behave per contract on the same staged file:
+    DROPMALFORMED keeps only the good rows, FAILFAST raises."""
+    import ls_hadoop_3_0_spark as engine
+    from ls_hadoop_3_0_spark.sources.io import scratch
+
+    permissive = engine.QUERIES["scan_csv_badrecords"](spark, SF_DIR).collect()[0]
+    assert permissive["n_bad"] > 0 and permissive["n_good"] > 0
+    path = scratch(SF_DIR, "scan_csv_badrecords")
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    dropped = (
+        spark.read.schema(schema)
+        .option("sep", "\t")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    # collect(), not count(): a bare count() prunes every column, so the
+    # CSV parser never attempts conversion and drops nothing (documented
+    # Spark behavior for malformed-row handling under column pruning).
+    assert len(dropped.collect()) == permissive["n_good"]
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        spark.read.schema(schema).option("sep", "\t").option(
+            "mode", "FAILFAST"
+        ).csv(path).collect()
