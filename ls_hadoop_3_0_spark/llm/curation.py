@@ -274,7 +274,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("bench_id"), "gram")
         .distinct()
     )
-    corp = grams.filter(F.col("doc_id") % 100 != 0).distinct()
+    # No corp-side distinct: the final COUNT(DISTINCT ...) aggregates
+    # dedup anyway, and a pre-join distinct is a full corpus-gram
+    # shuffle bought to save nothing (measured at 100×: the distinct
+    # doubled the key's runtime). The bench side stays distinct — it is
+    # the small side and join multiplicity would amplify output rows.
+    corp = grams.filter(F.col("doc_id") % 100 != 0)
     return (
         corp.join(bench, "gram")
         .groupBy("doc_id")
@@ -368,12 +373,16 @@ def contamination_check_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bench_id", F.explode(F.expr(gram_expr)).alias("gram"))
         .distinct()
     )
+    # No corp-side distinct (same rationale as contamination_check): the
+    # broadcast bench filter cuts 26M exploded grams to the handful that
+    # match BEFORE any shuffle, and COUNT(DISTINCT) dedups after — a
+    # pre-join distinct would shuffle the whole gram stream for nothing
+    # (measured 91 s → 46 s at the 100× corpus).
     corp = (
         load(spark, sf_dir, "documents")
         .select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= CONTAM_GRAM)
         .select("doc_id", F.explode(F.expr(gram_expr)).alias("gram"))
-        .distinct()
     )
     return (
         corp.join(F.broadcast(bench), "gram")

