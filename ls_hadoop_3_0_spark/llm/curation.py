@@ -9,7 +9,10 @@ and the per-doc stats (functions/text.py):
 - ``text_quality``        — Gopher-style rule-based quality filter with
   per-document keep/reject verdicts and machine-readable reasons.
 - ``contamination_check`` — benchmark decontamination: flag corpus
-  documents sharing token n-grams with a held-out evaluation set.
+  documents sharing token n-grams with a held-out evaluation set
+  (``contamination_check_v2``: the authored-eval-set production form).
+- ``doc_pack``            — sequence packing: concat-then-split window
+  assignment over a distributed prefix sum (sort.global_prefix_sum).
 
 Scale notes: chunking and quality scoring are pure map-side higher-order
 functions (zero shuffle, zero Python — one scan each at 100 TB). The
@@ -391,4 +394,78 @@ def contamination_check_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("gram").alias("n_shared_grams"),
             F.count_distinct("bench_id").alias("n_bench_docs"),
         )
+    )
+
+
+#: Context-window size for sequence packing (tokens per training window).
+PACK_WINDOW = 64
+
+
+@query(
+    "doc_pack",
+    f"""
+    WITH t AS (SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents),
+    c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS pack_start
+        FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(pack_start AS BIGINT) AS pack_start,
+           CAST(pack_start // {PACK_WINDOW} AS BIGINT) AS first_window,
+           CAST((pack_start + n_tokens - 1) // {PACK_WINDOW} AS BIGINT)
+               AS last_window,
+           CAST((pack_start + n_tokens - 1) // {PACK_WINDOW}
+                - pack_start // {PACK_WINDOW} + 1 AS BIGINT) AS n_windows
+    FROM c
+    """,
+)
+def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X7 sequence packing: concat-then-split window assignment.
+
+    The pre-tokenizer packing pass: documents are laid end-to-end in
+    doc_id order and cut into fixed PACK_WINDOW-token training windows;
+    each doc learns its global token offset and the window range it
+    spans. Everything downstream (attention-mask boundaries, shard
+    manifests) derives from these integers.
+
+    The global running offset is the interesting part at 100 TB: a
+    naive cumulative window is a single-partition scan. This uses
+    ``sort.global_prefix_sum`` — range-partition on doc_id,
+    per-partition running sum, partition-total offsets (metadata-sized
+    collect) — the distributed scan, so the oracle's plain windowed
+    SUM must agree exactly with a P-way parallel computation. Pure
+    integer arithmetic: bit-exact on both engines by construction.
+    """
+    from ls_hadoop_3_0_spark.operators.sort import global_prefix_sum
+
+    prepare(spark)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    t = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(toks).alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    c = global_prefix_sum(t, "n_tokens", "doc_id").withColumnRenamed(
+        "_psum", "pack_start"
+    )
+    first_w = F.expr(f"pack_start div {PACK_WINDOW}")
+    return c.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("pack_start").cast("long").alias("pack_start"),
+        first_w.cast("long").alias("first_window"),
+        F.expr(f"(pack_start + n_tokens - 1) div {PACK_WINDOW}")
+        .cast("long")
+        .alias("last_window"),
+        (
+            F.expr(f"(pack_start + n_tokens - 1) div {PACK_WINDOW}")
+            - F.expr(f"pack_start div {PACK_WINDOW}")
+            + 1
+        )
+        .cast("long")
+        .alias("n_windows"),
     )

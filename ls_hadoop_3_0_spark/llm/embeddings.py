@@ -139,14 +139,40 @@ def probe_signatures(
     return F.expr(expr)
 
 
-def probe_signatures_sql(bucket_expr: str = "bucket", n_planes: int = N_PLANES) -> str:
-    """DuckDB list expr mirroring :func:`probe_signatures`."""
+def _flip_duck(s: str, i: str) -> str:
+    """DuckDB snippet: string ``s`` with the bit at 1-based pos ``i`` flipped."""
     return (
-        f"list_append(list_transform(generate_series(1, {n_planes}),"
-        f" i -> substring({bucket_expr}, 1, i - 1) ||"
-        f" (CASE WHEN substring({bucket_expr}, i, 1) = '1' THEN '0' ELSE '1' END)"
-        f" || substring({bucket_expr}, i + 1)), {bucket_expr})"
+        f"substring({s}, 1, {i} - 1) ||"
+        f" (CASE WHEN substring({s}, {i}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substring({s}, {i} + 1)"
     )
+
+
+def probe_signatures_sql(
+    bucket_expr: str = "bucket", n_planes: int = N_PLANES, radius: int = 1
+) -> str:
+    """DuckDB list expr mirroring :func:`probe_signatures`.
+
+    radius=1: bucket + single-bit flips; radius=2 appends the bit-pair
+    flips (i < j, each exactly Hamming-2 from the bucket — disjoint from
+    the radius-1 set and from each other, so plain list concatenation
+    equals Spark's array_union'd set).
+    """
+    if radius not in (1, 2):
+        raise ValueError(f"probe radius must be 1 or 2, got {radius}")
+    r1 = (
+        f"list_append(list_transform(generate_series(1, {n_planes}),"
+        f" i -> {_flip_duck(bucket_expr, 'i')}), {bucket_expr})"
+    )
+    if radius == 1:
+        return r1
+    pair = _flip_duck(f"({_flip_duck(bucket_expr, 'i')})", "j")
+    pairs = (
+        f"flatten(list_transform(generate_series(1, {n_planes} - 1),"
+        f" i -> list_transform(generate_series(i + 1, {n_planes}),"
+        f" j -> {pair})))"
+    )
+    return f"list_concat({r1}, {pairs})"
 
 
 # ---------------------------------------------------------------------------

@@ -361,6 +361,23 @@ def _knn_recall_sql() -> str:
             FROM lsc)
         WHERE rnk <= {TOP_K}
     ),
+    -- ---- LSH radius-2 arm (22-probe multi-probe) -------------------
+    lpr2 AS (SELECT vec_id AS q_id, u AS qu,
+                    unnest({probe_signatures_sql('bucket', radius=2)}) AS sig
+             FROM bk WHERE vec_id % 100 = 0),
+    l2sc AS (
+        SELECT lpr2.q_id, bk.vec_id AS n_id,
+               round({_dot_sql('lpr2.qu', 'bk.u')}, 6) AS cosine
+        FROM lpr2 JOIN bk ON lpr2.sig = bk.bucket AND bk.vec_id <> lpr2.q_id
+    ),
+    lsh2top AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rnk
+            FROM l2sc)
+        WHERE rnk <= {TOP_K}
+    ),
     -- ---- IVF arm: seeded quantizer + one exact Lloyd step ----------
     seedrows AS (
         SELECT i - 1 AS cell, s[i] AS c
@@ -436,6 +453,9 @@ def _knn_recall_sql() -> str:
         SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits
         FROM lshtop JOIN ex USING (q_id, n_id)
         UNION ALL
+        SELECT 'lsh_r2', CAST(COUNT(*) AS BIGINT)
+        FROM lsh2top JOIN ex USING (q_id, n_id)
+        UNION ALL
         SELECT 'ivf', CAST(COUNT(*) AS BIGINT)
         FROM ivftop JOIN ex USING (q_id, n_id)
     )
@@ -479,8 +499,10 @@ def knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(method).alias("method"), "n_hits")
         )
 
-    res = hits(lsh_topk(spark, sf_dir, radius=1), "lsh").unionByName(
-        hits(knn_ivf(spark, sf_dir), "ivf")
+    res = (
+        hits(lsh_topk(spark, sf_dir, radius=1), "lsh")
+        .unionByName(hits(lsh_topk(spark, sf_dir, radius=2), "lsh_r2"))
+        .unionByName(hits(knn_ivf(spark, sf_dir), "ivf"))
     )
     return res.crossJoin(F.broadcast(exs)).select(
         "method",

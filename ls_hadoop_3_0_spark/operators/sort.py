@@ -356,3 +356,49 @@ def sort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_key",
         "key_sum",
     )
+
+
+def global_prefix_sum(df: DataFrame, value_col: str, *order_cols) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum over a global order → ``_psum``.
+
+    Same two-level shape as :func:`global_rank` (the scan-with-offsets
+    pattern): range-partition on the order key, per-partition running
+    sum, then add the per-partition totals' cumulative offsets (a
+    partition-count-sized collect — metadata, not data). No
+    single-partition window anywhere, so the scan stays P-way parallel
+    at any scale — the building block for sequence packing, byte-offset
+    assignment, and file-splitting operators.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    s = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # freeze sampled range boundaries (cf. global_rank)
+    )
+    totals = sorted(
+        (r["_pid"], r["t"] or 0)
+        for r in s.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        acc += t
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        s.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "_psum",
+            (
+                F.coalesce(F.sum(value_col).over(w), F.lit(0))
+                + F.col("_offset")
+            ).cast("long"),
+        )
+        .drop("_pid", "_offset")
+    )

@@ -157,3 +157,45 @@ def test_anomaly_zscore_flags_are_extreme_and_rare(spark):
         assert len(rows) / n_events < 0.05  # outliers are rare by construction
     finally:
         df.unpersist()
+
+
+def test_doc_pack_tiles_and_matches_serial_cumsum(spark):
+    """Packing invariants: offsets tile exactly (each doc starts where
+    the previous ends in doc_id order), the distributed prefix sum
+    equals a serial cumsum, and window spans cover the token range."""
+    import ls_hadoop_3_0_spark as engine
+    from ls_hadoop_3_0_spark.llm.curation import PACK_WINDOW
+
+    rows = sorted(
+        engine.QUERIES["doc_pack"](spark, SF_DIR).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    acc = 0
+    for r in rows:
+        assert r["pack_start"] == acc, (r, acc)
+        acc += r["n_tokens"]
+        assert r["first_window"] == r["pack_start"] // PACK_WINDOW
+        last_tok = r["pack_start"] + r["n_tokens"] - 1
+        assert r["last_window"] == last_tok // PACK_WINDOW
+        assert r["n_windows"] == r["last_window"] - r["first_window"] + 1
+
+
+def test_global_prefix_sum_is_partitioning_invariant(spark):
+    """The distributed scan must not depend on input partitioning."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.operators.sort import global_prefix_sum
+
+    df = load(spark, SF_DIR, "orders").select("o_orderkey", F.lit(1).alias("one"))
+    a = {
+        r["o_orderkey"]: r["_psum"]
+        for r in global_prefix_sum(df, "one", "o_orderkey").collect()
+    }
+    b = {
+        r["o_orderkey"]: r["_psum"]
+        for r in global_prefix_sum(df.repartition(7), "one", "o_orderkey").collect()
+    }
+    assert a == b
+    # With unit weights the exclusive prefix sum is rank-1 in key order.
+    for i, k in enumerate(sorted(a)):
+        assert a[k] == i

@@ -146,11 +146,19 @@ def test_knn_recall_key_consistent_with_raw_pipelines(spark):
     recomputed here from the raw exact/approx top-k sets, and its
     arithmetic must be internally consistent (n_exact = queries×k,
     n_hits ≤ n_exact, recall = n_hits/n_exact exactly)."""
+    from ls_hadoop_3_0_spark.llm.similarity import lsh_topk
+
     rows = {r["method"]: r for r in engine.QUERIES["knn_recall"](spark, SF_DIR).collect()}
-    assert set(rows) == {"lsh", "ivf"}
+    assert set(rows) == {"lsh", "lsh_r2", "ivf"}
+    # The 22-probe radius-2 arm must dominate the 7-probe radius-1 arm.
+    assert rows["lsh_r2"]["recall"] >= rows["lsh"]["recall"]
     exact = _topk(engine.QUERIES["knn_cosine"](spark, SF_DIR))
-    for method, key in (("lsh", "knn_lsh"), ("ivf", "knn_ivf")):
-        approx = _topk(engine.QUERIES[key](spark, SF_DIR))
+    for method, fetch in (
+        ("lsh", lambda: engine.QUERIES["knn_lsh"](spark, SF_DIR)),
+        ("lsh_r2", lambda: lsh_topk(spark, SF_DIR, radius=2)),
+        ("ivf", lambda: engine.QUERIES["knn_ivf"](spark, SF_DIR)),
+    ):
+        approx = _topk(fetch())
         hits = sum(len(set(approx.get(q, {})) & set(ns)) for q, ns in exact.items())
         r = rows[method]
         assert r["n_hits"] == hits
