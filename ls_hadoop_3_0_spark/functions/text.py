@@ -343,6 +343,247 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wordstats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CAST(length(word) AS BIGINT)) AS DOUBLE) / COUNT(*)
+               AS mean_len,
+           round(median(CAST(length(word) AS DOUBLE)), 6) AS median_len,
+           sqrt(greatest(
+               CAST(SUM(CAST(length(word) * length(word) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*)
+               - (CAST(SUM(CAST(length(word) AS BIGINT)) AS DOUBLE) / COUNT(*))
+               * (CAST(SUM(CAST(length(word) AS BIGINT)) AS DOUBLE) / COUNT(*)),
+               CAST(0 AS DOUBLE))) AS stddev_len
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    """,
+)
+def wordstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MR-ex parity: WordMean + WordMedian + WordStandardDeviation fused.
+
+    The three Hadoop example jobs over corpus word lengths in ONE
+    aggregation pass (each was a separate MR job; here Catalyst computes
+    all four aggregates in a single map-side-combined shuffle). Parity
+    mechanics: mean and stddev are composed from EXACT integer sums
+    (lengths and squared lengths are ints → long sums are associative),
+    then identical double arithmetic on both sides — the textbook
+    E[x²]−E[x]² formula the Hadoop example itself uses, variance clamped
+    at 0 per the anomaly_zscore ANSI rule. Median is the exact
+    interpolated percentile (the agg_median idiom, rounded at 6).
+    One scan, one 1-group aggregation — map-side partials make the
+    shuffle carry 32 partial rows at any corpus size.
+    """
+    prepare(spark)
+    ln = F.length("word").cast("long")
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(ln).alias("s1"),
+            F.sum(ln * ln).alias("s2"),
+            F.round(F.median(F.length("word").cast("double")), 6).alias(
+                "median_len"
+            ),
+        )
+        .select(
+            F.col("n_words").cast("long").alias("n_words"),
+            (F.col("s1").cast("double") / F.col("n_words")).alias("mean_len"),
+            "median_len",
+            F.sqrt(
+                F.greatest(
+                    F.col("s2").cast("double") / F.col("n_words")
+                    - (F.col("s1").cast("double") / F.col("n_words"))
+                    * (F.col("s1").cast("double") / F.col("n_words")),
+                    F.lit(0.0),
+                )
+            ).alias("stddev_len"),
+        )
+        .select("n_words", "mean_len", "median_len", "stddev_len")
+    )
+
+
+#: Vocabulary cap for ``vocab_build`` (a real tokenizer build uses 32k-256k;
+#: the rank window below is vocabulary-sized either way).
+VOCAB_MAX = 1000
+
+
+@query(
+    "vocab_build",
+    f"""
+    WITH counts AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    )
+    SELECT word,
+           CAST(row_number() OVER (ORDER BY n DESC, word) - 1 AS BIGINT)
+               AS vocab_id,
+           n,
+           CAST(SUM(n) OVER (ORDER BY n DESC, word
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(SUM(n) OVER () AS DOUBLE) AS cum_frac
+    FROM counts
+    QUALIFY row_number() OVER (ORDER BY n DESC, word) <= {VOCAB_MAX}
+    """,
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 tokenizer-vocabulary construction: frequency-ranked token IDs.
+
+    The pass every tokenizer training run starts with: corpus token
+    counts → deterministic ID assignment by (count desc, token asc) →
+    cumulative corpus-coverage fraction (the curve that picks the vocab
+    size). IDs and coverage are exact integer arithmetic → bit-stable.
+
+    Scale shape: the groupBy is corpus-sized with map-side combine (the
+    wordcount shuffle); everything after runs on the VOCABULARY —
+    Heaps'-law sublinear, ≪ corpus. The global rank/running-sum window
+    is a single-partition pass over that vocabulary-sized aggregate
+    (fine to ~10⁷ vocab rows; beyond that, rank via the two-phase
+    per-partition-offset pattern in operators/sort.global_prefix_sum).
+    """
+    prepare(spark)
+    counts = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "word")
+    return (
+        counts.select(
+            "word",
+            (F.row_number().over(w) - 1).cast("long").alias("vocab_id"),
+            "n",
+            (
+                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+                / F.sum("n").over(Window.partitionBy()).cast("double")
+            ).alias("cum_frac"),
+        )
+        .filter(F.col("vocab_id") < VOCAB_MAX)
+    )
+
+
+#: BM25 retrieval constants (Robertson/Spärck Jones; k1/b are the
+#: standard Okapi defaults) and the authored query.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("merge", "window", "stream")
+BM25_TOPK = 10
+
+_BM25_Q_SQL = "[" + ", ".join(f"'{t}'" for t in BM25_QUERY) + "]"
+
+
+@query(
+    "bm25_topk",
+    f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS dl FROM t),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM base),
+    tf AS (
+        SELECT doc_id, dl, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(t) AS word FROM base)
+        WHERE list_contains({_BM25_Q_SQL}, word)
+        GROUP BY doc_id, dl, word
+    ),
+    df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln(CAST(1 AS DOUBLE)
+                      + (n_docs - df + CAST(0.5 AS DOUBLE))
+                        / (df + CAST(0.5 AS DOUBLE)))
+                   * (tf * (CAST({BM25_K1} AS DOUBLE) + CAST(1 AS DOUBLE)))
+                   / (tf + CAST({BM25_K1} AS DOUBLE)
+                         * (CAST(1 AS DOUBLE) - CAST({BM25_B} AS DOUBLE)
+                            + CAST({BM25_B} AS DOUBLE) * dl / avgdl))
+                   * 1000000) AS BIGINT) AS sq
+        FROM tf JOIN df USING (word) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(SUM(sq) AS DOUBLE) / 1000000.0 AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY SUM(sq) DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """.replace("{toks}", "list_filter(string_split(text, ' '), x -> x <> '')"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 BM25 retrieval: Okapi-scored top-k documents for a fixed query.
+
+    The lexical-search scoring a corpus pipeline uses for targeted
+    curation (pull documents about X) and eval-set mining. Standard
+    Okapi BM25 (k1=1.2, b=0.75): idf = ln(1 + (N−df+0.5)/(df+0.5)),
+    per-term score idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+
+    Parity mechanics: N/avgdl come from exact integer sums → identical
+    doubles; per-(doc,term) scores are quantized through the scaled-long
+    path (registry float rule — NOT round(x,6)) so the cross-term sum is
+    associative and the final ORDER BY compares exact longs; constants
+    are CAST AS DOUBLE in the oracle (DuckDB parses bare literals as
+    DECIMAL). Ties break on doc_id.
+
+    Scale shape: tf explodes ONLY query-term hits (the filter lands
+    inside the explode projection — shuffle carries hits, not the
+    corpus); df is query-sized (≤3 rows → static broadcast is
+    design-bounded and legitimate); global stats is a 1-row cross join;
+    top-k is TakeOrderedAndProject, never a global sort.
+    """
+    prepare(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    base = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id", "t", F.size("t").alias("dl")
+    )
+    row = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]  # 1-row corpus stats, not a data-path collect
+    n_docs, avgdl = row["n_docs"], float(row["sum_dl"]) / row["n_docs"]
+    q_arr = F.array(*[F.lit(t) for t in BM25_QUERY])
+    tf = (
+        base.select("doc_id", "dl", F.explode("t").alias("word"))
+        .filter(F.array_contains(q_arr, F.col("word")))
+        .groupBy("doc_id", "dl", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    score = (
+        idf
+        * (F.col("tf") * (F.lit(BM25_K1) + F.lit(1.0)))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id", F.round(score * 1_000_000).cast("long").alias("sq")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("sq").alias("ssq"), F.count(F.lit(1)).alias("n_terms"))
+        .orderBy(F.col("ssq").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select(
+            "doc_id",
+            (F.col("ssq").cast("double") / 1_000_000.0).alias("score"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+        )
+    )
+
+
+@query(
     "text_normalize",
     r"""
     SELECT doc_id,

@@ -397,6 +397,273 @@ def contamination_check_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Repetition-filter gram sizes and flag thresholds (Gopher-style: top
+#: n-gram fraction for short grams, duplicate n-gram fraction for long
+#: ones — Rae et al. 2021 measure character fractions; we use token-
+#: occurrence fractions, same signal, integer-exact across engines).
+#: Thresholds tuned to flag the most-repetitive ~10% of the fixture
+#: corpus (top2 p90 ≈ 0.069, top3 p90 ≈ 0.053).
+REP_TOP2 = 0.07
+REP_TOP3 = 0.05
+REP_DUP5 = 0.10
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB: the n-gram list of token array ``t`` (empty when too short)."""
+    return (
+        f"list_transform(range(1, len(t) - {n} + 2),"
+        f" i -> array_to_string(t[i : i + {n - 1}], ' '))"
+    )
+
+
+@query(
+    "quality_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    g AS (
+        SELECT doc_id, 2 AS n, unnest({_grams_sql(2)}) AS g FROM t
+        UNION ALL SELECT doc_id, 3, unnest({_grams_sql(3)}) FROM t
+        UNION ALL SELECT doc_id, 4, unnest({_grams_sql(4)}) FROM t
+        UNION ALL SELECT doc_id, 5, unnest({_grams_sql(5)}) FROM t
+    ),
+    per AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY doc_id, n, g)
+    SELECT doc_id,
+           CAST(MAX(CASE WHEN n = 2 THEN c END) AS DOUBLE)
+               / SUM(CASE WHEN n = 2 THEN c END) AS top2_frac,
+           CAST(MAX(CASE WHEN n = 3 THEN c END) AS DOUBLE)
+               / SUM(CASE WHEN n = 3 THEN c END) AS top3_frac,
+           CAST(MAX(CASE WHEN n = 4 THEN c END) AS DOUBLE)
+               / SUM(CASE WHEN n = 4 THEN c END) AS top4_frac,
+           CAST(SUM(CASE WHEN n = 2 THEN
+                    (CASE WHEN c > 1 THEN c ELSE 0 END) END) AS DOUBLE)
+               / SUM(CASE WHEN n = 2 THEN c END) AS dup2_frac,
+           CAST(SUM(CASE WHEN n = 5 THEN
+                    (CASE WHEN c > 1 THEN c ELSE 0 END) END) AS DOUBLE)
+               / SUM(CASE WHEN n = 5 THEN c END) AS dup5_frac,
+           (CAST(MAX(CASE WHEN n = 2 THEN c END) AS DOUBLE)
+                / SUM(CASE WHEN n = 2 THEN c END) > CAST({REP_TOP2} AS DOUBLE)
+            OR CAST(MAX(CASE WHEN n = 3 THEN c END) AS DOUBLE)
+                / SUM(CASE WHEN n = 3 THEN c END) > CAST({REP_TOP3} AS DOUBLE)
+            OR CAST(SUM(CASE WHEN n = 5 THEN
+                        (CASE WHEN c > 1 THEN c ELSE 0 END) END) AS DOUBLE)
+                / SUM(CASE WHEN n = 5 THEN c END) > CAST({REP_DUP5} AS DOUBLE))
+               AS is_repetitive
+    FROM per GROUP BY doc_id
+    """,
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 repetition filter: Gopher-style n-gram repetition signals.
+
+    The quality dimension ``text_quality``'s length/stopword/TTR rules
+    can't see: machine-generated or boilerplate text repeats PHRASES.
+    Per document: fraction of n-gram occurrences claimed by the single
+    most frequent n-gram (n=2,3,4) and fraction inside duplicated
+    n-grams (n=2,5), plus the keep/flag verdict.
+
+    Plan shape — ONE scan, not one per gram size: every gram size is
+    materialized in a single tagged explode (array of (n, gram) structs
+    flattened per doc), then one (doc_id, n, gram) count with map-side
+    combine and one (doc_id) reduce that pivots all gram sizes to
+    columns by conditional aggregation — no intermediate (doc_id, n)
+    level. Two shuffles total, both keyed on doc_id —
+    at 100 TB the gram stream is ~4× token count, linear. All fractions
+    are exact-integer divisions → bit-stable; a doc too short for gram
+    size n gets NULL metrics for that n on both engines (3-valued OR
+    keeps the verdict identical).
+    """
+    prepare(spark)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    arms = ", ".join(
+        f"CASE WHEN size(t) >= {n} THEN"
+        f" transform(sequence(1, size(t) - {n} + 1),"
+        f"  i -> named_struct('n', {n}, 'g', array_join(slice(t, i, {n}), ' ')))"
+        f" ELSE CAST(array() AS array<struct<n:int,g:string>>) END"
+        for n in (2, 3, 4, 5)
+    )
+    g = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("t"))
+        .select("doc_id", F.explode(F.expr(f"flatten(array({arms}))")).alias("s"))
+        .select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    )
+    per = g.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    n_, c = F.col("n"), F.col("c")
+
+    def _top(n: int):
+        return F.max(F.when(n_ == n, c)).cast("double") / F.sum(F.when(n_ == n, c))
+
+    def _dup(n: int):
+        # Inner otherwise(0) only fires when gram size n is present, so
+        # a doc too short for n keeps NULL (matching the oracle's nested
+        # CASE) while present-but-duplicate-free docs get exact 0.
+        return F.sum(F.when(n_ == n, F.when(c > 1, c).otherwise(0))).cast(
+            "double"
+        ) / F.sum(F.when(n_ == n, c))
+
+    top2, top3, dup5 = _top(2), _top(3), _dup(5)
+    return per.groupBy("doc_id").agg(
+        top2.alias("top2_frac"),
+        top3.alias("top3_frac"),
+        _top(4).alias("top4_frac"),
+        _dup(2).alias("dup2_frac"),
+        dup5.alias("dup5_frac"),
+        (
+            (top2 > F.lit(REP_TOP2))
+            | (top3 > F.lit(REP_TOP3))
+            | (dup5 > F.lit(REP_DUP5))
+        ).alias("is_repetitive"),
+    )
+
+
+#: Domain-mixture sampling rates, keyed by source-number mod 4. Rates are
+#: /256 md5-prefix thresholds (exact binary fractions → bit-stable
+#: doubles): 26/256 ≈ 10.2%, 64/256 = 25%, 128/256 = 50%, keep-all.
+MIX_THRESHOLDS = {0: ("1a", 26), 1: ("40", 64), 2: ("80", 128), 3: ("zz", 256)}
+
+
+@query(
+    "mix_domains",
+    """
+    WITH d AS (
+        SELECT source, doc_id, n_chars,
+               CAST(substr(source, 4) AS BIGINT) % 4 AS bucket,
+               CASE CAST(substr(source, 4) AS BIGINT) % 4
+                    WHEN 0 THEN '1a' WHEN 1 THEN '40'
+                    WHEN 2 THEN '80' ELSE 'zz' END AS thr
+        FROM documents
+    )
+    SELECT source,
+           CASE bucket WHEN 0 THEN CAST(26 AS DOUBLE) / 256
+                       WHEN 1 THEN CAST(64 AS DOUBLE) / 256
+                       WHEN 2 THEN CAST(128 AS DOUBLE) / 256
+                       ELSE CAST(1 AS DOUBLE) END AS rate,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < thr
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM d GROUP BY source, bucket, thr
+    """,
+)
+def mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 domain-mixture sampling: per-source rates, hash-deterministic.
+
+    The data-mixing pass that turns a raw crawl into a weighted training
+    mix (downsample low-quality domains, keep curated ones whole). Rates
+    are an AUTHORED rule (source-number mod 4 → md5-prefix threshold, the
+    ``sample_hash`` mechanism), so membership is a pure function of
+    (source, doc_id): same mix on every engine, rerun, and cluster size
+    — no sampling state, no broadcast, no RNG. Map-side predicate + one
+    source-keyed aggregation; at 100 TB the shuffle carries one partial
+    row per (source × partition). Emitted rates are exact /256 binary
+    fractions → bit-stable doubles.
+    """
+    prepare(spark)
+    bucket = F.expr("substring(source, 4)").cast("long") % 4
+    thr = (
+        F.when(bucket == 0, MIX_THRESHOLDS[0][0])
+        .when(bucket == 1, MIX_THRESHOLDS[1][0])
+        .when(bucket == 2, MIX_THRESHOLDS[2][0])
+        .otherwise(MIX_THRESHOLDS[3][0])
+    )
+    rate = (
+        F.when(bucket == 0, F.lit(MIX_THRESHOLDS[0][1] / 256.0))
+        .when(bucket == 1, F.lit(MIX_THRESHOLDS[1][1] / 256.0))
+        .when(bucket == 2, F.lit(MIX_THRESHOLDS[2][1] / 256.0))
+        .otherwise(F.lit(1.0))
+    )
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thr
+    return (
+        load(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars", rate.alias("rate"), keep.alias("keep"))
+        .groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+
+
+#: PII redaction patterns (public C4-style scrub): plain-ASCII email and
+#: a fixed-format phone. Both are Java-regex/RE2 common-subset syntax so
+#: Spark and DuckDB compile them identically.
+PII_EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "text_redact_pii",
+    """
+    WITH raw AS (
+        SELECT c_custkey,
+               concat('contact ', c_name, ' at cust',
+                      CAST(c_custkey AS VARCHAR), '@example.com or +1-555-',
+                      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')) AS s
+        FROM customer
+    ),
+    red AS (
+        SELECT c_custkey, s,
+               regexp_replace(
+                   regexp_replace(s, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+',
+                                  '<EMAIL>', 'g'),
+                   '\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS r
+        FROM raw
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(s, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(s, '\\+1-555-[0-9]{4}'))
+                AS BIGINT) AS n_phones,
+           CAST(length(r) AS BIGINT) AS red_len,
+           md5(r) AS red_md5
+    FROM red
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 PII scrubbing: regex redaction of emails/phones, C4-style.
+
+    The scrub pass every public-crawl pipeline runs before training.
+    The fixture corpus carries no PII, so the PII-laced text is
+    SYNTHESIZED deterministically from the customer table (pure
+    function of fixture columns — the scan_csv_badrecords staging
+    idiom, minus the file): each row embeds one email and one
+    fixed-format phone, then both are redacted and counted. The oracle
+    rebuilds the identical string and redacts with the same patterns
+    (Java-regex/RE2 common subset; DuckDB needs the 'g' flag for
+    replace-all, Spark replaces all by default). Redacted text crosses
+    the comparator as length+md5. Pure map-side expressions — one scan,
+    zero shuffle at any corpus size.
+    """
+    prepare(spark)
+    raw = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" at cust"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(raw, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.size(F.regexp_extract_all(raw, F.lit(PII_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(PII_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(red).cast("long").alias("red_len"),
+        F.md5(red).alias("red_md5"),
+    )
+
+
 #: Context-window size for sequence packing (tokens per training window).
 PACK_WINDOW = 64
 

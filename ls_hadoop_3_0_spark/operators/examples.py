@@ -138,6 +138,95 @@ def _pi_estimate(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
+#: TeraGen row count and digest bucket width (examples_teragen).
+TERAGEN_N = 100_000
+TERAGEN_BUCKET = 1000
+
+
+@query(
+    "examples_teragen",
+    f"""
+    WITH g AS (
+        SELECT i, substr(md5(CAST(i AS VARCHAR)), 1, 10) AS key
+        FROM range({TERAGEN_N}) t(i)
+    ),
+    b AS (
+        SELECT i // {TERAGEN_BUCKET} AS bkt,
+               md5(string_agg(key, ',' ORDER BY i)) AS bmd5
+        FROM g GROUP BY bkt
+    ),
+    dg AS (SELECT md5(string_agg(bmd5, ',' ORDER BY bkt)) AS data_md5 FROM b),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT key) AS BIGINT) AS n_distinct_keys,
+               min(key) AS min_key,
+               max(key) AS max_key
+        FROM g
+    )
+    SELECT s.n_rows, s.n_distinct_keys, s.min_key, s.max_key, dg.data_md5
+    FROM s, dg
+    """,
+)
+def examples_teragen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MR-ex TeraGen: distributed deterministic data generation, audited.
+
+    Upstream TeraGen writes N pseudo-random 10-byte-keyed rows from a
+    seeded generator, split across mappers by row ranges; its companion
+    TeraValidate checks the OUTPUT of the sort (our ``sort_validate``).
+    This key is the generation half made oracle-checkable: row i's key
+    is a pure function of i (md5 prefix — engine-portable, uniformly
+    distributed like TeraGen's keys), produced by ``spark.range`` —
+    embarrassingly parallel, zero input, any row count = more range
+    partitions. The emitted certificate is (count, distinct keys,
+    min/max key, content digest); the digest is the dedup_apply
+    two-level bounded md5 (per-1000-row ordered bucket digests, then
+    one digest over buckets) so no aggregation buffer is ever
+    corpus-sized and the value is partitioning-invariant by
+    construction. ``sf_dir`` is unused — the input is generated,
+    exactly as upstream's is.
+    """
+    prepare(spark)
+    return _teragen(spark, TERAGEN_N)
+
+
+def _teragen(spark: SparkSession, n: int) -> DataFrame:
+    """examples_teragen body with the row count exposed (SCALE.md times
+    10×/100× row counts through this)."""
+    g = spark.range(n).select(
+        F.col("id").alias("i"),
+        F.substring(F.md5(F.col("id").cast("string")), 1, 10).alias("key"),
+    )
+    b = g.groupBy(F.expr(f"i div {TERAGEN_BUCKET}").alias("bkt")).agg(
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, key))),"
+                    " s -> s.key)"
+                ),
+                ",",
+            )
+        ).alias("bmd5")
+    )
+    dg = b.agg(
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(bkt, bmd5))),"
+                    " s -> s.bmd5)"
+                ),
+                ",",
+            )
+        ).alias("data_md5")
+    )
+    s = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col("key")).cast("long").alias("n_distinct_keys"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+    )
+    return s.crossJoin(dg)
+
+
 def pi_estimate_double(spark: SparkSession, n: int) -> DataFrame:
     """Scale-audit twin of examples_pi for dart counts the exact-integer
     circle test cannot reach: the int64 bound ``2·HALF² < 2^63`` caps

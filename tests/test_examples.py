@@ -96,3 +96,37 @@ def test_pi_double_twin_agrees_at_key_dart_count(spark):
         exact["n_points"],
         exact["n_inside"],
     )
+
+
+def test_teragen_certificate_is_partitioning_invariant(spark):
+    """The generation certificate (count/distinct/min/max/digest) must not
+    depend on how the range is split across tasks — TeraGen's whole
+    contract is that mappers' disjoint row ranges compose to one dataset."""
+    import hashlib
+
+    from ls_hadoop_3_0_spark.operators.examples import TERAGEN_BUCKET, _teragen
+
+    n = 5_000
+    a = _teragen(spark, n).collect()[0].asDict()
+    b_rows = (
+        spark.range(n)
+        .repartition(7)
+        .select(
+            F.col("id").alias("i"),
+            F.substring(F.md5(F.col("id").cast("string")), 1, 10).alias("key"),
+        )
+    )
+    # Local reference digest: serial two-level md5 over the same keys.
+    keys = [
+        hashlib.md5(str(i).encode()).hexdigest()[:10] for i in range(n)
+    ]
+    bmd5 = [
+        hashlib.md5(",".join(keys[s : s + TERAGEN_BUCKET]).encode()).hexdigest()
+        for s in range(0, n, TERAGEN_BUCKET)
+    ]
+    want_md5 = hashlib.md5(",".join(bmd5).encode()).hexdigest()
+    assert a["n_rows"] == n
+    assert a["data_md5"] == want_md5
+    assert a["min_key"] == min(keys) and a["max_key"] == max(keys)
+    assert a["n_distinct_keys"] == len(set(keys))
+    assert b_rows.count() == n  # repartitioned source still generates all rows
