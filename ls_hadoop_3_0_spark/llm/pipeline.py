@@ -56,6 +56,243 @@ PIPELINE_SQL = f"""
     """
 
 
+def _v2_sql() -> str:
+    """Oracle for pipeline_curation_v2, assembled from the SAME snippet
+    constants the individual stage keys register — one source of truth
+    per rule, so a threshold change cannot desynchronize the pipeline
+    from its stages."""
+    from ls_hadoop_3_0_spark.llm.curation import (
+        _STOP_SQL,
+        _TOKS_SQL,
+        _eval_values_sql,
+        _grams_sql,
+        _GRAMS_EXPR_SQL,
+        CONTAM_GRAM,
+        QMAX_AVG_WORD_LEN,
+        QMAX_TOKENS,
+        QMIN_AVG_WORD_LEN,
+        QMIN_STOPWORD_RATIO,
+        QMIN_TOKENS,
+        QMIN_TTR,
+        REP_DUP5,
+        REP_TOP2,
+        REP_TOP3,
+    )
+
+    return f"""
+    WITH t AS (SELECT doc_id, source, text, {_TOKS_SQL} AS t FROM documents),
+    m AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                   / NULLIF(len(t), 0) AS awl,
+               CAST(len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))
+                    AS DOUBLE) / NULLIF(len(t), 0) AS stop_ratio,
+               CAST(len(list_distinct(t)) AS DOUBLE) / NULLIF(len(t), 0) AS ttr
+        FROM t
+    ),
+    q AS (
+        SELECT doc_id, n_tokens FROM m
+        WHERE n_tokens >= {QMIN_TOKENS} AND n_tokens <= {QMAX_TOKENS}
+          AND awl >= {QMIN_AVG_WORD_LEN} AND awl <= {QMAX_AVG_WORD_LEN}
+          AND stop_ratio >= {QMIN_STOPWORD_RATIO} AND ttr >= {QMIN_TTR}
+    ),
+    g AS (
+        SELECT doc_id, 2 AS n, unnest({_grams_sql(2)}) AS g FROM t
+        UNION ALL SELECT doc_id, 3, unnest({_grams_sql(3)}) FROM t
+        UNION ALL SELECT doc_id, 5, unnest({_grams_sql(5)}) FROM t
+    ),
+    per AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY doc_id, n, g),
+    rep AS (
+        SELECT doc_id,
+               (CAST(MAX(CASE WHEN n = 2 THEN c END) AS DOUBLE)
+                    / SUM(CASE WHEN n = 2 THEN c END) > CAST({REP_TOP2} AS DOUBLE)
+                OR CAST(MAX(CASE WHEN n = 3 THEN c END) AS DOUBLE)
+                    / SUM(CASE WHEN n = 3 THEN c END) > CAST({REP_TOP3} AS DOUBLE)
+                OR CAST(SUM(CASE WHEN n = 5 THEN
+                            (CASE WHEN c > 1 THEN c ELSE 0 END) END) AS DOUBLE)
+                    / SUM(CASE WHEN n = 5 THEN c END) > CAST({REP_DUP5} AS DOUBLE))
+                   AS flag
+        FROM per GROUP BY doc_id
+    ),
+    bt AS (SELECT bench_id, {_TOKS_SQL} AS t FROM {_eval_values_sql()}),
+    bench AS (
+        SELECT DISTINCT {_GRAMS_EXPR_SQL} AS gram
+        FROM bt WHERE len(t) >= {CONTAM_GRAM}
+    ),
+    contam AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, {_GRAMS_EXPR_SQL} AS gram
+            FROM t WHERE len(t) >= {CONTAM_GRAM}
+        ) corp JOIN bench USING (gram)
+    ),
+    pool AS (
+        SELECT t.doc_id, t.source, t.text, q.n_tokens
+        FROM t
+        JOIN q USING (doc_id)
+        JOIN rep USING (doc_id)
+        WHERE NOT rep.flag
+          AND t.doc_id NOT IN (SELECT doc_id FROM contam)
+          AND substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 2) <
+              CASE CAST(substr(t.source, 4) AS BIGINT) % 4
+                   WHEN 0 THEN '1a' WHEN 1 THEN '40'
+                   WHEN 2 THEN '80' ELSE 'zz' END
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM pool GROUP BY md5(text)),
+    kept AS (SELECT pool.* FROM pool JOIN keep USING (doc_id))
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS pack_start,
+           md5(text) AS content_hash
+    FROM kept
+    """
+
+
+@query("pipeline_curation_v2", _v2_sql())
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1-X9 composed, r6 stack: the full pre-training curation run.
+
+    quality gate (text_quality rules) → repetition gate
+    (quality_repetition flag) → benchmark decontamination (authored
+    EVAL_SET, contamination_check_v2 shape) → exact dedup (keep min
+    doc_id per content hash, over the surviving pool) → domain-mixture
+    sampling (mix_domains thresholds) → sequence-packing offsets
+    (doc_pack's distributed prefix sum). Output is the training-ready
+    corpus MANIFEST: one row per surviving doc with its source, token
+    count, global pack offset and content hash.
+
+    ONE lazy Spark plan end-to-end (the reference would schedule six MR
+    jobs with HDFS materialization between each). Every gate reuses the
+    exact rule constants its stage key registers, and the oracle is
+    assembled from the same SQL snippets (_v2_sql) — the pipeline
+    cannot drift from its stages. Scale shape: all gates are map-side
+    or doc_id-keyed aggregations; the only broadcast is the authored
+    (design-bounded) eval-gram set; packing uses the two-level prefix
+    sum, never a single-partition window.
+    """
+    from ls_hadoop_3_0_spark.llm.curation import (
+        CONTAM_GRAM,
+        EVAL_SET,
+        QMAX_AVG_WORD_LEN,
+        QMAX_TOKENS,
+        QMIN_AVG_WORD_LEN,
+        QMIN_STOPWORD_RATIO,
+        QMIN_TOKENS,
+        QMIN_TTR,
+        REP_DUP5,
+        REP_TOP2,
+        REP_TOP3,
+        _STOP,
+    )
+    from ls_hadoop_3_0_spark.operators.sort import global_prefix_sum
+
+    prepare(spark)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    t = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text", toks.alias("t"))
+        # Deliberately NOT checkpointed although 3 gate branches read it:
+        # re-scanning compressed parquet per branch beats materializing
+        # the tokenized corpus (measured: a wash at 10×, and a corpus-
+        # sized checkpoint is exactly what a 100 TB run cannot afford).
+    )
+    tt, n = F.col("t"), F.size("t")
+    nz = F.nullif(n, F.lit(0))
+    stop_arr = F.array(*[F.lit(w) for w in _STOP])
+    m = t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (
+            F.aggregate(tt, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long"))
+            .cast("double")
+            / nz
+        ).alias("awl"),
+        (F.size(F.filter(tt, lambda x: F.array_contains(stop_arr, x))).cast("double") / nz).alias(
+            "stop_ratio"
+        ),
+        (F.size(F.array_distinct(tt)).cast("double") / nz).alias("ttr"),
+    )
+    q = m.filter(
+        (F.col("n_tokens") >= QMIN_TOKENS)
+        & (F.col("n_tokens") <= QMAX_TOKENS)
+        & (F.col("awl") >= QMIN_AVG_WORD_LEN)
+        & (F.col("awl") <= QMAX_AVG_WORD_LEN)
+        & (F.col("stop_ratio") >= QMIN_STOPWORD_RATIO)
+        & (F.col("ttr") >= QMIN_TTR)
+    ).select("doc_id", "n_tokens")
+    arms = ", ".join(
+        f"CASE WHEN size(t) >= {k} THEN"
+        f" transform(sequence(1, size(t) - {k} + 1),"
+        f"  i -> named_struct('n', {k}, 'g', array_join(slice(t, i, {k}), ' ')))"
+        f" ELSE CAST(array() AS array<struct<n:int,g:string>>) END"
+        for k in (2, 3, 5)
+    )
+    per = (
+        t.select("doc_id", F.explode(F.expr(f"flatten(array({arms}))")).alias("s"))
+        .select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nn, c = F.col("n"), F.col("c")
+
+    def _top(k: int):
+        return F.max(F.when(nn == k, c)).cast("double") / F.sum(F.when(nn == k, c))
+
+    dup5 = F.sum(F.when(nn == 5, F.when(c > 1, c).otherwise(0))).cast("double") / F.sum(
+        F.when(nn == 5, c)
+    )
+    rep = per.groupBy("doc_id").agg(
+        (
+            (_top(2) > F.lit(REP_TOP2))
+            | (_top(3) > F.lit(REP_TOP3))
+            | (dup5 > F.lit(REP_DUP5))
+        ).alias("flag")
+    )
+    gram_expr = (
+        f"transform(sequence(1, size(t) - {CONTAM_GRAM - 1}),"
+        f" i -> md5(array_join(slice(t, i, {CONTAM_GRAM}), ' ')))"
+    )
+    bench = (
+        spark.createDataFrame(list(EVAL_SET), "bench_id long, text string")
+        .select(toks.alias("t"))
+        .filter(F.size("t") >= CONTAM_GRAM)
+        .select(F.explode(F.expr(gram_expr)).alias("gram"))
+        .distinct()
+    )
+    contam = (
+        t.filter(F.size("t") >= CONTAM_GRAM)
+        .select("doc_id", F.explode(F.expr(gram_expr)).alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    bucket = F.expr("substring(source, 4)").cast("long") % 4
+    thr = (
+        F.when(bucket == 0, "1a").when(bucket == 1, "40").when(bucket == 2, "80").otherwise("zz")
+    )
+    pool = (
+        t.join(q.hint("merge"), "doc_id")
+        .join(rep.hint("merge"), "doc_id")
+        .filter(~F.col("flag"))
+        .join(contam, "doc_id", "left_anti")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thr)
+        .select("doc_id", "source", "text", "n_tokens")
+    )
+    keep = pool.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keeper"))
+    kept = pool.join(keep, pool.doc_id == keep.keeper, "left_semi")
+    packed = global_prefix_sum(
+        kept.select("doc_id", "source", "text", "n_tokens"), "n_tokens", "doc_id"
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("_psum").cast("long").alias("pack_start"),
+        F.md5("text").alias("content_hash"),
+    )
+
+
 @query("pipeline_curation", PIPELINE_SQL)
 def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1-X4 composed: the curation run a reference user would schedule."""

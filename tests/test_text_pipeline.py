@@ -214,3 +214,54 @@ def test_redaction_matches_python_re(spark):
 
 def test_redaction_is_map_only(spark):
     assert checks.shuffle_count(text_redact_pii(spark, SF_DIR)) == 0
+
+
+def test_pipeline_v2_agrees_with_its_stage_keys(spark):
+    """Every manifest row must be independently approved by each stage
+    key it claims to compose, and pack offsets must tile in doc_id
+    order — the pipeline can't drift from its stages."""
+    import ls_hadoop_3_0_spark as engine
+    from ls_hadoop_3_0_spark.llm.curation import EVAL_SET  # noqa: F401 (authored set exists)
+
+    rows = sorted(
+        engine.QUERIES["pipeline_curation_v2"](spark, SF_DIR).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows, "pipeline produced an empty corpus — gates not discriminating"
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    acc = 0
+    for r in rows:
+        assert r["pack_start"] == acc, (r, acc)
+        acc += r["n_tokens"]
+    quality = {
+        r["doc_id"]: r["keep"]
+        for r in engine.QUERIES["text_quality"](spark, SF_DIR).collect()
+    }
+    repet = {
+        r["doc_id"]: r["is_repetitive"]
+        for r in engine.QUERIES["quality_repetition"](spark, SF_DIR).collect()
+    }
+    contaminated = {
+        r["doc_id"]
+        for r in engine.QUERIES["contamination_check_v2"](spark, SF_DIR).collect()
+    }
+    kept_ids = set(ids)
+    for d in ids:
+        assert quality[d], d
+        assert not repet[d], d
+        assert d not in contaminated, d
+    # Dedup: no two kept docs share a content hash.
+    hashes = [r["content_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes))
+    # Mixture: kept docs respect the per-source md5 threshold rule.
+    import hashlib
+
+    srcs = {
+        r["doc_id"]: r["source"]
+        for r in load(spark, SF_DIR, "documents").select("doc_id", "source").collect()
+    }
+    thr = {0: "1a", 1: "40", 2: "80", 3: "zz"}
+    for d in kept_ids:
+        b = int(srcs[d][3:]) % 4
+        assert hashlib.md5(str(d).encode()).hexdigest()[:2] < thr[b], d
