@@ -545,7 +545,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     ).collect()[0]  # 1-row corpus stats, not a data-path collect
-    n_docs, avgdl = row["n_docs"], float(row["sum_dl"]) / row["n_docs"]
+    n_docs = row["n_docs"]
+    if n_docs == 0:
+        # Empty corpus: no documents to score. The oracle's stats CTE
+        # yields no row (CROSS JOIN eliminates everything), so emit the
+        # same zero-row result with the declared schema.
+        return spark.createDataFrame(
+            [], "doc_id long, score double, n_terms long"
+        )
+    avgdl = float(row["sum_dl"]) / n_docs
     q_arr = F.array(*[F.lit(t) for t in BM25_QUERY])
     tf = (
         base.select("doc_id", "dl", F.explode("t").alias("word"))
