@@ -387,6 +387,60 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_variant",
+    """
+    SELECT p_partkey,
+           p_brand AS brand,
+           CAST(p_size + 1 AS BIGINT) AS size_plus,
+           CAST(CAST(round(p_retailprice * 1000000) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS retail,
+           CAST(NULL AS VARCHAR) AS missing
+    FROM part WHERE p_partkey <= 400
+    """,
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT family: semi-structured ingestion + typed access.
+
+    Builds a JSON document per part row, ingests it as a VARIANT
+    (``parse_json``), then extracts typed fields back out with
+    ``variant_get`` / ``try_variant_get`` — the open-schema column type
+    a 100 TB event pipeline stores raw payloads in (binary-encoded,
+    shreddable, no re-parse per access). The raw variant never reaches
+    the comparator (engine-specific binary): every output is a TYPED
+    extraction, and the oracle predicts the values straight from the
+    source table — a hash match proves serialize→parse_json→
+    variant_get is lossless end-to-end. The double survives the JSON
+    round-trip exactly (shortest-repr print, exact parse) and crosses
+    the gate through the per-row scaled-long quantization (the _q6
+    mechanic — never round(x, d)). try_variant_get on a missing path is
+    NULL on both sides, never an error.
+    """
+    prepare(spark)
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    v = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("p_brand").alias("brand"),
+                F.col("p_size").alias("size"),
+                F.col("p_retailprice").alias("retail"),
+            )
+        )
+    )
+    retail = F.expr("variant_get(v, '$.retail', 'double')")
+    return p.select("p_partkey", v.alias("v")).select(
+        "p_partkey",
+        F.expr("variant_get(v, '$.brand', 'string')").alias("brand"),
+        (F.expr("variant_get(v, '$.size', 'int')") + 1)
+        .cast("long")
+        .alias("size_plus"),
+        (F.round(retail * 1_000_000).cast("long").cast("double") / 1_000_000.0).alias(
+            "retail"
+        ),
+        F.expr("try_variant_get(v, '$.nope', 'string')").alias("missing"),
+    )
+
+
+@query(
     "scalar_hash",
     """
     SELECT c_custkey,

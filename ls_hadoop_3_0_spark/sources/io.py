@@ -314,6 +314,47 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_xml",
+    """
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           md5(string_agg(n_name, ',' ORDER BY n_name)) AS names_md5
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-family text-container breadth: native XML write → read → reduce.
+
+    Hadoop users bring XML feeds through StreamXmlRecordReader /
+    Mahout's XmlInputFormat; Spark 4 ships the XML source natively
+    (the spark-xml lineage). Round-trip: stage ``nation`` as
+    record-per-rowTag XML, read it back with an explicit schema, reduce
+    per region with a content digest. The oracle computes the same
+    aggregate from the parquet source — a hash match proves the XML
+    writer/parser pair is value-lossless, not just countable.
+    """
+    prepare(spark)
+    path = scratch(sf_dir, "scan_xml")
+    load(spark, sf_dir, "nation").write.mode("overwrite").format("xml").option(
+        "rootTag", "nations"
+    ).option("rowTag", "nation").save(path)
+    back = (
+        spark.read.format("xml")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("rowTag", "nation")
+        .load(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+        F.md5(F.array_join(F.sort_array(F.collect_list("n_name")), ",")).alias(
+            "names_md5"
+        ),
+    )
+
+
 def sorted_indexed_table(spark: SparkSession, sf_dir: str) -> str:
     """Write ``part`` as a sorted+bucketed keyed table; return its name.
 

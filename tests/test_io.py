@@ -248,3 +248,20 @@ def test_badrecords_dropmalformed_and_failfast_twins(spark):
         spark.read.schema(schema).option("sep", "\t").option(
             "mode", "FAILFAST"
         ).csv(path).collect()
+
+
+def test_scan_xml_stages_real_xml(spark):
+    """The staged file must be genuine rowTag XML (not CSV in disguise),
+    and the declared read schema must survive."""
+    import glob
+
+    from ls_hadoop_3_0_spark.sources.io import scan_xml, scratch
+
+    df = scan_xml(spark, SF_DIR)
+    assert df.count() > 0
+    files = glob.glob(f"{scratch(SF_DIR, 'scan_xml')}/*.xml") or glob.glob(
+        f"{scratch(SF_DIR, 'scan_xml')}/part-*"
+    )
+    assert files, "no staged XML part files"
+    body = open(files[0]).read()
+    assert "<nation>" in body and "<n_name>" in body, body[:200]

@@ -139,3 +139,21 @@ def test_ngram_counts_mass_conservation(spark):
         .collect()[0]["s"]
     )
     assert total_bigrams == expected and expected > 0
+
+
+def test_variant_column_is_real_variant_type(spark):
+    """scalar_variant must exercise the Spark 4 VARIANT type, not plain
+    JSON strings: parse_json yields VariantType and typed access returns
+    the declared types."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import VariantType
+
+    from ls_hadoop_3_0_spark.tables import load
+
+    p = load(spark, SF_DIR, "part").limit(5)
+    v = p.select(
+        F.parse_json(F.to_json(F.struct(F.col("p_brand").alias("b")))).alias("v")
+    )
+    assert isinstance(v.schema["v"].dataType, VariantType)
+    row = v.select(F.expr("variant_get(v, '$.b', 'string')").alias("b")).collect()[0]
+    assert isinstance(row["b"], str)
