@@ -314,6 +314,92 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Z-order geometry: 6 bits per dimension (64 range buckets each), and
+#: the 2-D predicate box the registered key reads back.
+ZBITS = 6
+Z_PART_LO, Z_PART_HI = 256, 511
+Z_SUPP_LO, Z_SUPP_HI = 16, 31
+
+
+def zorder_write(df: DataFrame, path: str, col_a: str, col_b: str) -> None:
+    """Write ``df`` Z-ORDERED on (col_a, col_b) to parquet at ``path``.
+
+    Each dimension is range-bucketed into 2^ZBITS buckets (divisor from
+    a 1-row max() collect — metadata, not data), the bucket ids are
+    bit-interleaved into a Morton code entirely in codegen (shiftleft/
+    shiftright/& inside an aggregate HOF), and the table is
+    range-partitioned + sorted by that code with small parquet row
+    groups. Result: row-group min/max stats are tight in BOTH
+    dimensions at once — the multi-dimensional clustering trick
+    (Z-order / Hilbert) every lakehouse table format exposes, built
+    from nothing but Spark primitives. At 100 TB the same two lines
+    (repartitionByRange + sortWithinPartitions on the morton column)
+    scale with the sort, and the scan-side benefit is row-group pruning
+    on every dimension in the curve.
+    """
+    row = df.agg(
+        F.max(col_a).alias("ma"), F.max(col_b).alias("mb")
+    ).collect()[0]  # 1-row bucketing metadata, not a data-path collect
+    if row["ma"] is None:
+        df.write.mode("overwrite").parquet(path)
+        return
+    n_buckets = 1 << ZBITS
+    ka = row["ma"] // n_buckets + 1
+    kb = row["mb"] // n_buckets + 1
+    morton = F.expr(
+        f"aggregate(sequence(0, {ZBITS - 1}), CAST(0 AS BIGINT),"
+        f" (acc, i) -> acc"
+        f"  + shiftleft(shiftright({col_a} div {ka}, i) & 1, 2 * i)"
+        f"  + shiftleft(shiftright({col_b} div {kb}, i) & 1, 2 * i + 1))"
+    )
+    (
+        df.withColumn("_z", morton)
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(path)
+    )
+
+
+@query(
+    "sink_zorder",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {{dq}} AS sum_qty,
+           {{dp}} AS sum_price
+    FROM lineitem
+    WHERE l_partkey BETWEEN {Z_PART_LO} AND {Z_PART_HI}
+      AND l_suppkey BETWEEN {Z_SUPP_LO} AND {Z_SUPP_HI}
+    """.format(dq=sql_dsum("l_quantity"), dp=sql_dsum("l_extendedprice")),
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family layout optimization: Z-ordered sink + 2-D pruned scan.
+
+    Writes the Z-ordered copy (zorder_write), reads it back with a
+    predicate box on BOTH clustered dimensions, and reduces. The oracle
+    computes the identical aggregate from the raw table — the hash
+    match proves the layout is a pure physical optimization (same
+    answer), while tests/test_io.py proves the physical claim with
+    parquet row-group metadata: under a single-dimension predicate the
+    Z-layout's min/max stats prune row groups a linearly-sorted layout
+    cannot (the second dimension has no locality there).
+    """
+    prepare(spark)
+    path = scratch(sf_dir, "sink_zorder")
+    zorder_write(load(spark, sf_dir, "lineitem"), path, "l_partkey", "l_suppkey")
+    back = spark.read.parquet(path)
+    return back.filter(
+        F.col("l_partkey").between(Z_PART_LO, Z_PART_HI)
+        & F.col("l_suppkey").between(Z_SUPP_LO, Z_SUPP_HI)
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
 @query(
     "scan_xml",
     """

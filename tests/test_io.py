@@ -265,3 +265,52 @@ def test_scan_xml_stages_real_xml(spark):
     assert files, "no staged XML part files"
     body = open(files[0]).read()
     assert "<nation>" in body and "<n_name>" in body, body[:200]
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Parquet row-group metadata proof of the Z-order claim, on a
+    deterministic synthetic table (scale-independent of the fixture):
+    under a SECOND-dimension predicate the Morton layout's min/max
+    stats prune most row groups while a first-dimension linear sort
+    prunes none; and the Z layout stays within ~2.5x of the linear
+    sort's (perfect) first-dimension pruning."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.sources.io import zorder_write
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 1024).alias("a"),
+        ((F.col("id") * 7919) % 1024).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    zpath, lpath = f"{tmp_path}/z", f"{tmp_path}/linear"
+    zorder_write(df, zpath, "a", "b")
+    (
+        df.repartitionByRange(8, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(lpath)
+    )
+    lo, hi = 256, 511  # a quarter of each dimension's range
+
+    def overlap(path, col):
+        tot = hit = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                tot += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        return hit / tot
+
+    z_b, l_b = overlap(zpath, "b"), overlap(lpath, "b")
+    z_a, l_a = overlap(zpath, "a"), overlap(lpath, "a")
+    assert l_b > 0.9, l_b  # linear sort: no second-dim locality
+    assert z_b < 0.7, z_b  # Z-order: a majority of groups pruned
+    assert z_a <= max(2.5 * l_a, 0.7), (z_a, l_a)
