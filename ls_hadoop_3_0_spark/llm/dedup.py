@@ -103,10 +103,11 @@ def sh_sql(src: str = "documents") -> str:
 _SH_SQL = sh_sql("documents")
 
 
-def minhash_pairs_sql(src: str = "documents") -> str:
-    """DuckDB mirror of minhash_pairs() over ``src``."""
+def minhash_candidates_cte() -> str:
+    """DuckDB CTE chain ``mh``/``bands``/``cand`` over an existing ``sh``
+    CTE — the LSH candidate stage alone (shared by minhash_pairs_sql and
+    the dedup_recall quality gate)."""
     return f"""
-    WITH sh AS ({sh_sql(src)}),
     mh AS (
         SELECT doc_id, shingles,
                list_transform(generate_series(0, {N_HASHES - 1}),
@@ -124,7 +125,14 @@ def minhash_pairs_sql(src: str = "documents") -> str:
         SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
         FROM bands a JOIN bands c
           ON a.b = c.b AND a.sig = c.sig AND a.doc_id < c.doc_id
-    )
+    )"""
+
+
+def minhash_pairs_sql(src: str = "documents") -> str:
+    """DuckDB mirror of minhash_pairs() over ``src``."""
+    return f"""
+    WITH sh AS ({sh_sql(src)}),
+    {minhash_candidates_cte()}
     SELECT cand.doc_a, cand.doc_b,
            round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
                  / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
@@ -150,6 +158,26 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_T) -> Data
     100 TB the partial-min keeps the shuffle at |docs|×12 hex strings
     regardless of document length).
     """
+    sh, cand = minhash_candidates(docs)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")).hint("shuffle_hash")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")).hint("shuffle_hash")
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(shingled docs, LSH band-collision candidate pairs) — the
+    candidate stage of minhash_pairs, exposed for the dedup_recall
+    quality gate (which needs PRE-verification candidates)."""
     # Shingling feeds the signature explode AND both verify sides; the
     # band table feeds both candidate join sides. Lazy localCheckpoints
     # make each a compute-once intermediate (the cluster analog: persist).
@@ -196,19 +224,7 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_T) -> Data
         .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")).hint("shuffle_hash")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")).hint("shuffle_hash")
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")),
-        6,
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return sh, cand
 
 
 @query("dedup_minhash", DEDUP_MINHASH_SQL)
@@ -222,6 +238,119 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare(spark)
     return minhash_pairs(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_recall",
+    f"""
+    WITH sh AS ({sh_sql('documents')}),
+    {minhash_candidates_cte()},
+    ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ns
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    truth AS (
+        SELECT doc_a, doc_b FROM shared
+        JOIN sizes sa ON sa.doc_id = shared.doc_a
+        JOIN sizes sb ON sb.doc_id = shared.doc_b
+        WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns)
+              >= CAST({MINHASH_JACCARD_T} AS DOUBLE)
+    ),
+    hit AS (SELECT * FROM cand JOIN truth USING (doc_a, doc_b)),
+    s AS (
+        SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM cand) AS n_cand,
+               (SELECT COUNT(*) FROM hit) AS n_hit
+    )
+    SELECT 'minhash_lsh' AS method,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0) AS precision,
+           CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) AS recall
+    FROM s
+    """,
+)
+def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 quality gate: MinHash-LSH candidate precision/recall vs exact
+    Jaccard ground truth — driver-visible, like knn_recall for ANN.
+
+    Truth = ALL pairs with exact shingle Jaccard ≥ MINHASH_JACCARD_T,
+    generated by a shared-shingle equi-join (EXACT: J ≥ 0.4 implies at
+    least one shared shingle, so the equi-join misses nothing) — never
+    an all-pairs cross join. Candidates = the band-collision pairs from
+    minhash_candidates, PRE-verification (dedup_minhash's registered
+    output is post-verification, so its precision is 1.0 by
+    construction; the informative number is how selective and complete
+    the LSH bucketing alone is). One summary row: counts + exact-ratio
+    precision/recall (int/int divisions, NULL on empty via NULLIF on
+    both engines).
+
+    Scale posture: a QUALITY GATE run at eval scale, the knn_recall
+    class — ground truth is inherently pairwise, and on the replicated
+    audit corpus both truth and candidates grow with C(copies, 2)
+    (SCALE.md's standing pairs-multiplicity note). The production path
+    is dedup_minhash itself; this key is the measurement that justifies
+    its b=4, r=3 S-curve choice.
+    """
+    prepare(spark)
+    sh, cand = minhash_candidates(load(spark, sf_dir, "documents"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("g"))
+    shared = (
+        ex.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(
+            ex.select(F.col("doc_id").alias("doc_b"), "g").hint("shuffle_hash"),
+            "g",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    truth = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")).hint(
+                "shuffle_hash"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")).hint(
+                "shuffle_hash"
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.col("ns").cast("double") / (F.col("na") + F.col("nb") - F.col("ns"))
+            >= F.lit(MINHASH_JACCARD_T)
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # feeds n_truth AND the hit join
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = cand.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            F.lit("minhash_lsh").alias("method"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            (
+                F.col("n_hit").cast("double") / F.nullif(F.col("n_cand"), F.lit(0))
+            ).alias("precision"),
+            (
+                F.col("n_hit").cast("double") / F.nullif(F.col("n_truth"), F.lit(0))
+            ).alias("recall"),
+        )
+    )
 
 
 SIMHASH_BITS = 64

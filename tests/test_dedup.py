@@ -243,3 +243,21 @@ def test_ngram_sparse_jaccard_matches_direct_computation(docs):
     assert pairs[(1, 2)] == expected
     assert (1, 4) not in pairs  # different source blocks pair (blocking!)
     assert all(3 not in p for p in pairs)
+
+
+def test_dedup_recall_gate_consistency(spark):
+    """The quality gate's counts must be mutually consistent and agree
+    with the registered dedup_minhash surface: every VERIFIED minhash
+    pair is a truth pair hit by the candidate stage, so n_hit >= the
+    verified-pair count, and ratios live in [0, 1]."""
+    import ls_hadoop_3_0_spark as engine
+
+    from .conftest import SF_DIR
+
+    row = engine.QUERIES["dedup_recall"](spark, SF_DIR).collect()[0]
+    assert row["method"] == "minhash_lsh"
+    assert row["n_hit"] <= min(row["n_truth"], row["n_cand"])
+    assert 0.0 <= row["precision"] <= 1.0 and 0.0 <= row["recall"] <= 1.0
+    n_verified = engine.QUERIES["dedup_minhash"](spark, SF_DIR).count()
+    assert row["n_hit"] >= n_verified  # verified pairs = truth ∩ cand subset
+    assert row["n_truth"] >= n_verified
