@@ -526,8 +526,9 @@ MIX_THRESHOLDS = {0: ("1a", 26), 1: ("40", 64), 2: ("80", 128), 3: ("zz", 256)}
     """
     WITH d AS (
         SELECT source, doc_id, n_chars,
-               CAST(substr(source, 4) AS BIGINT) % 4 AS bucket,
-               CASE CAST(substr(source, 4) AS BIGINT) % 4
+               COALESCE(TRY_CAST(substr(source, 4) AS BIGINT) % 4, 3)
+                   AS bucket,
+               CASE COALESCE(TRY_CAST(substr(source, 4) AS BIGINT) % 4, 3)
                     WHEN 0 THEN '1a' WHEN 1 THEN '40'
                     WHEN 2 THEN '80' ELSE 'zz' END AS thr
         FROM documents
@@ -559,7 +560,10 @@ def mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions → bit-stable doubles.
     """
     prepare(spark)
-    bucket = F.expr("substring(source, 4)").cast("long") % 4
+    # try_cast + keep-all fallback: a regenerated fixture with a
+    # different source naming scheme must degrade to rate 1.0, not throw
+    # under ANSI mode (the anomaly_zscore fixture-drift rule).
+    bucket = F.coalesce(F.expr("try_cast(substring(source, 4) AS BIGINT)") % 4, F.lit(3))
     thr = (
         F.when(bucket == 0, MIX_THRESHOLDS[0][0])
         .when(bucket == 1, MIX_THRESHOLDS[1][0])

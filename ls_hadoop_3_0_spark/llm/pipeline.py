@@ -133,7 +133,7 @@ def _v2_sql() -> str:
         WHERE NOT rep.flag
           AND t.doc_id NOT IN (SELECT doc_id FROM contam)
           AND substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 2) <
-              CASE CAST(substr(t.source, 4) AS BIGINT) % 4
+              CASE COALESCE(TRY_CAST(substr(t.source, 4) AS BIGINT) % 4, 3)
                    WHEN 0 THEN '1a' WHEN 1 THEN '40'
                    WHEN 2 THEN '80' ELSE 'zz' END
     ),
@@ -267,7 +267,7 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    bucket = F.expr("substring(source, 4)").cast("long") % 4
+    bucket = F.coalesce(F.expr("try_cast(substring(source, 4) AS BIGINT)") % 4, F.lit(3))
     thr = (
         F.when(bucket == 0, "1a").when(bucket == 1, "40").when(bucket == 2, "80").otherwise("zz")
     )
