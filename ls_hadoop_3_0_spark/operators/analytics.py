@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ls_hadoop_3_0_spark.exprs import dsum, sql_dsum
 from ls_hadoop_3_0_spark.registry import query
 from ls_hadoop_3_0_spark.session import prepare
-from ls_hadoop_3_0_spark.tables import load
+from ls_hadoop_3_0_spark.tables import EVENTS_SQL, load
 
 CUT = "1998-01-01 00:00:00"
 
@@ -813,4 +813,100 @@ def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("o_custkey").alias("n_active"),
             dsum("o_totalprice").alias("revenue"),
         )
+    )
+
+
+@query(
+    "analytics_trend",
+    """
+    WITH e AS (SELECT event_type, value,
+                      epoch_ns(ts) // 3600000000000 AS hr
+               FROM {events}),
+    c AS (SELECT e.event_type, e.value, e.hr - m.h0 AS x
+          FROM e, (SELECT MIN(hr) AS h0 FROM e) m),
+    mo AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 AS sy,
+               CAST(SUM(CAST(round(value * value * 1000000) AS BIGINT))
+                   AS DOUBLE) / 1000000.0 AS syy,
+               CAST(SUM(CAST(round(x * value * 1000000) AS BIGINT))
+                   AS DOUBLE) / 1000000.0 AS sxy
+        FROM c GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(CAST(round(
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+               * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0 AS slope,
+           CAST(CAST(round(
+               ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+               / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * syy - sy * sy), 0)
+               * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0 AS r2
+    FROM mo
+    """.format(events=EVENTS_SQL),
+)
+def analytics_trend(spark, sf_dir: str):
+    """EXT monitoring workload: per-event-type linear trend (OLS) + r².
+
+    The drift-detection query an ops pipeline runs over its metrics
+    stream: regress ``value`` against event-time (hours since the
+    corpus's first event) per event type; emit slope and coefficient of
+    determination. All five OLS moments are EXACT: x is an integer hour
+    index (centered on the global minimum so Σx² stays far inside
+    int64), and the y moments go through the scaled-long lattice —
+    slope/r² are then composed from identical doubles on both engines
+    and re-quantized (the anomaly_zscore/graph._q6 float discipline).
+    Zero-variance groups yield NULL via NULLIF on both sides, never a
+    DIVIDE_BY_ZERO under ANSI mode.
+
+    Plan: one scan + a 1-row global MIN (broadcast) + one
+    map-side-combined aggregation per event type — two shuffles carrying
+    one 6-number moment row per (type × partition) at any corpus size.
+    """
+    prepare(spark)
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.expr("unix_timestamp(ts) div 3600").alias("hr"),
+    )
+    h0 = e.agg(F.min("hr").alias("h0"))
+    c = e.crossJoin(F.broadcast(h0)).select(
+        "event_type", "value", (F.col("hr") - F.col("h0")).alias("x")
+    )
+    q = lambda col: F.sum(F.round(col * 1_000_000).cast("long")).cast(  # noqa: E731
+        "double"
+    ) / F.lit(1_000_000.0)
+    mo = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        q(F.col("value")).alias("sy"),
+        q(F.col("value") * F.col("value")).alias("syy"),
+        q(F.col("x") * F.col("value")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    den = F.nullif(nd * sxxd - sxd * sxd, F.lit(0.0))
+    den_y = F.nullif(
+        (nd * sxxd - sxd * sxd) * (nd * F.col("syy") - F.col("sy") * F.col("sy")),
+        F.lit(0.0),
+    )
+    q6 = lambda col: F.round(col * 1_000_000).cast("long").cast("double") / F.lit(  # noqa: E731
+        1_000_000.0
+    )
+    return mo.select(
+        "event_type",
+        "n",
+        q6(num / den).alias("slope"),
+        q6((num * num) / den_y).alias("r2"),
     )

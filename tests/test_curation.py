@@ -199,3 +199,32 @@ def test_global_prefix_sum_is_partitioning_invariant(spark):
     # With unit weights the exclusive prefix sum is rank-1 in key order.
     for i, k in enumerate(sorted(a)):
         assert a[k] == i
+
+
+def test_trend_matches_numpy_ols(spark):
+    """analytics_trend's moment-composed OLS == numpy polyfit on the
+    same (hour-index, value) points, within quantization tolerance."""
+    import numpy as np
+
+    import ls_hadoop_3_0_spark as engine
+    from ls_hadoop_3_0_spark.tables import load
+
+    got = {
+        r["event_type"]: r
+        for r in engine.QUERIES["analytics_trend"](spark, SF_DIR).collect()
+    }
+    rows = load(spark, SF_DIR, "events").selectExpr(
+        "event_type", "unix_timestamp(ts) div 3600 AS hr", "value"
+    ).collect()
+    h0 = min(r["hr"] for r in rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r["event_type"], []).append((r["hr"] - h0, r["value"]))
+    for et, pts in by.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        slope = np.polyfit(x, y, 1)[0]
+        assert got[et]["n"] == len(pts)
+        assert abs(got[et]["slope"] - slope) < 5e-5, (et, got[et]["slope"], slope)
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(got[et]["r2"] - r * r) < 5e-5, (et, got[et]["r2"], r * r)
