@@ -314,6 +314,49 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_text_gzip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS line_hash_sum
+    FROM documents
+    """,
+)
+def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S15: gzip-compressed text scan — the non-splittable codec path.
+
+    The classic Hadoop ingest shape (TextInputFormat over .gz) carries
+    the classic Hadoop trap: gzip is NOT splittable, so each .gz file is
+    exactly one input split/task no matter its size — at 100 TB the
+    parallelism ceiling is the FILE COUNT, which is why this sink writes
+    through Spark's partitioned writer (many medium .gz files) rather
+    than one archive, and why bzip2/zstd-seekable or post-ingest parquet
+    is the steady-state format (tests pin the 1-task-per-gz-file fact).
+    Round-trip: stage the corpus as gzip text, read it back, reduce to
+    (line count, char count, order-insensitive line-hash sum — exact
+    bounded-accumulator integer addition of md5 prefixes, never a
+    corpus-sized sorted concat). The oracle predicts all three from the
+    parquet source — hash match proves the codec path is lossless.
+    """
+    prepare(spark)
+    path = scratch(sf_dir, "scan_text_gzip")
+    load(spark, sf_dir, "documents").select("text").write.mode(
+        "overwrite"
+    ).option("compression", "gzip").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.length("value").cast("long")).cast("long").alias("total_chars"),
+        F.sum(
+            F.expr("cast(conv(substring(md5(value), 1, 8), 16, 10) as bigint)")
+        )
+        .cast("long")
+        .alias("line_hash_sum"),
+    )
+
+
 #: Z-order geometry: 6 bits per dimension (64 range buckets each), and
 #: the 2-D predicate box the registered key reads back.
 ZBITS = 6

@@ -314,3 +314,18 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert l_b > 0.9, l_b  # linear sort: no second-dim locality
     assert z_b < 0.7, z_b  # Z-order: a majority of groups pruned
     assert z_a <= max(2.5 * l_a, 0.7), (z_a, l_a)
+
+
+def test_gzip_text_is_nonsplittable_one_task_per_file(spark):
+    """The Hadoop gzip lesson, pinned: each staged .gz file is exactly
+    one input partition (no splitting inside the stream), so the
+    parallelism ceiling equals the file count."""
+    import glob
+
+    from ls_hadoop_3_0_spark.sources.io import scan_text_gzip, scratch
+
+    scan_text_gzip(spark, SF_DIR).collect()
+    files = glob.glob(f"{scratch(SF_DIR, 'scan_text_gzip')}/part-*.gz")
+    assert files, "staged files are not gzip"
+    back = spark.read.text(scratch(SF_DIR, "scan_text_gzip"))
+    assert back.rdd.getNumPartitions() == len(files)
