@@ -604,3 +604,171 @@ def kmeans_lloyd(spark, sf_dir: str):
         ),
         "centroid_md5",
     )
+
+
+#: Norm-audit quantization scale: norm² is quantized to 1e-3 once and
+#: every downstream stat is derived from those shared longs, so the
+#: mean/std/threshold doubles are bit-identical across engines. The
+#: squared term is summed as DECIMAL(38,0)/HUGEINT — exact at any corpus
+#: size (long would overflow past ~9e18).
+NORM_SCALE = 1000
+
+
+@query(
+    "embedding_norm_outliers",
+    f"""
+    WITH q AS (
+        SELECT label,
+               CAST(round(n2 * {NORM_SCALE}) AS BIGINT) AS n2m,
+               CAST(round((n2 * n2 / s4) * {NORM_SCALE}) AS BIGINT) AS prm
+        FROM (
+            SELECT label,
+                   list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2,
+                   list_sum(list_transform(embedding,
+                       x -> (CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                            * (CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       AS s4
+            FROM embeddings)
+    ),
+    g AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               SUM(n2m) AS s, SUM(CAST(n2m AS HUGEINT) * n2m) AS ss,
+               SUM(prm) AS p, SUM(CAST(prm AS HUGEINT) * prm) AS pp
+        FROM q GROUP BY label
+    ),
+    st AS (
+        SELECT label, n_vecs,
+               CAST(s AS DOUBLE) / CAST({NORM_SCALE} AS DOUBLE) / n_vecs
+                   AS mean_norm2,
+               sqrt(greatest(
+                   CAST(ss AS DOUBLE)
+                       / CAST({NORM_SCALE * NORM_SCALE} AS DOUBLE) / n_vecs
+                   - (CAST(s AS DOUBLE) / CAST({NORM_SCALE} AS DOUBLE)
+                      / n_vecs)
+                     * (CAST(s AS DOUBLE) / CAST({NORM_SCALE} AS DOUBLE)
+                        / n_vecs),
+                   CAST(0 AS DOUBLE))) AS std_norm2,
+               CAST(p AS DOUBLE) / CAST({NORM_SCALE} AS DOUBLE) / n_vecs
+                   AS mean_pr,
+               sqrt(greatest(
+                   CAST(pp AS DOUBLE)
+                       / CAST({NORM_SCALE * NORM_SCALE} AS DOUBLE) / n_vecs
+                   - (CAST(p AS DOUBLE) / CAST({NORM_SCALE} AS DOUBLE)
+                      / n_vecs)
+                     * (CAST(p AS DOUBLE) / CAST({NORM_SCALE} AS DOUBLE)
+                        / n_vecs),
+                   CAST(0 AS DOUBLE))) AS std_pr
+        FROM g
+    )
+    SELECT q.label, MAX(st.n_vecs) AS n_vecs,
+           MAX(st.mean_norm2) AS mean_norm2,
+           MAX(st.std_norm2) AS std_norm2,
+           CAST(SUM(CASE WHEN q.n2m > CAST(round(
+                    (st.mean_norm2 + CAST(3 AS DOUBLE) * st.std_norm2)
+                    * {NORM_SCALE}) AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_outliers,
+           MAX(st.mean_pr) AS mean_pr,
+           MAX(st.std_pr) AS std_pr,
+           CAST(SUM(CASE WHEN q.prm < CAST(round(
+                    (st.mean_pr - CAST(2 AS DOUBLE) * st.std_pr)
+                    * {NORM_SCALE}) AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pr_low
+    FROM q JOIN st ON q.label = st.label
+    GROUP BY q.label
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-EXT embedding hygiene: per-label norm² + participation-ratio audit.
+
+    Before indexing or training on an embedding column, audit it. Two
+    signals per label: the L2-norm² distribution (a label whose norms
+    drift — collapsed encoder, mixed checkpoints, unnormalized batches —
+    poisons cosine/IP search; flagged above mean + 3σ) and the
+    participation ratio PR = (Σx²)² / Σx⁴, the effective dimensionality
+    of each vector (near-one-hot vectors have PR ≈ 1, healthy dense
+    embeddings PR ≈ O(dim); concentration is flagged below mean − 2σ —
+    the arm that stays discriminative even on a unit-normalized corpus
+    where the norm arm degenerates to "healthy").
+
+    Cross-engine discipline: Σx² and Σx⁴ come from the proven left-fold
+    dot (DOT_SPARK ↔ list_sum ∘ list_transform), each metric is
+    quantized ONCE to scaled longs (NORM_SCALE), and mean/std/threshold
+    are identical double expressions over those exact integer sums —
+    thresholds re-quantize to longs before comparison, so the outlier
+    counts can't 1-ulp-diverge.
+
+    Plan: one scan + one (label)-keyed map-combined aggregation for the
+    stats, then a second pass joining the label-vocabulary-bounded
+    stats side back (static broadcast legitimate per the repo rule:
+    labels are a DESIGN-bounded vocabulary, not corpus-scale) and one
+    final keyed aggregation. Two shuffles, both on label, at any corpus
+    size.
+    """
+    from ls_hadoop_3_0_spark.session import prepare
+    from ls_hadoop_3_0_spark.tables import load
+
+    prepare(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    n2 = F.expr(
+        "aggregate(transform(embedding, x -> cast(x as double)),"
+        " 0D, (acc, y) -> acc + y * y)"
+    )
+    s4 = F.expr(
+        "aggregate(transform(embedding, x -> cast(x as double)),"
+        " 0D, (acc, y) -> acc + (y * y) * (y * y))"
+    )
+    q = emb.select(
+        "label",
+        F.round(n2 * NORM_SCALE).cast("long").alias("n2m"),
+        F.round((n2 * n2 / s4) * NORM_SCALE).cast("long").alias("prm"),
+    )
+
+    def _sq_dec(c: str):
+        return F.sum((F.col(c) * F.col(c)).cast("decimal(38,0)"))
+
+    g = q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("n2m").alias("s"),
+        _sq_dec("n2m").alias("ss"),
+        F.sum("prm").alias("p"),
+        _sq_dec("prm").alias("pp"),
+    )
+    scale = F.lit(float(NORM_SCALE))
+    sq_scale = F.lit(float(NORM_SCALE * NORM_SCALE))
+
+    def _mean(tot: str):
+        return F.col(tot).cast("double") / scale / F.col("n_vecs")
+
+    def _std(tot: str, totsq: str):
+        m = _mean(tot)
+        msq = F.col(totsq).cast("double") / sq_scale / F.col("n_vecs")
+        return F.sqrt(F.greatest(msq - m * m, F.lit(0.0)))
+
+    st = g.select(
+        "label",
+        "n_vecs",
+        _mean("s").alias("mean_norm2"),
+        _std("s", "ss").alias("std_norm2"),
+        _mean("p").alias("mean_pr"),
+        _std("p", "pp").alias("std_pr"),
+    )
+    thr_hi = F.round(
+        (F.col("mean_norm2") + F.lit(3.0) * F.col("std_norm2")) * NORM_SCALE
+    ).cast("long")
+    thr_lo = F.round(
+        (F.col("mean_pr") - F.lit(2.0) * F.col("std_pr")) * NORM_SCALE
+    ).cast("long")
+    return (
+        q.join(F.broadcast(st), "label")
+        .groupBy("label")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.max("mean_norm2").alias("mean_norm2"),
+            F.max("std_norm2").alias("std_norm2"),
+            F.sum((F.col("n2m") > thr_hi).cast("long")).alias("n_norm_outliers"),
+            F.max("mean_pr").alias("mean_pr"),
+            F.max("std_pr").alias("std_pr"),
+            F.sum((F.col("prm") < thr_lo).cast("long")).alias("n_pr_low"),
+        )
+    )

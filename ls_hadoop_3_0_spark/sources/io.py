@@ -835,3 +835,60 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_region_sum"
         ),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_evolved,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_legacy,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS evolved_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-EXT schema evolution: mergeSchema over a drifted parquet dir.
+
+    Long-lived ingest directories accumulate files written under
+    different schema versions; the reader must widen, not fail. Staged
+    here deliberately: a v1 batch (doc_id, lang, n_chars) and a v2 batch
+    that added a ``source`` column, appended into ONE directory. The
+    read uses ``mergeSchema=true`` — v1 rows surface NULL for the
+    evolved column — and reduces per lang to counts split by schema
+    version plus char checksums. The split rule (doc_id parity) is a
+    pure function of the source table, so the oracle predicts every
+    number without touching the staged files (scan_csv_badrecords
+    class).
+
+    Scale: mergeSchema's cost is footer-schema union over files
+    (driver-side, per-file metadata — set it per-load, not globally);
+    the data path stays one scan + one keyed aggregation. At 100 TB the
+    same widening happens on the table-format layer (metastore schema),
+    but raw-directory ingest is exactly this read.
+    """
+    prepare(spark)
+    path = scratch(sf_dir, "scan_schema_evolution")
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    v1.write.mode("overwrite").parquet(path)
+    v2.write.mode("append").parquet(path)
+    m = spark.read.option("mergeSchema", "true").parquet(path)
+    evolved = F.col("source").isNotNull()
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(evolved.cast("long")).alias("n_evolved"),
+        F.sum((~evolved).cast("long")).alias("n_legacy"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.when(evolved, F.col("n_chars")).otherwise(F.lit(0))).alias(
+            "evolved_chars"
+        ),
+    )

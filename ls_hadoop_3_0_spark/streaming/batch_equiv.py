@@ -359,3 +359,127 @@ def stream_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+#: Watermark late-drop model (T4). Arrival jitter is a pure function of
+#: event_id so both engines derive the identical arrival sequence: the
+#: md5-prefix rule (sample_hash mechanics) sends 13/256 ≈ 5.1% of events
+#: down the delayed path, each by a multiplicative-hash 60..7259 s; the
+#: watermark allows 10 min of lateness. All time arithmetic runs in
+#: epoch-microsecond BIGINTs — no interval/timezone surface anywhere.
+LATE_HEX = "0d"
+LATE_DELAY_US = "(((event_id % 9973) * 7919) % 7200 + 60) * 1000000"
+LATE_WM_US = 600 * 1_000_000
+_CHUNK_US = 3_600_000_000  # 1 h of arrival time per running-max chunk
+
+
+@query(
+    "stream_late_drop",
+    f"""
+    WITH a AS (
+        SELECT event_id, ts, value, epoch_us(ts) AS ts_us,
+               epoch_us(ts)
+                   + CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2)
+                               < '{LATE_HEX}'
+                          THEN {LATE_DELAY_US} ELSE 0 END AS arr_us
+        FROM {EVENTS_SQL} e
+    ),
+    r AS (
+        SELECT ts, ts_us, value,
+               COALESCE(MAX(ts_us) OVER (
+                   ORDER BY arr_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                   AS wm
+        FROM a
+    ),
+    f AS (
+        SELECT ts, value,
+               (wm >= 0 AND ts_us < wm - {LATE_WM_US}) AS late
+        FROM r
+    )
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+               AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late_dropped,
+           CAST(SUM(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           (CAST(SUM(CASE WHEN NOT late
+                          THEN CAST(round(value * 1000000) AS BIGINT)
+                          ELSE 0 END) AS DOUBLE) / 1000000.0)
+               AS sum_value_kept
+    FROM f GROUP BY 1
+    """,
+)
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 watermark/late data: deterministic batch twin of the drop rule.
+
+    The genuine ``withWatermark`` demos (streaming/demo.py) exercise the
+    runtime; this key pins the SEMANTICS with an oracle: an event is
+    dropped iff its event time is older than (max event time seen over
+    all earlier ARRIVALS) minus the allowed lateness — Structured
+    Streaming's watermark in the per-row limit (the engine's actual
+    per-microbatch watermark retains a superset of these rows, so this
+    is the conservative contract a pipeline must tolerate). Arrival
+    order is simulated with deterministic per-event jitter (constants
+    above) since the fixture generates events already time-ordered.
+
+    Plan shape — the running max over arrival order is NOT a global
+    single-partition window: arrivals are chunked into hours, a
+    metadata-scale chunk table (time-span rows: 8.8k/year at ANY corpus
+    size) carries the cross-chunk prefix max, and the per-row max runs
+    inside each chunk partition. The chunk join carries no static
+    broadcast (time-span-scale side — AQE decides); one shuffle keyed
+    on chunk, one for the final hour×agg. At 100 TB this is the same
+    2-shuffle budget as stream_tumbling plus the chunk-prefix pass.
+    """
+    prepare(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    # µs-fixture ts arrives TIMESTAMP_NTZ; under prepare()'s UTC session
+    # the TIMESTAMP cast is wall-clock-identity, and unix_micros needs it.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    delayed = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < LATE_HEX
+    a = ev.select(
+        "event_id",
+        "ts",
+        "value",
+        us.alias("ts_us"),
+        (us + F.when(delayed, F.expr(LATE_DELAY_US)).otherwise(F.lit(0))).alias(
+            "arr_us"
+        ),
+    ).withColumn("chunk", F.expr(f"arr_us DIV {_CHUNK_US}"))
+    cmax = a.groupBy("chunk").agg(F.max("ts_us").alias("cmax"))
+    wprev = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+    pre = cmax.select("chunk", F.max("cmax").over(wprev).alias("pmax"))
+    win = (
+        Window.partitionBy("chunk")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = a.join(pre, "chunk", "left").withColumn(
+        "wm",
+        F.greatest(
+            F.coalesce(F.max("ts_us").over(win), F.lit(-1).cast("long")),
+            F.coalesce(F.col("pmax"), F.lit(-1).cast("long")),
+        ),
+    )
+    late = (F.col("wm") >= 0) & (F.col("ts_us") < F.col("wm") - F.lit(LATE_WM_US))
+    kept_q = F.when(~late, F.round(F.col("value") * 1_000_000).cast("long")).otherwise(
+        F.lit(0)
+    )
+    return (
+        r.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(late.cast("long")).alias("n_late_dropped"),
+            F.sum((~late).cast("long")).alias("n_kept"),
+            (F.sum(kept_q) / F.lit(1_000_000.0)).alias("sum_value_kept"),
+        )
+        .select(
+            fmt_ts(F.col("w.start")).alias("win_start"),
+            "n_events",
+            "n_late_dropped",
+            "n_kept",
+            "sum_value_kept",
+        )
+    )

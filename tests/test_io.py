@@ -329,3 +329,31 @@ def test_gzip_text_is_nonsplittable_one_task_per_file(spark):
     assert files, "staged files are not gzip"
     back = spark.read.text(scratch(SF_DIR, "scan_text_gzip"))
     assert back.rdd.getNumPartitions() == len(files)
+
+
+def test_schema_evolution_merged_read(spark):
+    """mergeSchema widens: legacy rows surface NULL for the evolved
+    column; a single-schema read of the same dir would miss it on the
+    v1 files (Spark picks an arbitrary footer without the option)."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.sources.io import scan_schema_evolution, scratch
+    from ls_hadoop_3_0_spark.tables import load
+
+    scan_schema_evolution(spark, SF_DIR).collect()  # stages the dir
+    m = spark.read.option("mergeSchema", "true").parquet(
+        scratch(SF_DIR, "scan_schema_evolution")
+    )
+    assert {f.name for f in m.schema.fields} == {
+        "doc_id",
+        "lang",
+        "n_chars",
+        "source",
+    }
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert m.count() == n_docs
+    # Exactly the even (v1/legacy) half lacks the evolved column.
+    assert (
+        m.filter(F.col("source").isNull()).count()
+        == load(spark, SF_DIR, "documents").filter(F.col("doc_id") % 2 == 0).count()
+    )

@@ -203,3 +203,19 @@ def test_kmeans_lloyd_improves_and_assigns_nearest(spark):
     )
     assert total < seed_inertia, (total, seed_inertia)
     assert total > 0
+
+
+def test_norm_outlier_audit_bounds(spark):
+    """Participation ratio is bounded in [1, dim]; the audit's stats
+    respect the bound and the outlier counts never exceed the label
+    population."""
+    from ls_hadoop_3_0_spark.llm.embeddings import DIM, embedding_norm_outliers
+
+    rows = embedding_norm_outliers(spark, SF_DIR).collect()
+    assert rows, "no labels audited"
+    for r in rows:
+        assert 1.0 <= r.mean_pr <= DIM + 1e-6
+        assert r.std_pr >= 0.0
+        assert 0 <= r.n_pr_low <= r.n_vecs
+        assert 0 <= r.n_norm_outliers <= r.n_vecs
+        assert r.mean_norm2 > 0.0

@@ -452,3 +452,32 @@ def test_foreachbatch_changelog_upsert_matches_batch(spark, tmp_path):
         for r in batch_equiv.stream_changelog(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_late_drop_semantics(spark):
+    """T4 batch twin: the drop rule is internally consistent and only the
+    jitter-delayed population can ever be dropped (an on-time arrival's
+    event time is ≥ every earlier arrival's event time by construction,
+    so its watermark can never have passed it)."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.streaming.batch_equiv import (
+        LATE_HEX,
+        stream_late_drop,
+    )
+    from ls_hadoop_3_0_spark.tables import load
+
+    out = stream_late_drop(spark, SF_DIR).cache()
+    rows = out.collect()
+    assert all(r.n_late_dropped + r.n_kept == r.n_events for r in rows)
+    total_late = sum(r.n_late_dropped for r in rows)
+    assert total_late > 0, "jitter produced no late events — rule inert"
+    n_delayed = (
+        load(spark, SF_DIR, "events")
+        .filter(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < LATE_HEX
+        )
+        .count()
+    )
+    assert total_late <= n_delayed
+    out.unpersist()
