@@ -619,3 +619,68 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("long").alias("norm_len"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+@query(
+    "lm_unigram_score",
+    """
+    WITH tok AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+        WHERE word <> ''
+    ),
+    c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY word),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+    s AS (
+        SELECT tok.doc_id,
+               CAST(round(-ln(CAST(c.c AS DOUBLE) / t.total)
+                          * 1000000) AS BIGINT) AS nllq
+        FROM tok JOIN c USING (word) CROSS JOIN t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(nllq) AS DOUBLE) / CAST(1000000 AS DOUBLE) / COUNT(*)
+               AS avg_nll
+    FROM s GROUP BY doc_id
+    """,
+)
+def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 LM quality proxy: per-doc average unigram negative log-prob.
+
+    The CCNet/KenLM-style perplexity filter, at its unigram rung: train
+    p(w) = count(w)/total on the corpus itself, score each document by
+    the mean −ln p(w) of its tokens. Low = stuffed with the corpus's
+    most common words (boilerplate); high = rare-token soup (garbled
+    text, wrong language). The full-order LM is a model artifact this
+    engine would apply via a pandas UDF; the unigram rung is the part
+    that is a pure corpus aggregation, so it gets the oracle.
+
+    Cross-engine discipline: p(w) is exact-int division (identical
+    double), ln is the already-proven Spark log ↔ DuckDB ln pair
+    (tfidf/bm25), and every per-token −ln p is quantized to a scaled
+    long BEFORE the per-doc sum — doubles are never summed, so the
+    result is partitioning-independent.
+
+    Plan: token counts are Heaps'-law vocabulary-scale — merge hint,
+    never a static broadcast (tfidf discipline); total is one exact
+    driver-side count. Two token-keyed shuffles + one doc-keyed reduce.
+    """
+    prepare(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    cnt = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()  # exact scalar corpus stat (tfidf n_docs class)
+    nllq = F.round(
+        -F.log(F.col("c").cast("double") / F.lit(total)) * 1_000_000
+    ).cast("long")
+    s = tok.join(cnt.hint("merge"), "word").select("doc_id", nllq.alias("nllq"))
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.sum("nllq").cast("double")
+            / F.lit(1_000_000.0)
+            / F.count(F.lit(1))
+        ).alias("avg_nll"),
+    )

@@ -496,3 +496,167 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders").cast("double") > 1.5 * F.col("_mean_freq"))
         .select("o_custkey", "n_orders")
     )
+
+
+@query(
+    "quantile_bucketize",
+    f"""
+    WITH r AS (
+        SELECT o_totalprice AS v,
+               row_number() OVER (ORDER BY o_totalprice) AS rn,
+               COUNT(*) OVER () AS n
+        FROM orders
+    ),
+    cuts AS (
+        SELECT MAX(CASE WHEN rn = (n + 3) // 4 THEN v END) AS c1,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS c2,
+               MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS c3
+        FROM r
+    ),
+    b AS (
+        SELECT v, CASE WHEN v <= c1 THEN 0 WHEN v <= c2 THEN 1
+                       WHEN v <= c3 THEN 2 ELSE 3 END AS bucket
+        FROM r CROSS JOIN cuts
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(v) AS min_price, MAX(v) AS max_price,
+           {sql_dsum('v')} AS sum_price
+    FROM b GROUP BY bucket
+    """,
+)
+def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT quantile discretization: 4 equal-frequency price buckets.
+
+    The QuantileDiscretizer / feature-binning pass every training
+    pipeline runs on numeric columns. Cutpoints are DISCRETE order
+    statistics — the value at sorted position ceil(q·n), positions
+    computed in pure integer arithmetic — never interpolated doubles,
+    so every comparison in the bucket rule is between exact stored
+    values and the two engines cannot 1-ulp-diverge at a boundary (the
+    reason this key does not reuse agg_percentile_exact's continuous
+    interpolation, which is only round-6 comparable). Value-at-position
+    is permutation-invariant under ties, so row_number's tie
+    nondeterminism is harmless.
+
+    Plan: the rank pass is a global total-order sort (sort_global
+    class — range-partitioned in Spark, no single-partition funnel);
+    the 1-row cut set is design-bounded → static broadcast is
+    legitimate; one keyed aggregation closes it. At 100 TB the
+    production path swaps the exact rank for sampled/sketched cutpoints
+    (approx_quantile is the rows-only sibling) — this key is the exact
+    verification rung.
+    """
+    prepare(spark)
+    orders = load(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
+    n = orders.count()  # exact scalar corpus stat
+    p1, p2, p3 = (n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4
+    w = Window.orderBy("v")
+    r = orders.withColumn("rn", F.row_number().over(w))
+    cuts = r.filter(F.col("rn").isin(p1, p2, p3)).agg(
+        F.max(F.when(F.col("rn") == p1, F.col("v"))).alias("c1"),
+        F.max(F.when(F.col("rn") == p2, F.col("v"))).alias("c2"),
+        F.max(F.when(F.col("rn") == p3, F.col("v"))).alias("c3"),
+    )
+    bucket = (
+        F.when(F.col("v") <= F.col("c1"), 0)
+        .when(F.col("v") <= F.col("c2"), 1)
+        .when(F.col("v") <= F.col("c3"), 2)
+        .otherwise(3)
+    )
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .select("v", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("v").alias("min_price"),
+            F.max("v").alias("max_price"),
+            dsum("v").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "agg_corr",
+    """
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 1000000) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 1000000) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    g AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n AS n_rows,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / NULLIF(sqrt(
+               greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                        CAST(0 AS DOUBLE))
+               * greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE),
+                          CAST(0 AS DOUBLE))),
+             CAST(0 AS DOUBLE)) AS corr_qty_price,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / NULLIF(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                             CAST(0 AS DOUBLE)),
+                    CAST(0 AS DOUBLE)) AS beta_qty_price
+    FROM g
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT Pearson correlation + OLS beta from exact scaled moments.
+
+    Spark's corr/covar_samp stream doubles (order-dependent); this key
+    computes corr(quantity, price) and the regression slope per return
+    flag from exact integer moments instead: both columns quantized
+    once to scaled longs, the five moments summed exactly (squares via
+    HUGEINT/DECIMAL(38,0) — y² at 1e22 overflows a BIGINT), then one
+    identical double expression on each engine. Variances are clamped
+    at zero (quantized moments can round to a tiny negative —
+    anomaly_zscore lesson) and zero-variance groups yield NULL via
+    try_divide ↔ NULLIF, per the ANSI division discipline.
+
+    Plan: one scan, one map-combined keyed aggregation, constant state
+    per group — the moment pattern that scales to any corpus
+    (analytics_trend class).
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    pre = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 1_000_000).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 1_000_000).cast("long").alias("y"),
+    )
+
+    def _sq(a: str, b: str):
+        return F.sum(F.col(a).cast("decimal(19,0)") * F.col(b).cast("decimal(19,0)"))
+
+    g = pre.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        _sq("x", "x").alias("sxx"),
+        _sq("y", "y").alias("syy"),
+        _sq("x", "y").alias("sxy"),
+    )
+    nD = F.col("n").cast("double")
+    sxD, syD = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov = nD * F.col("sxy").cast("double") - sxD * syD
+    vx = F.greatest(nD * F.col("sxx").cast("double") - sxD * sxD, F.lit(0.0))
+    vy = F.greatest(nD * F.col("syy").cast("double") - syD * syD, F.lit(0.0))
+    return g.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.try_divide(cov, F.sqrt(vx * vy)).alias("corr_qty_price"),
+        F.try_divide(cov, vx).alias("beta_qty_price"),
+    )

@@ -83,3 +83,30 @@ def test_approx_quantile_within_rank_bound(spark):
             lo = vals[max(0, int(math.floor((q - 0.01) * n)) - 1)]
             hi = vals[min(n - 1, int(math.ceil((q + 0.01) * n)))]
             assert lo <= v <= hi, (flag, q, v, lo, hi)
+
+
+def test_quantile_bucketize_partitions_orders(spark):
+    """The 4 buckets partition the order set into near-equal frequency
+    classes with monotone value ranges."""
+    from ls_hadoop_3_0_spark.operators.aggregates import quantile_bucketize
+
+    rows = {r.bucket: r for r in quantile_bucketize(spark, SF_DIR).collect()}
+    n = load(spark, SF_DIR, "orders").count()
+    assert set(rows) == {0, 1, 2, 3}
+    assert sum(r.n_orders for r in rows.values()) == n
+    # near-equal frequency (ties can shift a handful of rows)
+    for r in rows.values():
+        assert abs(r.n_orders - n / 4) <= max(4, 0.02 * n), (r.bucket, r.n_orders)
+    # monotone, non-overlapping value ranges
+    for b in range(3):
+        assert rows[b].max_price <= rows[b + 1].min_price
+
+
+def test_agg_corr_is_bounded_and_total(spark):
+    from ls_hadoop_3_0_spark.operators.aggregates import agg_corr
+
+    rows = agg_corr(spark, SF_DIR).collect()
+    n = load(spark, SF_DIR, "lineitem").count()
+    assert sum(r.n_rows for r in rows) == n
+    for r in rows:
+        assert r.corr_qty_price is None or abs(r.corr_qty_price) <= 1 + 1e-9

@@ -265,3 +265,27 @@ def test_pipeline_v2_agrees_with_its_stage_keys(spark):
     for d in kept_ids:
         b = int(srcs[d][3:]) % 4
         assert hashlib.md5(str(d).encode()).hexdigest()[:2] < thr[b], d
+
+
+def test_lm_unigram_score_bounds(spark):
+    """Every scored doc has positive finite avg_nll; a doc made of the
+    corpus's most frequent token would score -ln(max p) — the minimum —
+    so the per-doc mean lies in [-ln(p_max), -ln(p_min)] + quantization."""
+    import math
+
+    from ls_hadoop_3_0_spark.functions.text import lm_unigram_score
+
+    rows = lm_unigram_score(spark, SF_DIR).collect()
+    docs = load(spark, SF_DIR, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    total = tok.count()
+    cnts = [r.c for r in tok.groupBy("w").agg(F.count("*").alias("c")).collect()]
+    lo = -math.log(max(cnts) / total) - 1e-5
+    hi = -math.log(min(cnts) / total) + 1e-5
+    n_docs_with_tokens = docs.filter(F.trim("text") != "").count()
+    assert len(rows) == n_docs_with_tokens
+    for r in rows:
+        assert lo <= r.avg_nll <= hi, (r.doc_id, r.avg_nll)
+        assert r.n_tokens > 0
