@@ -660,3 +660,68 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(cov, F.sqrt(vx * vy)).alias("corr_qty_price"),
         F.try_divide(cov, vx).alias("beta_qty_price"),
     )
+
+
+@query(
+    "agg_entropy",
+    """
+    WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+               FROM documents GROUP BY 1, 2),
+    t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_langs
+          FROM c GROUP BY source),
+    e AS (
+        SELECT c.source,
+               SUM(CAST(round(-(CAST(c.c AS DOUBLE) / t.n_docs)
+                     * ln(CAST(c.c AS DOUBLE) / t.n_docs)
+                     * 1000000) AS BIGINT)) AS hq
+        FROM c JOIN t USING (source) GROUP BY c.source
+    )
+    SELECT t.source, t.n_docs, t.n_langs,
+           CAST(hq AS DOUBLE) / CAST(1000000 AS DOUBLE) AS entropy_nats,
+           CAST(hq AS DOUBLE) / CAST(1000000 AS DOUBLE)
+               / NULLIF(ln(CAST(t.n_langs AS DOUBLE)), CAST(0 AS DOUBLE))
+               AS norm_entropy
+    FROM t JOIN e ON t.source = e.source
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT Shannon entropy of a categorical distribution per group.
+
+    Profiling rung the histogram family lacks: how CONCENTRATED is each
+    source's language mix? H = −Σ p ln p in nats plus the
+    ln(k)-normalized form (NULL for single-language sources via
+    try_divide ↔ NULLIF — ANSI discipline). Probabilities are exact-int
+    divisions, ln is the proven pair, and every −p·ln p term quantizes
+    to a scaled long BEFORE the per-group sum — no double summation
+    anywhere, so the result is partitioning-independent.
+
+    Plan: two keyed aggregations and one group-keyed join, all
+    map-combined; per-group state is the (group × category) count table
+    — the category vocabulary is design-bounded (langs), groups scale
+    freely.
+    """
+    prepare(spark)
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("source").agg(
+        F.sum("c").alias("n_docs"), F.count(F.lit(1)).alias("n_langs")
+    )
+    p = F.col("c").cast("double") / F.col("n_docs")
+    hq_term = F.round(-p * F.log(p) * 1_000_000).cast("long")
+    e = (
+        c.join(t.hint("merge"), "source")
+        .select("source", hq_term.alias("hq"))
+        .groupBy("source")
+        .agg(F.sum("hq").alias("hq"))
+    )
+    ent = F.col("hq").cast("double") / F.lit(1_000_000.0)
+    return t.join(e, "source").select(
+        "source",
+        "n_docs",
+        "n_langs",
+        ent.alias("entropy_nats"),
+        F.try_divide(ent, F.log(F.col("n_langs").cast("double"))).alias(
+            "norm_entropy"
+        ),
+    )

@@ -910,3 +910,80 @@ def analytics_trend(spark, sf_dir: str):
         q6(num / den).alias("slope"),
         q6((num * num) / den_y).alias("r2"),
     )
+
+
+@query(
+    "basket_pairs",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+    ic AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY p),
+    pc AS (
+        SELECT a.p AS part_a, b2.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_co
+        FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, n_co,
+           CAST(round(ln((CAST(n_co AS DOUBLE) * n.n_orders)
+                         / (CAST(ia.c AS DOUBLE) * ib.c))
+                      * 1000000) AS BIGINT)
+               / CAST(1000000 AS DOUBLE) AS pmi
+    FROM pc JOIN ic ia ON pc.part_a = ia.p
+            JOIN ic ib ON pc.part_b = ib.p
+            CROSS JOIN n
+    ORDER BY n_co DESC, part_a, part_b LIMIT 50
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT market-basket mining: top co-occurring part pairs with PMI.
+
+    The frequent-itemset (pairs) pass — same shape as token/document
+    co-occurrence mining in a text pipeline. Baskets are orders; the
+    pair generator is a self-join on the basket key, whose fan-out is
+    DESIGN-bounded (≤ 7 lineitems per order ⇒ ≤ C(13,2) distinct-part
+    pairs per basket) — the property that makes pair enumeration safe
+    at 100 TB where an unbounded basket would need the dedup_ngram-style
+    cap. Pairs seen ≥ 2× get pointwise mutual information
+    ln(P(a,b)/(P(a)P(b))) from exact counts (ln pair proven; quantized
+    through the scaled-long path), then a deterministic top-50
+    (count desc, part ids) — TakeOrderedAndProject, no global sort.
+
+    Part-frequency sides are part-vocabulary-scale (grows with SF) →
+    merge hints, never static broadcast; the basket self-join shuffles
+    once on the basket key.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = b.select("o").distinct().count()  # exact scalar stat
+    ic = b.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a, b2 = b.alias("a"), b.alias("b2")
+    pc = (
+        a.join(b2, (F.col("a.o") == F.col("b2.o")) & (F.col("a.p") < F.col("b2.p")))
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("b2.p").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    ia = ic.select(F.col("p").alias("part_a"), F.col("c").alias("ca"))
+    ib = ic.select(F.col("p").alias("part_b"), F.col("c").alias("cb"))
+    pmi = (
+        F.round(
+            F.log(
+                (F.col("n_co").cast("double") * F.lit(n_orders))
+                / (F.col("ca").cast("double") * F.col("cb"))
+            )
+            * 1_000_000
+        ).cast("long")
+        / F.lit(1_000_000.0)
+    )
+    return (
+        pc.join(ia.hint("merge"), "part_a")
+        .join(ib.hint("merge"), "part_b")
+        .select("part_a", "part_b", "n_co", pmi.alias("pmi"))
+        .orderBy(F.col("n_co").desc(), "part_a", "part_b")
+        .limit(50)
+    )

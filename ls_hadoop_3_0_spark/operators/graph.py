@@ -179,3 +179,55 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr"),
         )
     return pr.select("node", F.col("deg").cast("long").alias("deg"), "pr")
+
+
+@query(
+    "graph_degree_hist",
+    f"""
+    WITH edges AS ({_EDGES_SQL}),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src)
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS side,
+           deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1, 2
+    """,
+)
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT degree distribution of the customer–supplier graph.
+
+    The first question asked of any graph before running iterative
+    algorithms on it (pagerank rounds are budgeted by max degree and
+    skew): per side of the bipartite graph, how many nodes have each
+    degree. Shares graph_pagerank's edge definition (same node
+    encoding: even = customer, odd = supplier) so the histogram
+    directly audits that key's skew exposure.
+
+    Plan: one fact join + distinct for the edge list (shuffle on
+    orderkey then on the pair), one node-keyed count, one
+    (side, degree)-keyed count — all map-combined, node-sized state,
+    no iteration. Nothing broadcast.
+    """
+    prepare(spark)
+    pairs = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src")).union(
+        pairs.select(F.col("s").alias("src"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    side = F.when(F.col("src") % 2 == 0, "customer").otherwise("supplier")
+    return (
+        deg.select(side.alias("side"), "deg")
+        .groupBy("side", "deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

@@ -110,3 +110,47 @@ def test_agg_corr_is_bounded_and_total(spark):
     assert sum(r.n_rows for r in rows) == n
     for r in rows:
         assert r.corr_qty_price is None or abs(r.corr_qty_price) <= 1 + 1e-9
+
+
+def test_entropy_bounds(spark):
+    """0 ≤ H ≤ ln(n_langs); normalized form in [0,1] or NULL for
+    single-category groups."""
+    import math
+
+    from ls_hadoop_3_0_spark.operators.aggregates import agg_entropy
+
+    rows = agg_entropy(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r.entropy_nats <= math.log(r.n_langs) + 1e-6
+        if r.n_langs == 1:
+            assert r.norm_entropy is None
+        else:
+            assert -1e-6 <= r.norm_entropy <= 1 + 1e-6
+
+
+def test_basket_pairs_deterministic_topk(spark):
+    """Top-50 is fully deterministic (count desc, part ids) and PMI has
+    the right sign: positive iff the pair co-occurs more often than
+    independence predicts."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.operators.analytics import basket_pairs
+
+    a = basket_pairs(spark, SF_DIR).collect()
+    b = basket_pairs(spark, SF_DIR).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert 0 < len(a) <= 50
+    li = load(spark, SF_DIR, "lineitem")
+    bk = li.select("l_orderkey", "l_partkey").distinct()
+    n = bk.select("l_orderkey").distinct().count()
+    ic = {
+        r.l_partkey: r.c
+        for r in bk.groupBy("l_partkey").agg(F.count("*").alias("c")).collect()
+    }
+    for r in a[:10]:
+        expect = math.log(r.n_co * n / (ic[r.part_a] * ic[r.part_b]))
+        assert abs(r.pmi - expect) < 1e-5
+        assert r.n_co >= 2
