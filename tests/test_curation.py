@@ -228,3 +228,34 @@ def test_trend_matches_numpy_ols(spark):
         assert abs(got[et]["slope"] - slope) < 5e-5, (et, got[et]["slope"], slope)
         r = np.corrcoef(x, y)[0, 1]
         assert abs(got[et]["r2"] - r * r) < 5e-5, (et, got[et]["r2"], r * r)
+
+
+def test_crossdup_flags_every_exact_duplicate(spark):
+    """A doc whose full text occurs in ≥2 documents shares EVERY 8-gram
+    with its twin, so it must be flagged; and the fraction columns are
+    internally consistent."""
+    from pyspark.sql import Window
+
+    from ls_hadoop_3_0_spark.llm.curation import CROSSDUP_N, quality_crossdup
+
+    out = {r.doc_id: r for r in quality_crossdup(spark, SF_DIR).collect()}
+    docs = load(spark, SF_DIR, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    eligible = docs.select("doc_id", "text", F.size(toks).alias("n"))
+    dup_ids = [
+        r.doc_id
+        for r in eligible.filter(F.col("n") >= CROSSDUP_N)
+        .withColumn(
+            "m", F.count(F.lit(1)).over(Window.partitionBy(F.md5("text")))
+        )
+        .filter(F.col("m") >= 2)
+        .collect()
+    ]
+    # sf0.001 carries no exact duplicates; the invariant arm runs at the
+    # scales that do (sf0.01+), the consistency arm always.
+    for i in dup_ids:
+        assert out[i].is_crossdup, i
+        assert out[i].n_shared == out[i].n_grams
+    for r in out.values():
+        assert 0 <= r.n_shared <= r.n_grams
+        assert r.is_crossdup == (r.shared_frac > 0.5)
