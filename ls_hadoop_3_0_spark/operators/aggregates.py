@@ -731,3 +731,55 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm_entropy"
         ),
     )
+
+
+@query(
+    "agg_listagg",
+    f"""
+    WITH r AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rn
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn)
+               AS top_keys,
+           {sql_dsum('o_totalprice')} AS top_total
+    FROM r WHERE rn <= 3 GROUP BY o_orderpriority
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT ordered string aggregation (Spark 4 ``listagg``).
+
+    The SQL:2016 LISTAGG ... WITHIN GROUP surface (DuckDB mirror:
+    ``string_agg(... ORDER BY ...)``): per order priority, the top-3
+    order keys by price concatenated in rank order, plus their exact
+    price sum. Aggregating strings is only oracle-safe when the
+    element ORDER is pinned — the WITHIN GROUP clause is the whole
+    point of the key; an unordered listagg is partitioning-dependent
+    and would hash-diverge.
+
+    Plan: per-group top-3 via ranked window (group-keyed shuffle), then
+    a 5-row aggregation — input to listagg is top-N-bounded, so the
+    concatenated strings can never grow with the corpus (the guard that
+    makes string aggregation 100 TB-legal).
+    """
+    prepare(spark)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    r = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(CAST(o_orderkey AS STRING), ',')"
+            " WITHIN GROUP (ORDER BY rn)"
+        ).alias("top_keys"),
+        dsum("o_totalprice").alias("top_total"),
+    )

@@ -154,3 +154,20 @@ def test_basket_pairs_deterministic_topk(spark):
         expect = math.log(r.n_co * n / (ic[r.part_a] * ic[r.part_b]))
         assert abs(r.pmi - expect) < 1e-5
         assert r.n_co >= 2
+
+
+def test_listagg_order_is_pinned(spark):
+    """The WITHIN GROUP order makes the concatenation deterministic:
+    keys appear in descending-price order, and re-running yields the
+    identical strings."""
+    from ls_hadoop_3_0_spark.operators.aggregates import agg_listagg
+
+    a = {r.o_orderpriority: r.top_keys for r in agg_listagg(spark, SF_DIR).collect()}
+    b = {r.o_orderpriority: r.top_keys for r in agg_listagg(spark, SF_DIR).collect()}
+    assert a == b and a
+    orders = load(spark, SF_DIR, "orders")
+    prices = {r.o_orderkey: r.o_totalprice for r in orders.collect()}
+    for keys in a.values():
+        ks = [int(k) for k in keys.split(",")]
+        assert len(ks) == len(set(ks)) <= 3
+        assert prices[ks[0]] >= prices[ks[-1]]
