@@ -402,3 +402,77 @@ def global_prefix_sum(df: DataFrame, value_col: str, *order_cols) -> DataFrame:
         )
         .drop("_pid", "_offset")
     )
+
+
+def _u24_expr(id_sql: str) -> str:
+    """Dialect-neutral md5-uniform: first 6 hex chars → int in [0, 16^6).
+
+    ``instr``/``substr``/``md5`` behave identically in Spark SQL and
+    DuckDB (both 1-based, lowercase hex), so the SAME expression string
+    serves both engines — the continuous-probability extension of the
+    md5-prefix-threshold trick sample_hash uses with a constant cutoff.
+    """
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({id_sql}), {i}, 1)) - 1)"
+        f" * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    )
+
+
+@query(
+    "sample_weighted",
+    f"""
+    WITH mx AS (SELECT MAX(n_chars) AS m FROM documents),
+    d AS (
+        SELECT source, n_chars,
+               {_u24_expr("CAST(doc_id AS VARCHAR)")} AS u24,
+               CAST(floor((CAST(n_chars AS DOUBLE) / mx.m)
+                    * CAST(16777216 AS DOUBLE)) AS BIGINT) AS thr
+        FROM documents CROSS JOIN mx
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN u24 < thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN u24 < thr THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM d GROUP BY source
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2-EXT weighted (importance) sampling, deterministic and exact.
+
+    Quality-weighted corpus mixing keeps each document with probability
+    proportional to a per-document weight — here length, w = n_chars /
+    max(n_chars) — not the constant rate of sample_hash or the per-tier
+    rates of mix_domains. The uniform is the doc's md5 prefix read as a
+    24-bit integer via a dialect-neutral instr/substr expression (the
+    SAME string runs on both engines), compared against floor(w·16^24')
+    — every quantity exact, so the kept set is a pure function of
+    doc_id and reproducible anywhere at any partitioning.
+
+    Plan: map-side only except the per-source summary aggregation; the
+    1-row corpus max rides a cross join (scalar stat). At 100 TB the
+    keep decision costs one md5 per row — the sampling itself never
+    shuffles.
+    """
+    prepare(spark)
+    docs = load(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("m"))
+    u24 = F.expr(_u24_expr("CAST(doc_id AS STRING)"))
+    thr = F.floor(
+        (F.col("n_chars").cast("double") / F.col("m")) * F.lit(16777216.0)
+    ).cast("long")
+    d = docs.crossJoin(F.broadcast(mx)).select(
+        "source", "n_chars", u24.alias("u24"), thr.alias("thr")
+    )
+    kept = F.col("u24") < F.col("thr")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0))).alias(
+            "kept_chars"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -271,3 +271,82 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+#: Truncated-EWMA depth and the exact power-of-two weights 2^-(j+1).
+#: α = 1/2 is deliberate: scaling a double by a power of two never
+#: rounds, so each weighted term is bit-exact on both engines and the
+#: fixed left-to-right sum order does the rest.
+EWMA_W = 8
+_EWMA_WEIGHTS = [2.0 ** -(j + 1) for j in range(EWMA_W)]
+
+
+def _ewma_sql() -> str:
+    terms = [
+        f"COALESCE(lag(x, {j}) OVER w, CAST(0 AS DOUBLE))"
+        f" * CAST({w!r} AS DOUBLE)"
+        for j, w in enumerate(_EWMA_WEIGHTS)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "timeseries_ewma",
+    f"""
+    WITH e AS (SELECT * FROM {EVENTS_SQL}),
+    hourly AS (
+        SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+               {sql_dsum('value')} AS x
+        FROM e GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           x,
+           ({_ewma_sql()}) AS ewma8
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    """,
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-EXT exponentially-weighted moving average (truncated, tick-based).
+
+    The signal-smoothing pass monitoring pipelines run on every metric
+    series: per event type, the hourly exact-sum series and its EWMA
+    over the last 8 OBSERVED buckets (tick-based semantics — gaps in
+    the hour grid advance the window by observation, not wall time;
+    the spine-densified variant composes with timeseries_resample).
+
+    Why this is oracle-exact where a classic recursive EWMA is not:
+    α = 1/2 makes every weight a power of two, and multiplying a double
+    by 2^-k never rounds — so each lagged term is bit-identical on both
+    engines, and the sum is written as the same fixed left-to-right
+    chain (Python reduce ↔ SQL left-associative +). The recursive form
+    s_t = αx + (1−α)s_{t−1} would compound rounding differently per
+    engine; the truncated FIR form caps the window instead (tail weight
+    2^-8 ≈ 0.4 %).
+
+    Plan: one keyed aggregation (map-combined) + one per-type ordered
+    window — state is 8 lags per series, corpus-size-independent; at
+    100 TB the hourly table is (types × hours), time-span-scale.
+    """
+    prepare(spark)
+    from functools import reduce
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.window("ts", "1 hour").alias("win"))
+        .agg(dsum("value").alias("x"))
+        .select("event_type", F.col("win.start").alias("h"), "x")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    terms = [
+        F.coalesce(F.lag("x", j).over(w), F.lit(0.0)) * F.lit(wt)
+        for j, wt in enumerate(_EWMA_WEIGHTS)
+    ]
+    ewma = reduce(lambda a, b: a + b, terms)
+    return hourly.select(
+        "event_type",
+        fmt_ts("h").alias("hour"),
+        "x",
+        ewma.alias("ewma8"),
+    )

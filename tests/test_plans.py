@@ -209,3 +209,42 @@ def test_join_bucketed_key_joins_with_zero_exchanges(spark):
     plan = checks.formatted_plan(df)
     assert "SortMergeJoin" in plan, plan
     assert checks.shuffle_count(df) == 1, plan
+
+
+def test_crossdup_shuffles_gram_stream_once(spark):
+    """quality_crossdup's scale claim: the corpus-sized gram stream is
+    shuffled exactly once (gram-keyed agg); the doc-keyed join adds one
+    exchange per side at most — ≤3 total, and NO broadcast of the
+    vocabulary-scale exclusive side may be planned statically."""
+    from ls_hadoop_3_0_spark.llm.curation import quality_crossdup
+
+    df = quality_crossdup(spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert checks.shuffle_count(df) <= 3, plan
+    assert "explode" in plan.lower()
+    # exactly one Generate (gram explode) node — the exploded stream is
+    # never materialized a second time for a join-back
+    n_generate = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("(") and "Generate" in ln
+    )
+    assert n_generate == 1, plan
+
+
+def test_basket_pairs_topk_is_take_ordered(spark):
+    """The top-50 must be a TakeOrderedAndProject, not a global sort."""
+    from ls_hadoop_3_0_spark.operators.analytics import basket_pairs
+
+    df = basket_pairs(spark, SF_DIR)
+    assert checks.is_take_ordered(df), checks.formatted_plan(df)
+
+
+def test_late_drop_has_no_static_broadcast_of_chunk_table(spark):
+    """stream_late_drop's chunk-prefix side is time-span-scale: the
+    LOGICAL plan must carry no static broadcast hint for it (AQE may
+    still choose broadcast at runtime — that is the point)."""
+    from ls_hadoop_3_0_spark.streaming.batch_equiv import stream_late_drop
+
+    df = stream_late_drop(spark, SF_DIR)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical
+    assert "broadcast" not in logical.lower(), logical

@@ -94,3 +94,34 @@ def test_teravalidate_global_order(spark):
 def test_sort_global_rank_is_dense_permutation(spark):
     ranks = [r["rank"] for r in engine.QUERIES["sort_global"](spark, SF_DIR).collect()]
     assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_weighted_sample_matches_python_recompute(spark):
+    """The kept set is a pure function of (doc_id, n_chars, max): an
+    independent Python recompute of the md5-uniform and threshold must
+    reproduce every per-source count exactly."""
+    import hashlib
+    from collections import defaultdict
+
+    from ls_hadoop_3_0_spark.operators.sort import sample_weighted
+    from ls_hadoop_3_0_spark.tables import load
+
+    got = {r.source: r for r in sample_weighted(spark, SF_DIR).collect()}
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    mx = max(r.n_chars for r in docs)
+    want = defaultdict(lambda: [0, 0, 0, 0])  # n, kept, kept_chars, total
+    for r in docs:
+        u24 = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:6], 16)
+        thr = int((r.n_chars / mx) * 16777216.0)  # floor of same double
+        w = want[r.source]
+        w[0] += 1
+        w[3] += r.n_chars
+        if u24 < thr:
+            w[1] += 1
+            w[2] += r.n_chars
+    assert set(got) == set(want)
+    for s, (n, k, kc, tc) in want.items():
+        g = got[s]
+        assert (g.n_docs, g.n_kept, g.kept_chars, g.total_chars) == (n, k, kc, tc)

@@ -481,3 +481,25 @@ def test_late_drop_semantics(spark):
     )
     assert total_late <= n_delayed
     out.unpersist()
+
+
+def test_ewma_is_a_convex_smoother(spark):
+    """Each EWMA value is a convex combination (up to the truncated tail)
+    of the last 8 observations: it lies within [min,max] of that window
+    scaled by the weight mass, and the first observation of a series is
+    exactly x/2."""
+    from collections import defaultdict
+
+    from ls_hadoop_3_0_spark.operators.timeseries import EWMA_W, timeseries_ewma
+
+    rows = timeseries_ewma(spark, SF_DIR).collect()
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.event_type, r.hour)):
+        series[r.event_type].append(r)
+    mass = sum(2.0 ** -(j + 1) for j in range(EWMA_W))
+    for rs in series.values():
+        assert abs(rs[0].ewma8 - rs[0].x / 2) < 1e-9
+        for i, r in enumerate(rs):
+            lo = min(x.x for x in rs[max(0, i - EWMA_W + 1) : i + 1])
+            hi = max(x.x for x in rs[max(0, i - EWMA_W + 1) : i + 1])
+            assert min(lo * mass, lo, 0) - 1e-9 <= r.ewma8 <= max(hi, 0) + 1e-9
