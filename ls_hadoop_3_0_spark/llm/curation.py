@@ -798,8 +798,9 @@ def quality_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     array) − (exclusive occurrences, summed over the vocabulary-scale
     exclusive-gram rows). First cut joined the full gram stream back to
     a per-gram shared flag — a second corpus-scale shuffle+sort of long
-    gram strings: 57 s at the 100× replica (61 s with a per-gram
-    count-distinct doc-id set) vs 2.7 s for this no-join-back form.
+    gram strings: 62 s vs 43 s for this no-join-back form at the 100×
+    replica (noop-sink protocol, min-of-2; an md5-keyed shuffle was
+    tried and measured SLOWER — hash cost exceeds the byte savings).
     min/max/count is constant per-gram state, map-combined.
     Fractions are exact-int divisions, comparisons strict on identical
     doubles.

@@ -365,3 +365,111 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("sum_price"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    f"""
+    WITH e AS (SELECT * FROM {EVENTS_SQL}),
+    p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
+    b AS (
+        SELECT p.event_id, p.user_id, p.ts, c.ts AS bts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    f AS (
+        SELECT p.event_id, c.ts AS fts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts < c.ts
+    ),
+    j AS (
+        SELECT b.event_id, b.user_id, b.ts, b.bts, f.fts,
+               epoch_us(b.ts) - epoch_us(b.bts) AS bd,
+               epoch_us(f.fts) - epoch_us(b.ts) AS fd
+        FROM b JOIN f ON b.event_id = f.event_id
+    )
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           user_id,
+           strftime(CASE
+               WHEN bts IS NULL THEN fts
+               WHEN fts IS NULL THEN bts
+               WHEN bd <= fd THEN bts ELSE fts END,
+               '%Y-%m-%d %H:%M:%S') AS nearest_click_ts,
+           CASE
+               WHEN bts IS NULL AND fts IS NULL THEN NULL
+               WHEN fts IS NULL OR (bts IS NOT NULL AND bd <= fd)
+                   THEN 'backward' ELSE 'forward' END AS direction
+    FROM j
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9-EXT as-of NEAREST join: closest click in either direction.
+
+    pandas ``merge_asof(direction='nearest')`` parity, the variant the
+    backward-only ``join_asof`` cannot express: per purchase, the
+    nearest click by |Δt| — ties (equal distance) resolve backward, a
+    click at the same instant counts as backward (distance 0). The
+    oracle runs DuckDB's native ASOF twice (>= backward, < forward) and
+    picks; Spark stays on the scalable union form — ONE shuffle on
+    user_id carries BOTH directions: a running ``max(click ts)`` over
+    the preceding frame and a running ``min(click ts)`` over the
+    following frame of the same merged, (ts, tag)-ordered stream
+    ('c' < 'p' keeps the same-instant click out of the following
+    frame). Distances compare in epoch-µs BIGINTs — no interval or
+    timezone surface.
+    """
+    prepare(spark)
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit("c").alias("tag"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit("p").alias("tag")
+    )
+    merged = clicks.unionByName(purchases)
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_click = F.col("tag") == "c"
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    j = (
+        merged.withColumn("bts", F.max(F.when(is_click, F.col("ts"))).over(back))
+        .withColumn("fts", F.min(F.when(is_click, F.col("ts"))).over(fwd))
+        .filter(F.col("tag") == "p")
+        .withColumn("bd", us("ts") - us("bts"))
+        .withColumn("fd", us("fts") - us("ts"))
+    )
+    nearest = (
+        F.when(F.col("bts").isNull(), F.col("fts"))
+        .when(F.col("fts").isNull(), F.col("bts"))
+        .when(F.col("bd") <= F.col("fd"), F.col("bts"))
+        .otherwise(F.col("fts"))
+    )
+    direction = (
+        F.when(F.col("bts").isNull() & F.col("fts").isNull(), F.lit(None).cast("string"))
+        .when(
+            F.col("fts").isNull()
+            | (F.col("bts").isNotNull() & (F.col("bd") <= F.col("fd"))),
+            F.lit("backward"),
+        )
+        .otherwise(F.lit("forward"))
+    )
+    return j.select(
+        "event_id",
+        fmt_ts("ts").alias("purchase_ts"),
+        "user_id",
+        fmt_ts(nearest).alias("nearest_click_ts"),
+        direction.alias("direction"),
+    )

@@ -221,3 +221,38 @@ def udtf_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.k
         """
     )
+
+
+@query(
+    "udf_arrow",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) % 97 AS bucket
+    FROM documents
+    """,
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 Arrow-optimized Python UDF (Spark 4 ``useArrow=True``).
+
+    The third rung of the Python-UDF ladder this repo demonstrates:
+    row-pickled UDF (udf_scalar, the PipeMapper analog) → Arrow-batched
+    scalar UDF (this key: same per-row Python semantics, Arrow transfer
+    instead of pickle — the drop-in speedup for existing row UDFs) →
+    pandas UDF (udf_pandas, vectorized eval). Deliberately computes the
+    IDENTICAL output as udf_scalar under the same oracle, so the three
+    rungs are directly comparable in BENCH numbers.
+    """
+    prepare(spark)
+
+    @F.udf(T.IntegerType(), useArrow=True)
+    def n_tokens(text):
+        return None if text is None else len(text.split(" "))
+
+    @F.udf(T.IntegerType(), useArrow=True)
+    def bucket(text):
+        return None if text is None else len(text) % 97
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", n_tokens("text").alias("n_tokens"), bucket("text").alias("bucket")
+    )

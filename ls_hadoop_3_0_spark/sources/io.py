@@ -892,3 +892,64 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "evolved_chars"
         ),
     )
+
+
+@query(
+    "scan_json_badrecords",
+    """
+    SELECT CAST(SUM(CASE WHEN n_nationkey % 4 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN n_nationkey % 4 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad,
+           CAST(SUM(CASE WHEN n_nationkey % 4 <> 0 THEN n_nationkey END)
+                AS BIGINT) AS good_key_sum,
+           MIN(CASE WHEN n_nationkey % 4 <> 0 THEN n_name END)
+               AS first_good_name
+    FROM nation
+    """,
+)
+def scan_json_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-EXT malformed JSONL ingest: PERMISSIVE + corrupt-record column.
+
+    The JSON twin of scan_csv_badrecords — JSONL feeds break differently
+    from CSV (truncated objects, not wrong arity), so the recovery path
+    deserves its own key: every 4th nation row is staged as a truncated
+    JSON object, read back under ``mode=PERMISSIVE`` with
+    ``columnNameOfCorruptRecord``, and reduced to the good/bad split
+    plus recovered-column checksums the oracle predicts straight from
+    the source table. Same documented Spark restriction as the CSV key:
+    the corrupt-record column can only be filtered after materializing
+    (cache) the relation.
+    """
+    prepare(spark)
+    path = scratch(sf_dir, "scan_json_badrecords")
+    nation = load(spark, sf_dir, "nation")
+    line = F.when(
+        F.col("n_nationkey") % 4 == 0,
+        F.concat(F.lit('{"n_nationkey": '), F.col("n_nationkey").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit('{"n_nationkey": '),
+            F.col("n_nationkey").cast("string"),
+            F.lit(', "n_name": "'),
+            F.col("n_name"),
+            F.lit('"}'),
+        )
+    )
+    nation.select(line.alias("value")).write.mode("overwrite").text(path)
+    df = (
+        spark.read.schema("n_nationkey int, n_name string, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .cache()
+    )
+    good = F.col("_corrupt").isNull()
+    return df.agg(
+        F.sum(F.when(good, 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(~good, 1).otherwise(0)).cast("long").alias("n_bad"),
+        F.sum(F.when(good, F.col("n_nationkey"))).cast("long").alias(
+            "good_key_sum"
+        ),
+        F.min(F.when(good, F.col("n_name"))).alias("first_good_name"),
+    )

@@ -357,3 +357,29 @@ def test_schema_evolution_merged_read(spark):
         m.filter(F.col("source").isNull()).count()
         == load(spark, SF_DIR, "documents").filter(F.col("doc_id") % 2 == 0).count()
     )
+
+
+def test_json_badrecords_failfast_and_dropmalformed_twins(spark):
+    """The PERMISSIVE key's staged file also behaves correctly under the
+    two other recovery modes: DROPMALFORMED keeps only the good rows,
+    FAILFAST raises."""
+    import pytest
+
+    from ls_hadoop_3_0_spark.sources.io import scan_json_badrecords, scratch
+
+    n_good = scan_json_badrecords(spark, SF_DIR).collect()[0].n_good
+    path = scratch(SF_DIR, "scan_json_badrecords")
+    dropped = (
+        spark.read.schema("n_nationkey int, n_name string")
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )
+    assert dropped.count() == n_good
+    with pytest.raises(Exception) as exc:
+        (
+            spark.read.schema("n_nationkey int, n_name string")
+            .option("mode", "FAILFAST")
+            .json(path)
+            .collect()
+        )
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)

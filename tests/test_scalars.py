@@ -157,3 +157,13 @@ def test_variant_column_is_real_variant_type(spark):
     assert isinstance(v.schema["v"].dataType, VariantType)
     row = v.select(F.expr("variant_get(v, '$.b', 'string')").alias("b")).collect()[0]
     assert isinstance(row["b"], str)
+
+
+def test_udf_arrow_matches_row_udf(spark):
+    """The Arrow-optimized UDF rung computes bit-identical output to the
+    row-pickled rung — the whole point of useArrow=True being a drop-in."""
+    from ls_hadoop_3_0_spark.operators.udf import udf_arrow, udf_scalar
+
+    a = {r.doc_id: (r.n_tokens, r.bucket) for r in udf_arrow(spark, SF_DIR).collect()}
+    b = {r.doc_id: (r.n_tokens, r.bucket) for r in udf_scalar(spark, SF_DIR).collect()}
+    assert a == b and a

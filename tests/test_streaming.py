@@ -503,3 +503,39 @@ def test_ewma_is_a_convex_smoother(spark):
             lo = min(x.x for x in rs[max(0, i - EWMA_W + 1) : i + 1])
             hi = max(x.x for x in rs[max(0, i - EWMA_W + 1) : i + 1])
             assert min(lo * mass, lo, 0) - 1e-9 <= r.ewma8 <= max(hi, 0) + 1e-9
+
+
+def test_asof_nearest_picks_the_closer_side(spark):
+    """Independent per-user recompute: for every purchase the chosen
+    click is the true nearest by |Δt| with backward tie-break."""
+    from collections import defaultdict
+
+    from ls_hadoop_3_0_spark.operators.joins import join_asof_nearest
+    from ls_hadoop_3_0_spark.tables import load
+
+    got = {
+        r.event_id: (r.nearest_click_ts, r.direction)
+        for r in join_asof_nearest(spark, SF_DIR).collect()
+    }
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "ts", "event_type")
+    clicks, purchases = defaultdict(list), []
+    for r in ev.collect():
+        if r.event_type == "click":
+            clicks[r.user_id].append(r.ts)
+        elif r.event_type == "purchase":
+            purchases.append(r)
+    assert got
+    for p in purchases:
+        cs = clicks.get(p.user_id, [])
+        if not cs:
+            assert got[p.event_id] == (None, None)
+            continue
+        best = min(
+            cs,
+            key=lambda c: (abs((c - p.ts).total_seconds()), c > p.ts),
+        )
+        want_dir = "backward" if best <= p.ts else "forward"
+        assert got[p.event_id] == (
+            best.strftime("%Y-%m-%d %H:%M:%S"),
+            want_dir,
+        ), p.event_id
