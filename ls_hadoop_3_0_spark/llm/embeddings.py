@@ -772,3 +772,120 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("prm") < thr_lo).cast("long")).alias("n_pr_low"),
         )
     )
+
+
+#: Power-iteration geometry: 3 rounds from a deterministic md5 seed.
+PCA_ROUNDS = 3
+
+
+def _pca_seed(dim: int = DIM) -> list[float]:
+    """Deterministic unit-norm start vector (hyperplanes mechanics)."""
+    raw = []
+    for i in range(dim):
+        h = hashlib.md5(f"pca:{i}".encode()).hexdigest()[:8]
+        raw.append((int(h, 16) / 2**32) * 2.0 - 1.0)
+    n2 = 0.0
+    for x in raw:  # fixed left fold — mirrored by list_sum in the oracle
+        n2 += x * x
+    nrm = n2**0.5
+    return [x / nrm for x in raw]
+
+
+def _pca_oracle(rounds: int = PCA_ROUNDS, dim: int = DIM) -> str:
+    """Unrolled CTE chain mirroring the quantized power iteration."""
+    lit0 = "[" + ",".join(repr(x) for x in _pca_seed(dim)) + "]"
+    parts = [
+        "WITH e AS (SELECT list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
+        f"v0 AS (SELECT {lit0} AS vv),",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"v{r - 1}"
+        parts.append(
+            f"s{r} AS (SELECT e.v, list_sum(list_transform("
+            f"generate_series(1, {dim}), i -> {p}.vv[i] * e.v[i])) AS sc"
+            f" FROM e, {p}),"
+        )
+        parts.append(
+            f"w{r} AS (SELECT j, SUM(CAST(round((sc * v[j]) * 1000000)"
+            f" AS BIGINT)) AS wq"
+            f" FROM s{r}, range(1, {dim + 1}) t(j) GROUP BY j),"
+        )
+        parts.append(f"l{r} AS (SELECT list(wq ORDER BY j) AS ws FROM w{r}),")
+        parts.append(
+            f"v{r} AS (SELECT list_transform(ws, w ->"
+            f" (w / CAST(1000000 AS DOUBLE))"
+            f" / sqrt(list_sum(list_transform(ws, u ->"
+            f" (u / CAST(1000000 AS DOUBLE))"
+            f" * (u / CAST(1000000 AS DOUBLE)))))) AS vv FROM l{r}),"
+        )
+    parts.append(
+        f"out AS (SELECT unnest(generate_series(1, {dim})) AS j FROM (SELECT 1))"
+    )
+    parts.append(
+        f"SELECT CAST(out.j - 1 AS BIGINT) AS dim,"
+        f" v{rounds}.vv[out.j] AS loading"
+        f" FROM out, v{rounds}"
+    )
+    return "\n".join(parts)
+
+
+@query("embedding_pca_power", _pca_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6-EXT top principal direction via power iteration — oracle-exact.
+
+    The third iterative-numeric operator (after graph_pagerank and
+    kmeans_lloyd, same recipe): the dominant eigenvector of the
+    corpus's uncentered second-moment matrix, the direction embedding
+    pipelines use for anisotropy diagnosis and all-but-the-top
+    post-processing. Three power-iteration rounds from a deterministic
+    md5 seed; each round computes per-vector scores against the current
+    direction (literal constants — the proven left-fold dot), reduces
+    the d-dimensional update as EXACT scaled-long sums (one dim-keyed
+    map-combined shuffle: ≤ dim × partitions partial rows), and
+    re-normalizes through the identical double chain on both engines —
+    the driver sees only the 64 exact longs per round (kmeans collected-
+    scalar rule), the oracle unrolls the same rounds as a CTE chain.
+
+    Scale: per round one scan + one 64-key aggregation; state is
+    dim-sized, corpus-independent. 100 TB cost = rounds × one pass —
+    the same budget class as kmeans_lloyd.
+    """
+    from ls_hadoop_3_0_spark.session import prepare
+    from ls_hadoop_3_0_spark.tables import load
+
+    prepare(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    v = _pca_seed()
+    for _ in range(PCA_ROUNDS):
+        lit_v = F.array(*[F.lit(c) for c in v])
+        sc = F.expr(
+            "aggregate(zip_with(lv, v, (a, b) -> a * b), 0D, (acc, p) -> acc + p)"
+        )
+        terms = (
+            e.withColumn("lv", lit_v)
+            .withColumn("sc", sc)
+            .select("sc", F.posexplode("v").alias("pos", "x"))
+            .select(
+                (F.col("pos") + 1).alias("j"),
+                F.round((F.col("sc") * F.col("x")) * 1_000_000)
+                .cast("long")
+                .alias("t"),
+            )
+        )
+        wq = {
+            r["j"]: r["wq"]
+            for r in terms.groupBy("j").agg(F.sum("t").alias("wq")).collect()
+        }
+        ws = [wq[j] for j in range(1, DIM + 1)]  # exact longs, dim-sized
+        n2 = 0.0
+        for w in ws:  # fixed left fold == oracle's list_sum
+            c = w / 1_000_000.0
+            n2 += c * c
+        nrm = n2**0.5
+        v = [(w / 1_000_000.0) / nrm for w in ws]
+    return spark.createDataFrame(
+        [(j, v[j]) for j in range(DIM)], "dim long, loading double"
+    )

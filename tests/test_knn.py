@@ -219,3 +219,27 @@ def test_norm_outlier_audit_bounds(spark):
         assert 0 <= r.n_pr_low <= r.n_vecs
         assert 0 <= r.n_norm_outliers <= r.n_vecs
         assert r.mean_norm2 > 0.0
+
+
+def test_pca_power_converges_toward_dominant_direction(spark):
+    """The returned direction is unit-norm and its Rayleigh quotient
+    (energy captured) strictly exceeds the seed direction's — power
+    iteration made progress."""
+    import numpy as np
+
+    from ls_hadoop_3_0_spark.llm.embeddings import (
+        _pca_seed,
+        embedding_pca_power,
+    )
+    from ls_hadoop_3_0_spark.tables import load
+
+    rows = sorted(embedding_pca_power(spark, SF_DIR).collect(), key=lambda r: r.dim)
+    v = np.array([r.loading for r in rows])
+    assert abs(float(v @ v) - 1.0) < 1e-9
+    X = np.array(
+        [r.embedding for r in load(spark, SF_DIR, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    seed = np.array(_pca_seed())
+    rq = lambda u: float(u @ (X.T @ (X @ u)))  # noqa: E731
+    assert rq(v) > rq(seed) * 1.05, (rq(v), rq(seed))
