@@ -879,6 +879,12 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             r["j"]: r["wq"]
             for r in terms.groupBy("j").agg(F.sum("t").alias("wq")).collect()
         }
+        if not wq:
+            # Empty corpus: the oracle's list() over zero gram rows goes
+            # NULL, surfacing 64 NULL loadings — mirror it exactly.
+            return spark.createDataFrame(
+                [(j, None) for j in range(DIM)], "dim long, loading double"
+            )
         ws = [wq[j] for j in range(1, DIM + 1)]  # exact longs, dim-sized
         n2 = 0.0
         for w in ws:  # fixed left fold == oracle's list_sum
