@@ -331,3 +331,190 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.md5("text").alias("content_hash"),
     )
+
+
+#: v3 gate: reject the rare-token tail the unigram LM flags (fixture
+#: corpus sits at 3.38-3.41 nats; the repetitive/garbled tail runs to
+#: 3.70 — see lm_unigram_score).
+LM_MAX_AVG_NLL = 3.45
+
+
+def _v3_sql() -> str:
+    """Oracle for pipeline_curation_v3, assembled from the same snippet
+    constants the session-2 stage keys register (crossdup geometry, the
+    weighted-sampling uniform, the LM score arithmetic)."""
+    from ls_hadoop_3_0_spark.llm.curation import (
+        _grams_sql,
+        _TOKS_SQL,
+        CROSSDUP_FLAG_FRAC,
+        CROSSDUP_N,
+    )
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    return f"""
+    WITH t AS (SELECT doc_id, source, text, n_chars, {_TOKS_SQL} AS t
+               FROM documents),
+    base AS (
+        SELECT doc_id, CAST(len(t) - {CROSSDUP_N} + 1 AS BIGINT) AS n_grams
+        FROM t WHERE len(t) >= {CROSSDUP_N}
+    ),
+    g8 AS (
+        SELECT doc_id, unnest({_grams_sql(CROSSDUP_N)}) AS g
+        FROM t WHERE len(t) >= {CROSSDUP_N}
+    ),
+    d8 AS (SELECT g, MIN(doc_id) AS mn, MAX(doc_id) AS mx,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM g8 GROUP BY g),
+    excl AS (
+        SELECT mn AS doc_id, CAST(SUM(c) AS BIGINT) AS n_excl
+        FROM d8 WHERE mn = mx GROUP BY mn
+    ),
+    xdup AS (
+        SELECT base.doc_id,
+               (CAST(base.n_grams - COALESCE(excl.n_excl, 0) AS DOUBLE)
+                   / base.n_grams > CAST({CROSSDUP_FLAG_FRAC} AS DOUBLE))
+                   AS flagged
+        FROM base LEFT JOIN excl ON base.doc_id = excl.doc_id
+    ),
+    tok AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM t)
+        WHERE word <> ''
+    ),
+    c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY word),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+    lm AS (
+        SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(round(-ln(CAST(c.c AS DOUBLE) / n.total)
+                    * 1000000) AS BIGINT)) AS DOUBLE)
+                   / CAST(1000000 AS DOUBLE) / COUNT(*) AS avg_nll
+        FROM tok JOIN c USING (word) CROSS JOIN n
+        GROUP BY tok.doc_id
+    ),
+    mx AS (SELECT MAX(n_chars) AS m FROM t),
+    pool AS (
+        SELECT t.doc_id, t.source, t.text, lm.n_tokens, lm.avg_nll
+        FROM t
+        JOIN lm ON t.doc_id = lm.doc_id
+        LEFT JOIN xdup ON t.doc_id = xdup.doc_id
+        CROSS JOIN mx
+        WHERE NOT COALESCE(xdup.flagged, FALSE)
+          AND lm.avg_nll <= CAST({LM_MAX_AVG_NLL} AS DOUBLE)
+          AND {_u24_expr("CAST(t.doc_id AS VARCHAR)")}
+              < CAST(floor((CAST(t.n_chars AS DOUBLE) / mx.m)
+                     * CAST(16777216 AS DOUBLE)) AS BIGINT)
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM pool GROUP BY md5(text)),
+    kept AS (SELECT pool.* FROM pool JOIN keep USING (doc_id))
+    SELECT doc_id, source, n_tokens, avg_nll, md5(text) AS content_hash
+    FROM kept
+    """
+
+
+@query("pipeline_curation_v3", _v3_sql())
+def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4-X9 composed, session-2 stack: the statistical-curation run.
+
+    Complements pipeline_curation_v2's rule-based gates with the
+    statistical ones added late in r6: cross-document duplicated-8-gram
+    gate (quality_crossdup geometry — short docs pass trivially) →
+    unigram-LM rare-token-tail gate (lm_unigram_score arithmetic,
+    threshold LM_MAX_AVG_NLL) → length-weighted importance sampling
+    (sample_weighted's dialect-neutral md5 uniform) → exact dedup (min
+    doc_id per content hash over the surviving pool). Output manifest:
+    doc_id, source, token count, LM score, content hash.
+
+    ONE lazy plan; every gate reuses the constants/snippets its stage
+    key registers (oracle assembled in _v3_sql — the pipeline cannot
+    drift from its stages). Scale shape: the gram stream and the token
+    stream each shuffle once; the vocabulary joins are merge-hinted
+    (Heaps-scale sides); the only driver scalars are two exact counts
+    (corpus max chars rides a 1-row cross join).
+    """
+    from ls_hadoop_3_0_spark.llm.curation import (
+        CROSSDUP_FLAG_FRAC,
+        CROSSDUP_N,
+    )
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    prepare(spark)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    # content_hash is computed MAP-SIDE here and `text` dropped before
+    # any join: the pool's doc-keyed shuffles then carry a 32-char hash
+    # instead of full documents (87.7 s -> 52.0 s at the 100x replica).
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        "n_chars",
+        toks.alias("t"),
+        F.md5("text").alias("content_hash"),
+    )
+    n = CROSSDUP_N
+    gram = (
+        f"transform(sequence(1, size(t) - {n} + 1),"
+        f" i -> array_join(slice(t, i, {n}), ' '))"
+    )
+    eligible = t.filter(F.size("t") >= n)
+    base = eligible.select(
+        "doc_id", (F.size("t") - n + 1).cast("long").alias("n_grams")
+    )
+    g8 = eligible.select("doc_id", F.explode(F.expr(gram)).alias("g"))
+    d8 = g8.groupBy("g").agg(
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    excl = (
+        d8.filter(F.col("mn") == F.col("mx"))
+        .groupBy(F.col("mn").alias("doc_id"))
+        .agg(F.sum("c").alias("n_excl"))
+    )
+    frac = (
+        F.col("n_grams") - F.coalesce(F.col("n_excl"), F.lit(0))
+    ).cast("double") / F.col("n_grams")
+    xdup = base.join(excl.hint("merge"), "doc_id", "left").select(
+        "doc_id", (frac > F.lit(CROSSDUP_FLAG_FRAC)).alias("flagged")
+    )
+    tok = t.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    cnt = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()  # exact scalar corpus stat
+    nllq = F.round(
+        -F.log(F.col("c").cast("double") / F.lit(total)) * 1_000_000
+    ).cast("long")
+    lm = (
+        tok.join(cnt.hint("merge"), "word")
+        .select("doc_id", nllq.alias("nllq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum("nllq").cast("double")
+                / F.lit(1_000_000.0)
+                / F.count(F.lit(1))
+            ).alias("avg_nll"),
+        )
+    )
+    mx = t.agg(F.max("n_chars").alias("m"))
+    u24 = F.expr(_u24_expr("CAST(doc_id AS STRING)"))
+    thr = F.floor(
+        (F.col("n_chars").cast("double") / F.col("m")) * F.lit(16777216.0)
+    ).cast("long")
+    pool = (
+        t.join(lm, "doc_id")
+        .join(xdup.hint("merge"), "doc_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            ~F.coalesce(F.col("flagged"), F.lit(False))
+            & (F.col("avg_nll") <= F.lit(LM_MAX_AVG_NLL))
+            & (u24 < thr)
+        )
+        .select("doc_id", "source", "content_hash", "n_tokens", "avg_nll")
+    )
+    keep = pool.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        pool.join(keep.select("doc_id").hint("merge"), "doc_id")
+        .select("doc_id", "source", "n_tokens", "avg_nll", "content_hash")
+    )

@@ -259,3 +259,43 @@ def test_crossdup_flags_every_exact_duplicate(spark):
     for r in out.values():
         assert 0 <= r.n_shared <= r.n_grams
         assert r.is_crossdup == (r.shared_frac > 0.5)
+
+
+def test_pipeline_v3_composes_its_stage_keys(spark):
+    """The v3 manifest must equal the composition of its stage keys'
+    own verdicts: not cross-duplicated, LM score within the band,
+    weighted-sample kept, exact-dedup representative."""
+    import hashlib
+    from collections import defaultdict
+
+    from ls_hadoop_3_0_spark.functions.text import lm_unigram_score
+    from ls_hadoop_3_0_spark.llm.curation import quality_crossdup
+    from ls_hadoop_3_0_spark.llm.pipeline import (
+        LM_MAX_AVG_NLL,
+        pipeline_curation_v3,
+    )
+
+    got = {r.doc_id for r in pipeline_curation_v3(spark, SF_DIR).collect()}
+    flagged = {
+        r.doc_id for r in quality_crossdup(spark, SF_DIR).collect() if r.is_crossdup
+    }
+    lm = {r.doc_id: r.avg_nll for r in lm_unigram_score(spark, SF_DIR).collect()}
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).collect()
+    mx = max(r.n_chars for r in docs)
+    pool = []
+    for r in docs:
+        if r.doc_id in flagged or r.doc_id not in lm:
+            continue
+        if lm[r.doc_id] > LM_MAX_AVG_NLL:
+            continue
+        u24 = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:6], 16)
+        if u24 >= int((r.n_chars / mx) * 16777216.0):
+            continue
+        pool.append(r)
+    by_hash = defaultdict(list)
+    for r in pool:
+        by_hash[hashlib.md5(r.text.encode()).hexdigest()].append(r.doc_id)
+    want = {min(ids) for ids in by_hash.values()}
+    assert got == want
