@@ -1102,3 +1102,70 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_chars"),
     )
     return s.crossJoin(dg)
+
+
+@query(
+    "dedup_cross_source",
+    f"""
+    WITH pairs AS ({minhash_pairs_sql("documents")}),
+    lab AS (
+        SELECT p.doc_a, p.doc_b,
+               least(da.source, db.source) AS source_x,
+               greatest(da.source, db.source) AS source_y
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT source_x, source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT doc_a) + COUNT(DISTINCT doc_b) AS BIGINT)
+               AS n_docs_touched
+    FROM lab GROUP BY source_x, source_y
+    """,
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5-EXT cross-source near-duplication matrix (contamination flow).
+
+    The corpus-diagnosis view on top of the MinHash pair stream: for
+    each unordered source pair, how many near-dup pairs (and docs) link
+    them — which feeds copy from which, and how much of a source's
+    content is mirrored elsewhere. Crawl curation uses exactly this to
+    decide per-domain dedup priorities and licensing review.
+
+    Plan: reuses minhash_pairs (banded LSH candidates — bucketed, never
+    all-pairs) and joins the pair endpoints to their sources — the pair
+    stream is near-dup-sized (≪ corpus), so the endpoint joins are the
+    cheap side; the source matrix is (sources × sources)-bounded. The
+    source pair is canonicalized with least/greatest so the matrix is
+    triangular and engine-order-independent.
+    """
+    prepare(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_pairs(docs)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "source", "sa"
+            ).hint("merge"),
+            "doc_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "source", "sb"
+            ).hint("merge"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+    )
+    return lab.groupBy("source_x", "source_y").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.count_distinct("doc_a") + F.count_distinct("doc_b")).alias(
+            "n_docs_touched"
+        ),
+    )

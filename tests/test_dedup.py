@@ -261,3 +261,19 @@ def test_dedup_recall_gate_consistency(spark):
     n_verified = engine.QUERIES["dedup_minhash"](spark, SF_DIR).count()
     assert row["n_hit"] >= n_verified  # verified pairs = truth ∩ cand subset
     assert row["n_truth"] >= n_verified
+
+
+def test_cross_source_matrix_accounts_every_pair(spark):
+    """Matrix masses sum to the minhash pair count; the matrix is
+    triangular (source_x <= source_y)."""
+    from ls_hadoop_3_0_spark.llm.dedup import dedup_cross_source, minhash_pairs
+    from ls_hadoop_3_0_spark.tables import load
+
+    from .conftest import SF_DIR
+
+    rows = dedup_cross_source(spark, SF_DIR).collect()
+    n_pairs = minhash_pairs(load(spark, SF_DIR, "documents")).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.source_x <= r.source_y
+        assert 0 < r.n_docs_touched <= 2 * r.n_pairs
