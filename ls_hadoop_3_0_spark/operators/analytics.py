@@ -987,3 +987,98 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_co").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+@query(
+    "analytics_lorenz",
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS rev_q
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT o_custkey, rev_q,
+               row_number() OVER (ORDER BY rev_q DESC, o_custkey) AS rn,
+               COUNT(*) OVER () AS n,
+               SUM(rev_q) OVER () AS total_q
+        FROM rev
+    ),
+    d AS (
+        SELECT ((rn - 1) * 10) // n AS decile, rev_q, total_q FROM r
+    ),
+    g AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               SUM(rev_q) AS dec_q, MAX(total_q) AS total_q
+        FROM d GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+           (CAST(dec_q AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS revenue,
+           (CAST(dec_q AS DOUBLE) / total_q) AS share,
+           (CAST(SUM(dec_q) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / total_q) AS cum_share
+    FROM g
+    """,
+)
+def analytics_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT revenue-concentration (Lorenz/Pareto) curve by customer decile.
+
+    "What share of revenue do the top 10 % of customers produce?" — the
+    concentration question every revenue (and every token-frequency)
+    distribution gets asked. Customers are ranked by exact scaled-long
+    revenue, assigned to deciles with pure integer arithmetic
+    ((rank−1)·10 div n — no float boundaries), and each decile reports
+    its customer count, exact revenue, share, and cumulative share; the
+    divisions happen once, on identical exact longs, at the 10-row tip.
+
+    Plan: one map-combined keyed aggregation to customer grain, then
+    sort.global_rank (range partition + offsets — no single-partition
+    window over the corpus-scale customer table), one decile
+    aggregation, and a 10-row window. The only driver scalars are the
+    exact customer count and total (collected longs).
+    """
+    from pyspark.sql import Window
+
+    from ls_hadoop_3_0_spark.operators.sort import global_rank
+
+    prepare(spark)
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 1_000_000).cast("long")).alias(
+                "rev_q"
+            )
+        )
+    )
+    r = global_rank(rev, F.col("rev_q").desc(), F.col("o_custkey"))
+    tot = rev.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev_q").alias("total_q")
+    ).collect()[0]
+    n, total_q = tot["n"], tot["total_q"]  # exact scalar corpus stats
+    if n == 0:
+        # Empty corpus: the oracle's window CTEs all go empty → 0 rows.
+        return spark.createDataFrame(
+            [],
+            "decile long, n_customers long, revenue double,"
+            " share double, cum_share double",
+        )
+    g = (
+        r.select(F.expr(f"((rank - 1) * 10) div {n}").alias("decile"), "rev_q")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev_q").alias("dec_q"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_customers",
+        (F.col("dec_q").cast("double") / F.lit(1_000_000.0)).alias("revenue"),
+        (F.col("dec_q").cast("double") / F.lit(float(total_q))).alias("share"),
+        (F.sum("dec_q").over(w).cast("double") / F.lit(float(total_q))).alias(
+            "cum_share"
+        ),
+    )

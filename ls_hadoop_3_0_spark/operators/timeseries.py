@@ -350,3 +350,50 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         ewma.alias("ewma8"),
     )
+
+
+@query(
+    "timeseries_seasonality",
+    f"""
+    WITH e AS (
+        SELECT epoch_us(ts) AS us, value FROM {EVENTS_SQL}
+    )
+    SELECT (us // 86400000000 + 4) % 7 AS dow,
+           (us // 3600000000) % 24 AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS sum_value,
+           ({sql_dsum('value')} / COUNT(*)) AS avg_value
+    FROM e GROUP BY 1, 2
+    """,
+)
+def timeseries_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-EXT seasonal profile: day-of-week × hour-of-day activity grid.
+
+    The capacity-planning/seasonality view behind every "is this load
+    normal for a Tuesday 3 pm" question. Calendar fields are derived by
+    PURE INTEGER arithmetic on epoch-µs (day index + 4 mod 7 → Sunday
+    0; 1970-01-01 was a Thursday) — Spark's dayofweek and DuckDB's dow
+    disagree on numbering conventions, and integer arithmetic removes
+    the whole calendar-function surface, timezone included (UTC
+    session). Sums ride the scaled-long path, the average is the
+    composed exact division.
+
+    Plan: one scan + one map-combined aggregation to a ≤168-row grid —
+    flat at any corpus size.
+    """
+    prepare(spark)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = load(spark, sf_dir, "events").select(us.alias("us"), "value")
+    return (
+        e.select(
+            F.expr("(us div 86400000000 + 4) % 7").alias("dow"),
+            F.expr("(us div 3600000000) % 24").alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            (dsum("value") / F.count(F.lit(1))).alias("avg_value"),
+        )
+    )

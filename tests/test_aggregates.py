@@ -171,3 +171,19 @@ def test_listagg_order_is_pinned(spark):
         ks = [int(k) for k in keys.split(",")]
         assert len(ks) == len(set(ks)) <= 3
         assert prices[ks[0]] >= prices[ks[-1]]
+
+
+def test_lorenz_is_a_valid_concentration_curve(spark):
+    """Deciles partition the customer set; shares sum to 1; cum_share is
+    nondecreasing and reaches exactly the final share sum; top decile
+    share ≥ 1/10."""
+    from ls_hadoop_3_0_spark.operators.analytics import analytics_lorenz
+
+    rows = sorted(analytics_lorenz(spark, SF_DIR).collect(), key=lambda r: r.decile)
+    n = load(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    cums = [r.cum_share for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-9
+    assert rows[0].share >= 0.1 - 1e-9  # ranked desc: top decile ≥ uniform

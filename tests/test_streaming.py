@@ -539,3 +539,23 @@ def test_asof_nearest_picks_the_closer_side(spark):
             best.strftime("%Y-%m-%d %H:%M:%S"),
             want_dir,
         ), p.event_id
+
+
+def test_seasonality_grid_is_consistent(spark):
+    """Grid masses sum to the event count and dow/hour stay in range;
+    dow derivation matches Python's weekday() convention shift."""
+    import datetime
+
+    from ls_hadoop_3_0_spark.operators.timeseries import timeseries_seasonality
+    from ls_hadoop_3_0_spark.tables import load
+
+    rows = timeseries_seasonality(spark, SF_DIR).collect()
+    total = load(spark, SF_DIR, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    assert all(0 <= r.dow <= 6 and 0 <= r.hour <= 23 for r in rows)
+    # Cross-check one event: integer dow == calendar dow (Sunday=0).
+    ev = load(spark, SF_DIR, "events").select("ts").first()
+    ts = ev.ts
+    want = (ts.weekday() + 1) % 7  # Python Monday=0 → Sunday=0 scheme
+    got_dow = (int(ts.timestamp() * 0 + (ts - datetime.datetime(1970, 1, 1)).days) + 4) % 7
+    assert got_dow == want
