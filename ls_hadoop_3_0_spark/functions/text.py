@@ -684,3 +684,78 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_nll"),
     )
+
+
+#: Hashing-trick geometry: tokens land in one of 64 buckets via the
+#: first 6 hex chars of their md5 (the sample_weighted uniform), mod D.
+FEATURE_DIM = 64
+_FH_U24 = (
+    "("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(word), {i}, 1)) - 1)"
+        f" * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    )
+    + ")"
+)
+
+
+@query(
+    "feature_hash",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+        WHERE word <> ''
+    ),
+    b AS (
+        SELECT doc_id, {_FH_U24} % {FEATURE_DIM} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(c) AS BIGINT) AS max_count,
+           md5(string_agg(bucket || ':' || c, ',' ORDER BY bucket))
+               AS features_md5
+    FROM b GROUP BY doc_id
+    """,
+)
+def feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-EXT hashing-trick featurization (fixed-dim sparse count vector).
+
+    The vocabulary-free featurizer (HashingTF / Vowpal-Wabbit style):
+    each token lands in one of FEATURE_DIM buckets via a dialect-
+    neutral md5 hex→int hash — no vocabulary table, no fitting pass, so
+    the transform is a pure per-row map at any corpus size (the reason
+    the hashing trick beats a fitted vocabulary at 100 TB). Per doc:
+    bucket count, max bucket mass, and an order-pinned digest of the
+    full sparse vector (bucket:count pairs, bucket-ordered — the
+    listagg determinism rule) so whole vectors never hit the
+    comparator.
+
+    Plan: one explode + one (doc, bucket)-keyed map-combined count +
+    one doc-keyed reduce — two shuffles, both linear in tokens.
+    """
+    prepare(spark)
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    b = (
+        tok.select("doc_id", (F.expr(_FH_U24) % FEATURE_DIM).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return b.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("c").alias("max_count"),
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(bucket, c))), s -> concat(s.bucket, ':', s.c)), ',')"
+            )
+        ).alias("features_md5"),
+    )

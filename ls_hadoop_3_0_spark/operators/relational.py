@@ -194,3 +194,83 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vstr").alias("min_str"),
         F.max("vstr").alias("max_str"),
     )
+
+
+@query(
+    "profile_skew",
+    """
+    WITH u AS (
+        SELECT 'l_suppkey' AS col, CAST(l_suppkey AS VARCHAR) AS k
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+    ),
+    f AS (SELECT col, k, CAST(COUNT(*) AS BIGINT) AS c
+          FROM u GROUP BY col, k)
+    SELECT col,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_freq,
+           (CAST(MAX(c) AS DOUBLE) * COUNT(*)) / SUM(c) AS skew_ratio,
+           MIN(CASE WHEN c = (SELECT MAX(c) FROM f f2 WHERE f2.col = f.col)
+                    THEN k END) AS heaviest_key
+    FROM f GROUP BY col
+    """,
+)
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9-EXT join-key skew diagnostics: the audit before salting.
+
+    For each candidate join key of the fact table: distinct count, the
+    heaviest key and its frequency, and the skew ratio max/mean — the
+    number that decides between a plain shuffle join, AQE skew-split,
+    and explicit salting (join_salted's rationale, measured instead of
+    assumed). skew_ratio = max·distinct/total is exact-integer-derived;
+    the heaviest key is tie-broken by MIN over the string form so both
+    engines pick the same one.
+
+    Plan: one tagged union scan (three key columns in one pass), one
+    (col, key)-keyed map-combined count, one per-col reduce. The
+    heaviest-key correlated lookup runs on the per-key count table —
+    the oracle mirrors it; Spark derives it with a max_by over the same
+    counts.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    u = None
+    for col in ("l_suppkey", "l_partkey", "l_orderkey"):
+        part = li.select(
+            F.lit(col).alias("col"), F.col(col).cast("string").alias("k")
+        )
+        u = part if u is None else u.unionByName(part)
+    f = u.groupBy("col", "k").agg(F.count(F.lit(1)).alias("c"))
+    # max_by with ties is engine-defined: pin it by taking MIN(k) among
+    # keys that reach the max frequency, exactly as the oracle does.
+    g = f.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_freq"),
+    )
+    heav = (
+        f.join(
+            g.select("col", F.col("max_freq").alias("mf")).hint("merge"), "col"
+        )
+        .filter(F.col("c") == F.col("mf"))
+        .groupBy("col")
+        .agg(F.min("k").alias("heaviest_key"))
+    )
+    return (
+        g.join(heav, "col")
+        .select(
+            "col",
+            "n_distinct",
+            "n_rows",
+            "max_freq",
+            (
+                (F.col("max_freq").cast("double") * F.col("n_distinct"))
+                / F.col("n_rows")
+            ).alias("skew_ratio"),
+            "heaviest_key",
+        )
+    )

@@ -289,3 +289,33 @@ def test_lm_unigram_score_bounds(spark):
     for r in rows:
         assert lo <= r.avg_nll <= hi, (r.doc_id, r.avg_nll)
         assert r.n_tokens > 0
+
+
+def test_feature_hash_matches_python_recompute(spark):
+    """Vocabulary-free determinism: an independent Python recompute of
+    the md5 bucket assignment reproduces every per-doc digest."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from ls_hadoop_3_0_spark.functions.text import FEATURE_DIM, feature_hash
+
+    got = {r.doc_id: r for r in feature_hash(spark, SF_DIR).collect()}
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    for d in docs:
+        toks = [w for w in d.text.split(" ") if w]
+        if not toks:
+            assert d.doc_id not in got
+            continue
+        counts = Counter(
+            int(hashlib.md5(w.encode()).hexdigest()[:6], 16) % FEATURE_DIM
+            for w in toks
+        )
+        digest = hashlib.md5(
+            ",".join(f"{b}:{c}" for b, c in sorted(counts.items())).encode()
+        ).hexdigest()
+        r = got[d.doc_id]
+        assert (r.n_buckets, r.max_count, r.features_md5) == (
+            len(counts),
+            max(counts.values()),
+            digest,
+        ), d.doc_id
