@@ -46,6 +46,10 @@ HEADLINERS = [
     ("pipeline_curation_v2", "six curation stages (quality, repetition, decontamination, exact dedup, mixture, packing) in ONE lazy plan; only broadcasts: the authored eval-gram set + the prefix-sum's partition offsets — never a corpus-scale side"),
     ("analytics_trend", "per-series OLS from exact moments: one scan, a 1-row global-MIN broadcast, one map-combined moment aggregation — two shuffles carrying 6 numbers per (type x partition)"),
     ("bm25_topk", "explode filtered to query-term hits before any shuffle; query-sized df broadcast; TakeOrderedAndProject top-k — never a global sort"),
+    ("stream_late_drop", "chunked watermark: per-hour running max inside chunk partitions + metadata-scale cross-chunk prefix; NO global single-partition window over the fact, NO static broadcast of the time-span chunk table"),
+    ("quality_crossdup", "ONE gram explode, ONE gram-keyed min/max/count aggregation; shared counts derived as total-minus-exclusive — the gram stream is never joined back (62 s → 43 s at 100×)"),
+    ("quantile_bucketize", "global_rank (range partition → local rank → offsets) for the cutpoint positions — no single-task row_number window; 1-row cut set broadcast; one keyed aggregation"),
+    ("pipeline_curation_v3", "statistical stack in ONE lazy plan: gram and token branches overlap in one DAG; content_hash computed map-side so doc-keyed joins never shuffle full text (87.7 s → 52.0 s at 100×)"),
 ]
 
 
