@@ -953,3 +953,44 @@ def scan_json_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min(F.when(good, F.col("n_name"))).alias("first_good_name"),
     )
+
+
+@query(
+    "scan_partition_pruned",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 read leg: partition-pruned scan over the demuxed layout.
+
+    The payoff of sink_partitioned's directory-per-status layout: a
+    predicate on the partition column must become a PartitionFilter
+    (directory-listing elimination — other statuses are never opened),
+    NOT a row-level filter over the full table. The plan property is
+    asserted in tests/test_plans.py; the oracle predicts the per-
+    priority stats from the source rows with o_orderstatus = 'F'. At
+    100 TB this is THE mechanism that turns a petabyte table into a
+    terabyte scan — partition pruning happens at planning time, before
+    a single row is read.
+    """
+    prepare(spark)
+    path = scratch(sf_dir, "sink_partitioned")
+    orders = load(spark, sf_dir, "orders")
+    # Stage (idempotent overwrite) so the key is self-contained even when
+    # sink_partitioned has not run in this session.
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.schema(orders.schema).parquet(path)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -248,3 +248,15 @@ def test_late_drop_has_no_static_broadcast_of_chunk_table(spark):
     logical = df._jdf.queryExecution().analyzed().toString()
     assert "UnresolvedHint" not in logical
     assert "broadcast" not in logical.lower(), logical
+
+
+def test_partition_pruned_scan_lists_one_directory(spark):
+    """The status predicate must be a PartitionFilter on the scan (planning-
+    time directory elimination), not a post-scan row filter."""
+    from ls_hadoop_3_0_spark.sources.io import scan_partition_pruned
+
+    df = scan_partition_pruned(spark, SF_DIR)
+    plan = checks.formatted_plan(df)
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("o_orderstatus" in ln and "[]" not in ln for ln in pf), plan
