@@ -759,3 +759,101 @@ def feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("features_md5"),
     )
+
+
+@query(
+    "vocab_zipf",
+    """
+    WITH v AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    ),
+    r AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rnk FROM v
+    ),
+    q AS (
+        SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+               CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        FROM r
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM q
+    )
+    SELECT n AS n_types,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / NULLIF(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                    CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)) AS zipf_slope,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+           / NULLIF(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                    CAST(0 AS DOUBLE))
+                    * greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE),
+                      CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)) AS r2
+    FROM g
+    """,
+)
+def vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4-EXT Zipf-law fit: the corpus's frequency-rank power exponent.
+
+    log-log OLS of token frequency against frequency rank — natural
+    corpora fit slope ≈ −1 (Zipf); a corpus whose slope drifts far from
+    it is template-stuffed (too flat) or vocabulary-collapsed (too
+    steep). Composes the session's proven pieces: global_rank for the
+    vocabulary ranking (Heaps-scale table, range-partitioned — no
+    single-task window), the proven ln pair, per-point quantization to
+    scaled longs BEFORE the moment sums (lm_unigram_score discipline),
+    and the exact-moment OLS with zero-variance NULL guards (agg_corr
+    machinery). One summary row: n_types, slope, r².
+    """
+    from ls_hadoop_3_0_spark.operators.sort import global_rank
+
+    prepare(spark)
+    v = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    r = global_rank(v, F.col("c").desc(), F.col("word"))
+    q = r.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("y"),
+    )
+
+    def _sq(a: str, b: str):
+        return F.sum(F.col(a).cast("decimal(19,0)") * F.col(b).cast("decimal(19,0)"))
+
+    g = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        _sq("x", "x").alias("sxx"),
+        _sq("y", "y").alias("syy"),
+        _sq("x", "y").alias("sxy"),
+    )
+    nD = F.col("n").cast("double")
+    sxD, syD = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov = nD * F.col("sxy").cast("double") - sxD * syD
+    vx = F.greatest(nD * F.col("sxx").cast("double") - sxD * sxD, F.lit(0.0))
+    vy = F.greatest(nD * F.col("syy").cast("double") - syD * syD, F.lit(0.0))
+    return g.select(
+        F.col("n").alias("n_types"),
+        F.try_divide(cov, vx).alias("zipf_slope"),
+        F.try_divide(cov * cov, vx * vy).alias("r2"),
+    )

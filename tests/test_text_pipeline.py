@@ -319,3 +319,29 @@ def test_feature_hash_matches_python_recompute(spark):
             max(counts.values()),
             digest,
         ), d.doc_id
+
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    """Independent recompute: numpy OLS on the same quantized log points
+    agrees to quantization precision, and the flat word-soup fixture is
+    correctly reported as non-Zipfian (|slope| well under 1)."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from ls_hadoop_3_0_spark.functions.text import vocab_zipf
+
+    row = vocab_zipf(spark, SF_DIR).collect()[0]
+    docs = load(spark, SF_DIR, "documents").select("text").collect()
+    counts = Counter(w for d in docs for w in d.text.split(" ") if w)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.array(
+        [round(math.log(i + 1) * 1e6) / 1e6 for i in range(len(ranked))]
+    )
+    y = np.array([round(math.log(c) * 1e6) / 1e6 for _, c in ranked])
+    slope = np.polyfit(x, y, 1)[0]
+    assert row.n_types == len(ranked)
+    assert abs(row.zipf_slope - slope) < 1e-6
+    assert 0.0 <= row.r2 <= 1.0 + 1e-12
+    assert abs(row.zipf_slope) < 0.9  # word-soup fixture: not Zipfian
