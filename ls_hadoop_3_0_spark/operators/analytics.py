@@ -1082,3 +1082,77 @@ def analytics_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+@query(
+    "analytics_backlog",
+    """
+    WITH span AS (
+        SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d0,
+               CAST(MAX(l.l_shipdate) AS DATE) AS d1
+        FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT d0 AS day, 1 AS delta FROM span
+        UNION ALL
+        SELECT d1, -1 FROM span WHERE d1 IS NOT NULL
+    ),
+    daily AS (
+        SELECT day, CAST(SUM(delta) AS BIGINT) AS net_change
+        FROM deltas GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, net_change,
+           CAST(SUM(net_change) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS open_orders
+    FROM daily
+    """,
+)
+def analytics_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT open-orders backlog curve: sweep-line interval counting.
+
+    How many orders are open (placed, not yet fully shipped) on each
+    day — the classic interval-count question (concurrent sessions,
+    active users, WIP inventory) answered with the sweep-line pattern
+    this repo had not yet demonstrated: every interval becomes a +1
+    event at its start and a −1 at its end, one keyed aggregation
+    collapses events to net change per day, and a running sum walks
+    the timeline. An order with no lineitems never closes (left join,
+    NULL end → no −1 event), identically on both engines.
+
+    Scale: the interval endpoints aggregate to TIME-SPAN-scale rows
+    (one per active day) before the running sum, so the ordered window
+    runs over a few-thousand-row series at ANY corpus size — the same
+    metadata-scale-window argument as stream_late_drop's chunk prefix.
+    The corpus-scale work is one fact join + one keyed count.
+    """
+    from pyspark.sql import Window
+
+    prepare(spark)
+    span = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("d1_ts"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("d0"),
+            F.col("d1_ts").cast("date").alias("d1"),
+        )
+    )
+    deltas = span.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionByName(
+        span.filter(F.col("d1").isNotNull()).select(
+            F.col("d1").alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").cast("long").alias("net_change"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "net_change",
+        F.sum("net_change").over(w).cast("long").alias("open_orders"),
+    )

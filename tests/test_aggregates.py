@@ -187,3 +187,26 @@ def test_lorenz_is_a_valid_concentration_curve(spark):
     assert all(a <= b + 1e-12 for a, b in zip(cums, cums[1:]))
     assert abs(cums[-1] - 1.0) < 1e-9
     assert rows[0].share >= 0.1 - 1e-9  # ranked desc: top decile ≥ uniform
+
+
+def test_backlog_sweep_line_invariants(spark):
+    """Sweep-line sanity: the curve never goes negative, the final value
+    equals the count of never-shipped orders, and +1/-1 masses balance
+    with the interval counts."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.operators.analytics import analytics_backlog
+
+    rows = sorted(analytics_backlog(spark, SF_DIR).collect(), key=lambda r: r.day)
+    assert all(r.open_orders >= 0 for r in rows)
+    orders = load(spark, SF_DIR, "orders")
+    li = load(spark, SF_DIR, "lineitem")
+    n_orders = orders.count()
+    n_shipped = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    assert rows[-1].open_orders == n_orders - n_shipped
+    assert sum(r.net_change for r in rows) == rows[-1].open_orders
