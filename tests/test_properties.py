@@ -202,3 +202,45 @@ def test_interval_join_band_contract(spark, rows):
         if ct == "click" and cu == pu and ps - 3600 <= cs <= ps
     }
     assert got == want
+
+
+@SMALL
+@given(st.lists(st.text(alphabet="abcdefgh0123 _", min_size=0, max_size=12),
+                min_size=1, max_size=25))
+def test_u24_uniform_matches_python_for_any_string(spark, words):
+    """The dialect-neutral md5 hex→int expression (_u24_expr) equals the
+    Python reference for arbitrary strings — the primitive under
+    sample_weighted, feature_hash and pipeline_curation_v3."""
+    import hashlib
+
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {
+        r.s: r.u
+        for r in df.select("s", F.expr(_u24_expr("s")).alias("u")).collect()
+    }
+    for w in set(words):
+        assert got[w] == int(hashlib.md5(w.encode()).hexdigest()[:6], 16), w
+
+
+@SMALL
+@given(st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=60),
+       st.integers(2, 6))
+def test_global_rank_is_partitioning_invariant(spark, vals, nparts):
+    """global_rank assigns the identical total-order ranks regardless of
+    input partitioning — the property quantile_bucketize, sort_global
+    and analytics_lorenz all lean on."""
+    from ls_hadoop_3_0_spark.operators.sort import global_rank
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    a = spark.createDataFrame(rows, "id long, v long")
+    b = a.repartition(nparts)
+    ra = {r.id: r.rank for r in global_rank(a, F.col("v"), F.col("id")).collect()}
+    rb = {r.id: r.rank for r in global_rank(b, F.col("v"), F.col("id")).collect()}
+    assert ra == rb
+    want = {
+        i: rank + 1
+        for rank, (i, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert ra == want
