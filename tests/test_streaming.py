@@ -559,3 +559,40 @@ def test_seasonality_grid_is_consistent(spark):
     want = (ts.weekday() + 1) % 7  # Python Monday=0 → Sunday=0 scheme
     got_dow = (int(ts.timestamp() * 0 + (ts - datetime.datetime(1970, 1, 1)).days) + 4) % 7
     assert got_dow == want
+
+
+def test_unit_drift_covers_session2_event_keys(spark, tmp_path):
+    """The late-r6 events keys (watermark twin, EWMA, seasonality,
+    nearest as-of) must return IDENTICAL rows from an int64-nanos
+    fixture and a timestamp[us] fixture — the unit-drift contract
+    extended to every new ts consumer."""
+    import duckdb
+
+    import ls_hadoop_3_0_spark as engine
+
+    con = duckdb.connect()
+    dirs = {}
+    for unit, expr in (
+        ("nanos", "epoch_ns(ts)"),
+        ("micros", "make_timestamp(epoch_ns(ts) // 1000)"),
+    ):
+        d = tmp_path / f"drift2_{unit}"
+        d.mkdir()
+        con.execute(
+            f"COPY (SELECT event_id, {expr} AS ts, user_id, event_type,"
+            f" value, props FROM read_parquet('{SF_DIR}/events.parquet'))"
+            f" TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+        dirs[unit] = str(d)
+    for key in (
+        "stream_late_drop",
+        "timeseries_ewma",
+        "timeseries_seasonality",
+        "join_asof_nearest",
+    ):
+        out = {
+            unit: sorted(tuple(r) for r in engine.QUERIES[key](spark, d).collect())
+            for unit, d in dirs.items()
+        }
+        assert out["nanos"], key
+        assert out["nanos"] == out["micros"], key
