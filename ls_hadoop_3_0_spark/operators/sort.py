@@ -476,3 +476,46 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "shuffle_deterministic",
+    """
+    WITH r AS (
+        SELECT doc_id, source, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents
+    )
+    SELECT CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT)
+               AS position,
+           doc_id, source, n_chars
+    FROM r
+    """,
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-EXT reproducible corpus shuffle: a seedless deterministic permutation.
+
+    Training-data ordering matters (curriculum effects, resume-from-
+    checkpoint reproducibility), so the shuffle that feeds the trainer
+    must be a PURE FUNCTION of the data, not an engine RNG: documents
+    are ordered by md5(doc_id) — uniform, uncorrelated with any natural
+    ordering, identical on every engine and at every partitioning — and
+    the global position is assigned with the distributed global_rank
+    (range partition + offsets, no single-task window). Re-running on
+    the same corpus reproduces the identical permutation; a different
+    epoch's permutation is one salt away (md5(seed || doc_id)).
+
+    Scale: one map pass for the sort key + global_rank's one range
+    shuffle — the sort_global budget.
+    """
+    prepare(spark)
+    r = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("skey"),
+    )
+    ranked = global_rank(r, F.col("skey"), F.col("doc_id"))
+    return ranked.select(
+        F.col("rank").alias("position"), "doc_id", "source", "n_chars"
+    )

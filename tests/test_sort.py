@@ -125,3 +125,25 @@ def test_weighted_sample_matches_python_recompute(spark):
     for s, (n, k, kc, tc) in want.items():
         g = got[s]
         assert (g.n_docs, g.n_kept, g.kept_chars, g.total_chars) == (n, k, kc, tc)
+
+
+def test_deterministic_shuffle_is_a_reproducible_permutation(spark):
+    """Positions are exactly 1..n, identical across runs and input
+    partitionings, and decorrelated from doc_id order (it is a shuffle,
+    not a sort by id)."""
+    from ls_hadoop_3_0_spark.operators.sort import shuffle_deterministic
+    from ls_hadoop_3_0_spark.tables import load
+
+    a = {r.doc_id: r.position for r in shuffle_deterministic(spark, SF_DIR).collect()}
+    b = {r.doc_id: r.position for r in shuffle_deterministic(spark, SF_DIR).collect()}
+    assert a == b
+    n = load(spark, SF_DIR, "documents").count()
+    assert sorted(a.values()) == list(range(1, n + 1))
+    ids = sorted(a)
+    agree = sum(
+        1
+        for x, y in zip(ids, ids[1:])
+        if (a[x] < a[y]) == (x < y)
+    )
+    # A true permutation keeps ~half the adjacent id-order relations.
+    assert 0.25 < agree / (len(ids) - 1) < 0.75
