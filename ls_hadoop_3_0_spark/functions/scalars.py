@@ -466,3 +466,44 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(F.encode("c_mktsegment", "UTF-8")).alias("seg_b64"),
         F.length(F.encode("c_name", "UTF-8")).cast("long").alias("n_bytes"),
     )
+
+
+@query(
+    "scalar_bitwise",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS lo_byte,
+           CAST(o_orderkey | 15 AS BIGINT) AS or_mask,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+           CAST(o_orderkey << 3 AS BIGINT) AS shl3,
+           CAST(o_orderkey >> 2 AS BIGINT) AS shr2,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+    FROM orders WHERE o_orderkey % 101 = 0
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar family 9: bitwise operators (masks, shifts, popcount).
+
+    The bit-manipulation surface (feature flags, bucket masks, bitmap
+    membership, the simhash/minhash internals exposed as first-class
+    scalars): AND/OR/XOR, shifts, and population count over the
+    non-negative key columns — exact integer semantics, identical on
+    both engines (DuckDB spells XOR as ``xor()`` and popcount as
+    ``bit_count``, Spark as ``^``/``bit_count``). Map-side only; the
+    filter keeps the checked slice small.
+    """
+    prepare(spark)
+    o = F.col("o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(o % 101 == 0)
+        .select(
+            "o_orderkey",
+            o.bitwiseAND(F.lit(255)).cast("long").alias("lo_byte"),
+            o.bitwiseOR(F.lit(15)).cast("long").alias("or_mask"),
+            o.bitwiseXOR(F.col("o_custkey")).cast("long").alias("key_xor"),
+            F.shiftleft(o, 3).cast("long").alias("shl3"),
+            F.shiftright(o, 2).cast("long").alias("shr2"),
+            F.bit_count(o).cast("long").alias("popcount"),
+        )
+    )
