@@ -689,15 +689,13 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Hashing-trick geometry: tokens land in one of 64 buckets via the
 #: first 6 hex chars of their md5 (the sample_weighted uniform), mod D.
 FEATURE_DIM = 64
-_FH_U24 = (
-    "("
-    + " + ".join(
-        f"(instr('0123456789abcdef', substr(md5(word), {i}, 1)) - 1)"
-        f" * {16 ** (6 - i)}"
-        for i in range(1, 7)
-    )
-    + ")"
-)
+# Built from the property-tested dialect-neutral md5 hex→int primitive
+# (operators/sort._u24_expr) rather than re-spelling it — the two copies
+# drifted risk flagged in r6 ADVICE. No import cycle: sort.py imports
+# nothing from functions/.
+from ls_hadoop_3_0_spark.operators.sort import _u24_expr as _sort_u24_expr
+
+_FH_U24 = "(" + _sort_u24_expr("word") + ")"
 
 
 @query(

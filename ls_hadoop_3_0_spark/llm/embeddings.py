@@ -620,7 +620,8 @@ NORM_SCALE = 1000
     WITH q AS (
         SELECT label,
                CAST(round(n2 * {NORM_SCALE}) AS BIGINT) AS n2m,
-               CAST(round((n2 * n2 / s4) * {NORM_SCALE}) AS BIGINT) AS prm
+               CAST(round((n2 * n2 / nullif(s4, CAST(0 AS DOUBLE)))
+                          * {NORM_SCALE}) AS BIGINT) AS prm
         FROM (
             SELECT label,
                    list_sum(list_transform(embedding,
@@ -721,7 +722,13 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.select(
         "label",
         F.round(n2 * NORM_SCALE).cast("long").alias("n2m"),
-        F.round((n2 * n2 / s4) * NORM_SCALE).cast("long").alias("prm"),
+        # nullif guard: an all-zero vector gives 0/0 → NaN, and ANSI
+        # round(NaN)::long is a hard CAST error — degenerate vectors
+        # surface as NULL prm instead (skipped by the sums, never an
+        # outlier), mirrored by nullif in the oracle.
+        F.round((n2 * n2 / F.nullif(s4, F.lit(0.0))) * NORM_SCALE)
+        .cast("long")
+        .alias("prm"),
     )
 
     def _sq_dec(c: str):
@@ -769,7 +776,12 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("n2m") > thr_hi).cast("long")).alias("n_norm_outliers"),
             F.max("mean_pr").alias("mean_pr"),
             F.max("std_pr").alias("std_pr"),
-            F.sum((F.col("prm") < thr_lo).cast("long")).alias("n_pr_low"),
+            # coalesce: if every prm in a label is NULL (all-degenerate),
+            # Spark's SUM over NULLs is NULL while the oracle's
+            # SUM(CASE...ELSE 0) is 0 — pin both to 0.
+            F.coalesce(
+                F.sum((F.col("prm") < thr_lo).cast("long")), F.lit(0)
+            ).alias("n_pr_low"),
         )
     )
 

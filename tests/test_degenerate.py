@@ -60,15 +60,29 @@ def degen_sf(spark):
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
+    # label 0 carries an ALL-ZERO vector: Σx⁴ = 0 → participation ratio
+    # 0/0, the ADVICE-r7 NaN→ANSI-cast-abort class. Must surface as a
+    # NULL prm (never an outlier) identically on both engines.
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0, 0.0], 0),
+            (2, [1.0, 2.0, 2.0, 0.5], 0),
+            (3, [0.5, 0.5, 0.5, 0.5], 0),
+            (4, [3.0, 0.1, 0.1, 0.1], 1),
+            (5, [1.0, 1.0, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
     events.coalesce(1).write.mode("overwrite").parquet(f"{DEGEN_DIR}/events.parquet")
     docs.coalesce(1).write.mode("overwrite").parquet(f"{DEGEN_DIR}/documents.parquet")
+    emb.coalesce(1).write.mode("overwrite").parquet(f"{DEGEN_DIR}/embeddings.parquet")
     return DEGEN_DIR
 
 
 @pytest.fixture(scope="module")
 def degen_duck(degen_sf):
     con = duckdb.connect()
-    for t in ("events", "documents"):
+    for t in ("events", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM"
             f" read_parquet('{degen_sf}/{t}.parquet/*.parquet')"
@@ -77,7 +91,9 @@ def degen_duck(degen_sf):
     con.close()
 
 
-@pytest.mark.parametrize("key", ["anomaly_zscore", "text_quality"])
+@pytest.mark.parametrize(
+    "key", ["anomaly_zscore", "text_quality", "embedding_norm_outliers"]
+)
 def test_degenerate_parity(key, spark, degen_sf, degen_duck):
     sdf = engine.QUERIES[key](spark, degen_sf).toPandas()
     odf = degen_duck.execute(engine.ORACLES[key]).fetchdf()
