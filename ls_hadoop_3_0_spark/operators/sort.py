@@ -519,3 +519,51 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         F.col("rank").alias("position"), "doc_id", "source", "n_chars"
     )
+
+
+#: Per-stratum keep rates for the deterministic stratified sample —
+#: the same rates sample_stratified's seeded ``sampleBy`` uses, realized
+#: as exact 24-bit integer thresholds on the md5 uniform.
+STRAT_RATES = {"F": 0.05, "O": 0.1, "P": 0.5}
+_STRAT_THR = {k: round(v * 16_777_216) for k, v in STRAT_RATES.items()}
+_STRAT_CASE = (
+    "CASE o_orderstatus "
+    + " ".join(f"WHEN '{k}' THEN {t}" for k, t in _STRAT_THR.items())
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "sample_stratified_hash",
+    f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               {_u24_expr("CAST(o_orderkey AS VARCHAR)")} AS u24
+        FROM orders)
+    WHERE u24 < {_STRAT_CASE}
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 per-stratum sampling, deterministic and fully hash-checked.
+
+    The oracle-backed twin of ``sample_stratified`` (whose seeded
+    ``sampleBy`` RNG is reproducible per engine but not across engines —
+    rows-only): membership is a pure function of the key, kept iff the
+    doc's md5-prefix uniform (the dialect-neutral instr/substr hex→int
+    expression, ``_u24_expr``) falls below the stratum's exact integer
+    threshold round(rate·16^6). Same per-stratum rates as the seeded
+    key, so the two are directly comparable; this is the stratified
+    sampling a pipeline wants at 100 TB — stable across reruns,
+    engines, partitionings — and the keep decision is one md5 plus a
+    CASE per row, map-side, no sampling state and no shuffle at all
+    (the output is the kept rows themselves).
+    """
+    prepare(spark)
+    u24 = F.expr(_u24_expr("CAST(o_orderkey AS STRING)"))
+    thr = F.expr(_STRAT_CASE)
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(u24 < thr)
+    )

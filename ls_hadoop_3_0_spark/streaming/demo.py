@@ -180,7 +180,9 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+def stateful_user_totals_tws(
+    events: DataFrame, time_mode: str = "None"
+) -> DataFrame:
     """T6 twin on the Spark 4.x-preferred API: ``transformWithStateInPandas``.
 
     Same per-user running (count, value-sum) state as
@@ -224,7 +226,10 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
         statefulProcessor=UserTotals(),
         outputStructType="user_id long, n_events long, sum_value double",
         outputMode="Update",
-        timeMode="None",
+        # "None" for the pure running-total demo; "ProcessingTime"
+        # enables registerTimer for TTL-style state expiry — the
+        # plan-level twin asserts BOTH configs analyze correctly.
+        timeMode=time_mode,
     )
 
 

@@ -220,6 +220,18 @@ def test_transform_with_state_plan_builds(spark, events_stream):
     )
 
 
+def test_transform_with_state_timer_config_analyzes(spark, events_stream):
+    """T6 twin, timer leg: the ProcessingTime time mode (what a
+    production TTL/state-expiry processor runs under) must survive
+    analysis with the timer config visible in the operator — covering
+    the one argument the NoTime plan assertion above can't."""
+    out = demo.stateful_user_totals_tws(events_stream, time_mode="ProcessingTime")
+    assert out.isStreaming
+    first = out._jdf.queryExecution().analyzed().toString().splitlines()[0]
+    assert "TransformWithStateInPySpark" in first, first
+    assert "ProcessingTime" in first, first
+
+
 def test_transform_with_state_totals_match_batch(spark, events_stream):
     """T6 twin, executable leg: one availableNow run == batch groupBy.
 
