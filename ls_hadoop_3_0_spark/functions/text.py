@@ -855,3 +855,77 @@ def vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(cov, vx).alias("zipf_slope"),
         F.try_divide(cov * cov, vx * vy).alias("r2"),
     )
+
+
+#: OOV-audit vocabulary size (design constant — the broadcast bound).
+OOV_VOCAB_K = 1000
+
+
+@query(
+    "vocab_oov_rate",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+        WHERE word <> ''
+    ),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, COUNT(*) AS c FROM tok GROUP BY word)
+        ORDER BY c DESC, word LIMIT {OOV_VOCAB_K}
+    ),
+    flagged AS (
+        SELECT t.doc_id, d.source,
+               CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+        FROM tok t
+        JOIN documents d ON d.doc_id = t.doc_id
+        LEFT JOIN vocab v ON v.word = t.word
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM flagged GROUP BY source
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 out-of-vocabulary audit: per-source OOV token rate vs a top-K vocab.
+
+    The tokenizer-coverage check run before committing a vocabulary:
+    build the top-K vocab (count desc, word asc — a total order, so the
+    K-boundary is deterministic) and measure the fraction of tokens
+    each source would shatter into unknowns. The vocab selection is
+    ``orderBy().limit(K)`` — TakeOrderedAndProject per-partition heaps,
+    NOT a global sort — and the resulting K-row side is a DESIGN-
+    bounded broadcast (the legitimate static-broadcast class), so the
+    membership probe is map-side at any corpus size. OOV rate is an
+    exact-int ratio.
+
+    Plan: one explode + one word-keyed count + the heap top-K + one
+    map-side broadcast probe + one source-keyed reduce — two fact
+    shuffles total.
+    """
+    prepare(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(OOV_VOCAB_K)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "word", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        flagged.select("source", oov.alias("oov"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").alias("n_oov"),
+            (F.sum("oov").cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+        )
+    )

@@ -840,3 +840,73 @@ def quality_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("shared_frac"),
         (frac > F.lit(CROSSDUP_FLAG_FRAC)).alias("is_crossdup"),
     )
+
+
+@query(
+    "mix_temperature",
+    """
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
+    w AS (
+        SELECT source, n_docs, n_chars,
+               CAST(n_docs AS DOUBLE) / t.total AS share,
+               CAST(round(sqrt(CAST(n_docs AS DOUBLE) / t.total) * 1000000)
+                    AS BIGINT) AS sq
+        FROM c CROSS JOIN t
+    )
+    SELECT source, n_docs, n_chars, share,
+           CAST(sq AS DOUBLE) / SUM(sq) OVER () AS weight_t2,
+           (CAST(sq AS DOUBLE) / SUM(sq) OVER ()) / share AS boost
+    FROM w
+    """,
+)
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 temperature-based mixture reweighting (T=2) over sources.
+
+    The multilingual/multi-domain rebalancing rule (sample source s
+    with p_s ∝ share_s^(1/T)) that upweights tail domains without
+    flattening the mix. T is fixed at 2 so the power is sqrt — a
+    correctly-rounded IEEE op, bit-identical on both engines, where a
+    general pow() would drift per-libm. Each sqrt is quantized to a
+    scaled long BEFORE normalization, so the denominator is an exact
+    integer sum (source-order-independent) and every emitted weight is
+    a ratio of exact quantities.
+
+    Plan: one source-keyed count (map-combined), a 1-row total stat, a
+    window over the source-vocabulary-bounded summary (≤ domains, not
+    corpus) — the whole key is one fact shuffle at any scale.
+    """
+    prepare(spark)
+    from pyspark.sql import Window
+
+    c = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    t = c.agg(F.sum("n_docs").alias("total"))
+    share = F.col("n_docs").cast("double") / F.col("total")
+    w = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        share.alias("share"),
+        F.round(F.sqrt(share) * 1_000_000).cast("long").alias("sq"),
+    )
+    denom = F.sum("sq").over(Window.partitionBy())
+    wt = F.col("sq").cast("double") / denom
+    return w.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "share",
+        wt.alias("weight_t2"),
+        (wt / F.col("share")).alias("boost"),
+    )

@@ -783,3 +783,211 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_keys"),
         dsum("o_totalprice").alias("top_total"),
     )
+
+
+#: Moment quantization: value quantized at 1e3 (xq ≤ ~5e5 for the
+#: fixture's value range), power sums accumulated as DECIMAL(38,0) /
+#: HUGEINT — exact at any corpus size (xq⁴ ≈ 6e22 per element needs
+#: ~128-bit accumulation; a long would overflow at ~150k rows).
+MOM_SCALE = 1000
+
+
+@query(
+    "agg_skewkurt",
+    f"""
+    WITH q AS (
+        SELECT event_type,
+               CAST(round(value * {MOM_SCALE}) AS BIGINT) AS xq
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(xq AS HUGEINT)) AS s1,
+               SUM(CAST(xq AS HUGEINT) * xq) AS s2,
+               SUM(CAST(xq AS HUGEINT) * xq * xq) AS s3,
+               SUM(CAST(xq AS HUGEINT) * xq * xq * xq) AS s4
+        FROM q GROUP BY event_type
+    ),
+    d AS (
+        SELECT event_type, n,
+               CAST(s1 AS DOUBLE) / {MOM_SCALE}.0 / n AS m1,
+               CAST(s2 AS DOUBLE) / {MOM_SCALE * MOM_SCALE}.0 / n AS r2,
+               CAST(s3 AS DOUBLE) / {MOM_SCALE ** 3}.0 / n AS r3,
+               CAST(s4 AS DOUBLE) / {MOM_SCALE ** 4}.0 / n AS r4
+        FROM s
+    )
+    SELECT event_type, n, m1 AS mean,
+           (r2 - m1 * m1) AS m2,
+           (r3 - (3.0 * m1) * r2 + (2.0 * m1) * (m1 * m1)) AS m3,
+           (r4 - (4.0 * m1) * r3 + (6.0 * (m1 * m1)) * r2
+               - (3.0 * (m1 * m1)) * (m1 * m1)) AS m4,
+           ((r3 - (3.0 * m1) * r2 + (2.0 * m1) * (m1 * m1))
+               / (sqrt(r2 - m1 * m1) * (r2 - m1 * m1))) AS skewness,
+           (((r4 - (4.0 * m1) * r3 + (6.0 * (m1 * m1)) * r2
+               - (3.0 * (m1 * m1)) * (m1 * m1))
+               / ((r2 - m1 * m1) * (r2 - m1 * m1))) - 3.0) AS kurtosis_ex
+    FROM d
+    """,
+)
+def agg_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8-EXT exact higher moments: per-series skewness + excess kurtosis.
+
+    The engines' own SKEWNESS/KURTOSIS stream doubles in visit order —
+    unusable under a value-hash gate — so both sides derive the moments
+    from EXACT quantized power sums (the embedding_norm_outliers
+    discipline extended to 3rd/4th powers): xq = round(value·1e3),
+    Σxq..Σxq⁴ as 128-bit integers, then central moments and ratios as
+    the IDENTICAL double expression tree on both engines (the textual
+    formulas in this oracle and the Column expressions below mirror
+    token-for-token, so every intermediate is bit-identical;
+    skew's denominator is written sqrt(m2)·m2 — two correctly-rounded
+    IEEE ops — never pow(m2,1.5), whose libm differs per engine).
+
+    Plan: one map-side quantization + one (event_type)-keyed partial/
+    final aggregation — the same single-shuffle budget as agg_stats at
+    any corpus size; the moment algebra runs on 5 rows.
+    """
+    prepare(spark)
+    dec = "decimal(38,0)"
+    xq = F.round(F.col("value") * MOM_SCALE).cast("long")
+    q = load(spark, sf_dir, "events").select(
+        "event_type", xq.alias("xq").cast(dec).alias("xq")
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("s1"),
+        F.sum(F.col("xq") * F.col("xq")).alias("s2"),
+        F.sum(F.col("xq") * F.col("xq") * F.col("xq")).alias("s3"),
+        F.sum(F.col("xq") * F.col("xq") * F.col("xq") * F.col("xq")).alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / float(MOM_SCALE) / F.col("n")
+    r2 = F.col("s2").cast("double") / float(MOM_SCALE**2) / F.col("n")
+    r3 = F.col("s3").cast("double") / float(MOM_SCALE**3) / F.col("n")
+    r4 = F.col("s4").cast("double") / float(MOM_SCALE**4) / F.col("n")
+    d = s.select("event_type", "n", m1.alias("m1"), r2.alias("r2"),
+                 r3.alias("r3"), r4.alias("r4"))
+    m1c, r2c, r3c, r4c = F.col("m1"), F.col("r2"), F.col("r3"), F.col("r4")
+    m2 = r2c - m1c * m1c
+    m3 = r3c - (F.lit(3.0) * m1c) * r2c + (F.lit(2.0) * m1c) * (m1c * m1c)
+    m4 = (
+        r4c
+        - (F.lit(4.0) * m1c) * r3c
+        + (F.lit(6.0) * (m1c * m1c)) * r2c
+        - (F.lit(3.0) * (m1c * m1c)) * (m1c * m1c)
+    )
+    return d.select(
+        "event_type",
+        "n",
+        m1c.alias("mean"),
+        m2.alias("m2"),
+        m3.alias("m3"),
+        m4.alias("m4"),
+        (m3 / (F.sqrt(m2) * m2)).alias("skewness"),
+        ((m4 / (m2 * m2)) - F.lit(3.0)).alias("kurtosis_ex"),
+    )
+
+
+@query(
+    "agg_approx_distinct_audit",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+           TRUE AS hll_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 sketch QUALITY GATE: HLL estimate audited against exact distinct.
+
+    ``agg_approx_distinct`` is rows-only by design (sketch internals
+    differ per engine); this key applies the knn_recall trick to HLL —
+    run BOTH the sketch (rsd=0.02) and the exact distinct in one
+    aggregation pass, emit the exact count plus a boolean asserting the
+    estimate landed within 5% (2.5σ of the configured rsd). The oracle
+    recomputes the exact side and pins the boolean TRUE — if Spark's
+    HLL ever degrades past the bound, the key hash-fails. The sketch's
+    weak-signal gap is closed without ever comparing sketch internals.
+
+    Plan: one shuffle; HLL partials merge map-side while exact-distinct
+    rides Spark's two-phase distinct aggregation. At 100 TB you would
+    keep ONLY the HLL arm (that is the point of the sketch) — the exact
+    arm here is the audit harness, same framing as knn_recall.
+    """
+    prepare(spark)
+    g = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_distinct"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("est"),
+        )
+    )
+    err = F.abs(F.col("est") - F.col("exact_distinct")).cast("double") / F.col(
+        "exact_distinct"
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_distinct",
+        (err <= 0.05).alias("hll_within_5pct"),
+    )
+
+
+@query(
+    "agg_approx_quantile_audit",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_rank_ok,
+           TRUE AS p90_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 sketch QUALITY GATE: GK approximate quantiles audited by rank.
+
+    ``agg_approx_quantile`` is rows-only (GK vs t-digest internals);
+    this key checks the property GK actually guarantees — RANK error,
+    TIE-AWARE: a value v is a valid p-quantile when the target rank
+    p·n falls inside [count(< v), count(≤ v)] ± 1%·n (l_quantity is
+    discretized, so count(≤ median)/n alone can legitimately sit far
+    above 0.5 — the naive one-sided check false-alarms on ties).
+    accuracy=10000 ⇒ GK bound 1e-4; 1% is 100× slack. The oracle pins
+    both booleans TRUE and the exact group counts. Sketch values never
+    cross engines — only exact integer rank counting does.
+
+    Plan: one aggregation for the sketches, a broadcast of the 3-row
+    (group, p50, p90) result back onto the fact (design-bounded side),
+    and a second counting aggregation — two passes, both map-combined,
+    at any scale.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    qs = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.array(F.lit(0.5), F.lit(0.9)), 10000)
+        .alias("q")
+    )
+    qs = qs.select(
+        "l_returnflag", F.col("q")[0].alias("p50"), F.col("q")[1].alias("p90")
+    )
+    j = li.join(F.broadcast(qs), "l_returnflag")
+    g = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_quantity") < F.col("p50")).cast("long")).alias("lt50"),
+        F.sum((F.col("l_quantity") <= F.col("p50")).cast("long")).alias("le50"),
+        F.sum((F.col("l_quantity") < F.col("p90")).cast("long")).alias("lt90"),
+        F.sum((F.col("l_quantity") <= F.col("p90")).cast("long")).alias("le90"),
+    )
+
+    def rank_ok(lt: str, le: str, p: float):
+        n = F.col("n").cast("double")
+        return (F.col(lt).cast("double") <= (F.lit(p) + 0.01) * n) & (
+            F.col(le).cast("double") >= (F.lit(p) - 0.01) * n
+        )
+
+    return g.select(
+        "l_returnflag",
+        "n",
+        rank_ok("lt50", "le50", 0.5).alias("p50_rank_ok"),
+        rank_ok("lt90", "le90", 0.9).alias("p90_rank_ok"),
+    )

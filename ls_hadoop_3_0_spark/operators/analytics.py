@@ -1156,3 +1156,246 @@ def analytics_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_change",
         F.sum("net_change").over(w).cast("long").alias("open_orders"),
     )
+
+
+@query(
+    "analytics_market_share",
+    f"""
+    WITH base AS (
+        SELECT year(o.o_orderdate) AS yr,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000)
+                    AS BIGINT) AS revq,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA'
+    )
+    SELECT yr,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN revq ELSE 0 END)
+                AS DOUBLE) / 1000000.0 AS nation_revenue,
+           CAST(SUM(revq) AS DOUBLE) / 1000000.0 AS total_revenue,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN revq ELSE 0 END)
+                AS DOUBLE)
+               / CAST(SUM(revq) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY yr
+    """,
+)
+def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped: NATION_2's share of ASIA-market revenue per year.
+
+    The share is a ratio of two exact scaled-long sums — one double
+    division per output row, bit-identical across engines (the dsum
+    invariant extended to ratios). 7-way star join: nation/region/
+    supplier broadcast (design-bounded dims), orders⋈lineitem⋈customer
+    shuffle on their keys — the classic fact-to-fact spine at 100 TB.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    s = load(spark, sf_dir, "supplier")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rk")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    revq = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000
+    ).cast("long")
+    base = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("cn_rk"),
+        )
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            revq.alias("revq"),
+            "supp_nation",
+        )
+    )
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", F.col("revq")).otherwise(0)
+    )
+    tot = F.sum("revq")
+    return base.groupBy("yr").agg(
+        (nat.cast("double") / 1e6).alias("nation_revenue"),
+        (tot.cast("double") / 1e6).alias("total_revenue"),
+        (nat.cast("double") / tot.cast("double")).alias("mkt_share"),
+    )
+
+
+@query(
+    "analytics_product_profit",
+    f"""
+    SELECT sn.n_name AS nation, year(l.l_shipdate) AS yr,
+           (CAST(SUM(CAST(round(
+                (l.l_extendedprice * (1 - l.l_discount)
+                 - CAST(0.6 AS DOUBLE) * p.p_retailprice * l.l_quantity)
+                * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0) AS profit,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY sn.n_name, year(l.l_shipdate)
+    """,
+)
+def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped: per-nation / per-ship-year profit on 'widget' parts.
+
+    The fixture has no partsupp, so supply cost is proxied as
+    0.6·p_retailprice·quantity (cast to DOUBLE in the oracle — the
+    DECIMAL-literal drift rule). The part-name filter prunes the part
+    dim BEFORE the join, and Catalyst pushes the resulting semi-join
+    (bloom filter at runtime) into the lineitem scan — at 100 TB the
+    filtered part side is the broadcast build.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    sn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    amt = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .groupBy("nation", F.year("l_shipdate").alias("yr"))
+        .agg(
+            dsum(amt).alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "analytics_ship_latency",
+    """
+    SELECT CASE WHEN lag_days <= 30 THEN '0-30'
+                WHEN lag_days <= 90 THEN '31-90'
+                ELSE '90+' END AS latency_band,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_priority
+    FROM (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    GROUP BY 1
+    """,
+)
+def analytics_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped: priority mix by order→ship latency band.
+
+    The fixture carries no l_shipmode/commitdate, so the Q12 question
+    ("does slow shipping hit urgent orders?") is asked of the
+    orderdate→shipdate lag, banded. datediff on DATE-truncated
+    timestamps matches DuckDB's date_diff('day') exactly — integer day
+    arithmetic, no timezone surface (fixtures are midnight-aligned).
+    One fact-fact join on orderkey + a 3-group aggregation.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.when(lag <= 30, "0-30")
+            .when(lag <= 90, "31-90")
+            .otherwise("90+")
+            .alias("latency_band"),
+            hi.alias("hi"),
+        )
+        .groupBy("latency_band")
+        .agg(
+            F.sum(F.col("hi").cast("long")).alias("high_priority"),
+            F.sum((~F.col("hi")).cast("long")).alias("low_priority"),
+        )
+    )
+
+
+@query(
+    "analytics_waiting_orders",
+    """
+    WITH per_supp AS (
+        SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+        SELECT l_orderkey, MAX(supp_last) AS order_last,
+               COUNT(*) AS n_supps
+        FROM per_supp GROUP BY l_orderkey
+    )
+    SELECT sn.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_blocking
+    FROM per_supp ps
+    JOIN per_order po ON po.l_orderkey = ps.l_orderkey
+                      AND po.n_supps >= 2
+                      AND ps.supp_last = po.order_last
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    GROUP BY sn.n_name
+    """,
+)
+def analytics_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped: per-nation count of 'blocking supplier' incidents.
+
+    A supplier blocks a multi-supplier order when its last shipment IS
+    the order's last shipment. Two keyed aggregations over the same
+    (orderkey[, suppkey]) grain — the second reuses the first's shuffle
+    partitioning — then a co-partitioned self-join on orderkey; only
+    the design-bounded supplier/nation dims broadcast. No EXISTS
+    subquery needed: the max-equality formulation is one pass where
+    Q21's correlated NOT EXISTS would be a second corpus-scale probe.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.max("supp_last").alias("order_last"),
+            F.count(F.lit(1)).alias("n_supps"),
+        )
+        .withColumnRenamed("l_orderkey", "po_orderkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    sn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    return (
+        per_supp.join(
+            per_order,
+            (F.col("l_orderkey") == F.col("po_orderkey"))
+            & (F.col("n_supps") >= 2)
+            & (F.col("supp_last") == F.col("order_last")),
+        )
+        .join(F.broadcast(s), s.s_suppkey == per_supp.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n_blocking"))
+    )

@@ -397,3 +397,162 @@ def timeseries_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsum("value") / F.count(F.lit(1))).alias("avg_value"),
         )
     )
+
+
+@query(
+    "timeseries_ohlc",
+    f"""
+    WITH e AS (
+        SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+               ts, event_id, value
+        FROM {EVENTS_SQL} e
+    ),
+    rn AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts, event_id) AS r_open,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS r_close
+        FROM e
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(CASE WHEN r_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN r_close = 1 THEN value END) AS close,
+           {sql_dsum('value')} AS volume
+    FROM rn
+    GROUP BY event_type, bucket
+    """,
+)
+def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable OHLC downsample: per series × hour candlesticks.
+
+    The financial/telemetry rollup (open/high/low/close/volume) the
+    reference's batch jobs would need N passes for: ONE window pass
+    (two row_numbers over the same (series, bucket) partitioning — one
+    physical sort) + the grouped aggregation that reuses the identical
+    partitioning, so the whole key is one shuffle. Open/close are
+    tie-broken on (ts, event_id) — deterministic under duplicate
+    timestamps; high/low/min/max of doubles are exact (no summation);
+    volume rides dsum. Partitions are (series × hour)-bounded: window
+    state never exceeds one bucket's events regardless of corpus size.
+    """
+    prepare(spark)
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "bucket")
+    rn = e.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy("ts", "event_id"))
+        .alias("r_open"),
+        F.row_number()
+        .over(w.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("r_close"),
+    )
+    return rn.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("r_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("r_close") == 1, F.col("value"))).alias("close"),
+        dsum("value").alias("volume"),
+    ).select(
+        "event_type",
+        fmt_ts("bucket").alias("win_start"),
+        "n_events",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )
+
+
+@query(
+    "attribution_last_touch",
+    f"""
+    WITH e AS (SELECT * FROM {EVENTS_SQL}),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+        FROM e WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, event_id AS click_id, ts AS c_ts
+        FROM e WHERE event_type = 'click'
+    ),
+    touched AS (
+        SELECT p.purchase_id, p.value,
+               MAX(CASE WHEN c.c_ts IS NOT NULL THEN 1 ELSE 0 END)
+                   AS attributed,
+               MAX(c.c_ts) AS last_click_ts
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        GROUP BY p.purchase_id, p.value
+    )
+    SELECT COALESCE(CAST(hour(last_click_ts) AS BIGINT), -1) AS touch_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {sql_dsum('value')} AS attributed_value
+    FROM touched
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing last-touch attribution: purchase → latest click ≤1 h before.
+
+    The as-of-join (J9) applied to the event stream: each purchase is
+    attributed to its user's most recent click inside a 1-hour lookback
+    (unattributed purchases land in the -1 bucket). The banded LEFT
+    join is the streaming interval-join shape (both sides keyed on
+    user_id, the band bounds per-user state); the MAX-per-purchase
+    collapse replaces an ORDER BY...LIMIT 1 per row — one shuffle on
+    user_id, one on purchase_id, aggregation output bounded by 25
+    hour-buckets.
+    """
+    prepare(spark)
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touched = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("purchase_id", "value")
+        .agg(
+            F.max(F.col("c_ts").isNotNull().cast("int")).alias("attributed"),
+            F.max("c_ts").alias("last_click_ts"),
+        )
+    )
+    return (
+        touched.groupBy(
+            F.coalesce(F.hour("last_click_ts").cast("long"), F.lit(-1)).alias(
+                "touch_hour"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value").alias("attributed_value"),
+        )
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 
 from ls_hadoop_3_0_spark.registry import query
 from ls_hadoop_3_0_spark.session import prepare
-from ls_hadoop_3_0_spark.tables import load
+from ls_hadoop_3_0_spark.tables import EVENTS_SQL, load
 
 
 @query(
@@ -255,4 +255,149 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return load(spark, sf_dir, "documents").select(
         "doc_id", n_tokens("text").alias("n_tokens"), bucket("text").alias("bucket")
+    )
+
+
+@query(
+    "udf_grouped_map",
+    """
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS s1,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+        FROM documents GROUP BY source
+    ),
+    st AS (
+        SELECT source,
+               CAST(s1 AS DOUBLE) / n AS mean,
+               sqrt(greatest(
+                   CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                   CAST(0 AS DOUBLE))) AS std
+        FROM s
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           CASE WHEN st.std > 0
+                THEN (d.n_chars - st.mean) / st.std END AS z
+    FROM documents d JOIN st ON st.source = d.source
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 grouped-map ``applyInPandas`` as a TRANSFORM (N rows in → N out).
+
+    ``udaf_grouped`` shows the one-row-per-group (aggregate) shape; this
+    is the other grouped-map contract — a per-group normalization that
+    keeps every row (z-score of doc length within its source), the
+    groupwise feature-engineering pattern. Float discipline: the group
+    stats come from EXACT integer sums computed inside the worker
+    (python ints — no float accumulation), and mean/std/z are the same
+    double expression tree the oracle spells, so per-row z values are
+    bit-identical.
+
+    At 100 TB: one shuffle keyed on source; each group must fit a
+    worker's Arrow batch stream — fine for per-domain groups, and the
+    built-in window formulation (see windows.py) is the escape hatch
+    when groups outgrow workers.
+    """
+    prepare(spark)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        x = pdf["n_chars"]
+        n = len(x)
+        s1 = int(x.sum())
+        s2 = int((x * x).sum())
+        mean = s1 / n
+        std = math.sqrt(max(s2 / n - (s1 / n) * (s1 / n), 0.0))
+        z = (x - mean) / std if std > 0 else pd.Series([None] * n, index=x.index)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_chars": x,
+                "z": z,
+            }
+        )
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .groupBy("source")
+        .applyInPandas(zscore, "doc_id long, source string, n_chars long, z double")
+    )
+
+
+@query(
+    "udf_cogrouped",
+    f"""
+    WITH e AS (SELECT * FROM {EVENTS_SQL}),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        FROM e WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS c_ts FROM e WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, p.user_id,
+           CAST(COUNT(c.c_ts) AS BIGINT) AS n_clicks_1h
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.c_ts <= p.p_ts
+     AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    GROUP BY p.purchase_id, p.user_id
+    """,
+)
+def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 cogrouped-map ``applyInPandas``: the two-sided custom merge API.
+
+    Per user, purchases and clicks arrive as TWO aligned pandas frames
+    (``groupBy(...).cogroup(...)``) and the worker counts each
+    purchase's clicks inside a 1-hour lookback via sorted
+    ``searchsorted`` — the MR reduce-side-join-with-custom-logic shape
+    (SURVEY §2.3 J6) when the merge really can't be a SQL join. Counts
+    are integer comparisons on µs timestamps — nothing to drift. The
+    oracle is the equivalent banded LEFT JOIN, which is also the
+    documented FAST path (join+agg beats per-user python when the
+    logic IS expressible) — this key exists for the API surface.
+
+    At 100 TB: both sides shuffle once on user_id; per-user state is
+    that user's events (the interval-join watermark state shape).
+    """
+    prepare(spark)
+    import numpy as np
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+
+    def merge(pp: pd.DataFrame, cc: pd.DataFrame) -> pd.DataFrame:
+        if len(pp) == 0:
+            return pd.DataFrame(
+                {"purchase_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "n_clicks_1h": pd.Series([], dtype="int64")}
+            )
+        cts = np.sort(cc["c_ts"].to_numpy()) if len(cc) else np.array(
+            [], dtype="datetime64[us]"
+        )
+        pts = pp["p_ts"].to_numpy()
+        hi = np.searchsorted(cts, pts, side="right")
+        lo = np.searchsorted(cts, pts - np.timedelta64(1, "h"), side="left")
+        return pd.DataFrame(
+            {
+                "purchase_id": pp["purchase_id"].to_numpy(),
+                "user_id": pp["user_id"].to_numpy(),
+                "n_clicks_1h": (hi - lo).astype("int64"),
+            }
+        )
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(merge, "purchase_id long, user_id long, n_clicks_1h long")
     )

@@ -52,22 +52,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    stage = f"/root/repo/.scratch/{tag}/stream_events_src"
-    os.makedirs(stage, exist_ok=True)
     src = f"{sf_dir}/events.parquet"
-    dst = f"{stage}/events.parquet"
-    # Re-stage whenever the source fixture changed (driver regenerations
-    # can swap size AND unit) — a stale staged copy would silently feed
-    # the stream different data than the batch twins read. copy2
-    # preserves mtime so the freshness check is stable across runs.
-    st = os.stat(src)
-    if (
-        not os.path.exists(dst)
-        or os.path.getsize(dst) != st.st_size
-        or os.path.getmtime(dst) != st.st_mtime
-    ):
-        shutil.copy2(src, dst)
+    if os.path.isdir(src):
+        # Spark-written fixture (test scratch dirs): already a directory
+        # — the file source can read it in place, no staging needed.
+        stage = src
+    else:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        stage = f"/root/repo/.scratch/{tag}/stream_events_src"
+        os.makedirs(stage, exist_ok=True)
+        dst = f"{stage}/events.parquet"
+        # Re-stage whenever the source fixture changed (driver
+        # regenerations can swap size AND unit) — a stale staged copy
+        # would silently feed the stream different data than the batch
+        # twins read. copy2 preserves mtime so the freshness check is
+        # stable across runs.
+        st = os.stat(src)
+        if (
+            not os.path.exists(dst)
+            or os.path.getsize(dst) != st.st_size
+            or os.path.getmtime(dst) != st.st_mtime
+        ):
+            shutil.copy2(src, dst)
     arrival = spark.read.parquet(stage).schema
     raw = spark.readStream.schema(arrival).format("parquet").load(stage)
     if isinstance(arrival["ts"].dataType, T.LongType):

@@ -216,3 +216,140 @@ def stream_batch_equiv_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sessions_md5",
         (F.col("sessions_md5") == F.col("b_md5")).alias("matches_batch"),
     )
+
+
+def _id_digest(df: DataFrame) -> DataFrame:
+    """Associative order-proof digest over an event_id set.
+
+    No collect_list/string_agg — the digest must stay map-combinable at
+    corpus scale, so it is three exact integer sums: count, Σevent_id,
+    and Σu24(md5(event_id)) (the dialect-neutral 24-bit uniform — a
+    content hash, so two different id sets of equal count+sum still
+    diverge).
+    """
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    u24 = F.expr(_u24_expr("CAST(event_id AS STRING)"))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum(u24).alias("sum_u24"),
+    )
+
+
+@query(
+    "stream_batch_equiv_dedup",
+    f"""
+    WITH d AS (
+        SELECT DISTINCT event_id FROM {EVENTS_SQL} e
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM((instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 3, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 4, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 5, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 6, 1)) - 1) * 1) AS BIGINT) AS sum_u24,
+           TRUE AS matches_batch
+    FROM d
+    """,
+)
+def stream_batch_equiv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 equivalence audit: REAL dropDuplicatesWithinWatermark vs batch.
+
+    The streaming dedup state machine runs for real (append mode — each
+    kept row emits exactly once) and its output id-set digest must
+    match batch DISTINCT and the oracle. Keyed on event_id — globally
+    unique by fixture design, so the kept set is batching-independent
+    (a composite key could legitimately emit duplicates across
+    micro-batch watermark expiries; the unique key pins semantics
+    regardless of how the source splits into batches).
+    """
+    prepare(spark)
+    ev = demo.read_events_stream(spark, sf_dir)
+    name = f"sbd_{uuid.uuid4().hex[:12]}"
+    demo.run_to_memory(demo.dedup_stream(ev), name, output_mode="append")
+    s_dig = _id_digest(spark.table(name))
+    b_dig = _id_digest(
+        _batch_events(spark, sf_dir).dropDuplicates(["event_id"])
+    ).select(
+        F.col("n_rows").alias("b_n"),
+        F.col("sum_event_id").alias("b_sum"),
+        F.col("sum_u24").alias("b_u24"),
+    )
+    return s_dig.crossJoin(b_dig).select(
+        "n_rows",
+        "sum_event_id",
+        "sum_u24",
+        (
+            (F.col("n_rows") == F.col("b_n"))
+            & (F.col("sum_event_id") == F.col("b_sum"))
+            & (F.col("sum_u24") == F.col("b_u24"))
+        ).alias("matches_batch"),
+    )
+
+
+def _batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ls_hadoop_3_0_spark.tables import load
+
+    return load(spark, sf_dir, "events")
+
+
+@query(
+    "stream_sink_parquet",
+    f"""
+    WITH w AS (
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                        '%Y-%m-%d %H:%M:%S') AS w,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(round(value * {SCALE}) AS BIGINT)) AS sv
+        FROM {EVENTS_SQL} e
+        GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           md5(string_agg(w || '|' || event_type || '|' || n || '|' || sv,
+                          ',' ORDER BY w, event_type)) AS windows_md5
+    FROM w
+    """,
+)
+def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4-EXT: the durable STREAMING FILE SINK leg, end-to-end.
+
+    The memory-sink keys prove the operators; production lands in files.
+    This key drives the watermarked tumbling agg through
+    foreachBatch → parquet overwrite (the lakehouse continuous-
+    aggregate materialization; complete-mode agg can't use the
+    append-only native file sink) with a REAL checkpoint directory,
+    then digests what was durably written. Checkpoint + staged source
+    are keyed by the fixture dir tag and the fixture file's identity,
+    so a regenerated fixture re-materializes instead of serving stale
+    state — and a re-run against unchanged data is a no-op replay
+    (exactly-once sink semantics made visible: the digest is stable
+    across reruns BECAUSE the checkpoint dedups the work).
+    """
+    prepare(spark)
+    import os
+
+    ev = demo.read_events_stream(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    st = os.stat(f"{sf_dir}/events.parquet")
+    ver = f"{st.st_size}_{int(st.st_mtime)}"
+    base = f"/root/repo/.scratch/{tag}/stream_sink_parquet_{ver}"
+    out_dir = f"{base}/out"
+    ckpt = f"{base}/ckpt"
+
+    def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        demo.tumbling_counts_stream(ev)
+        .writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    written = spark.read.parquet(out_dir)
+    return _tumbling_digest(written).select(
+        "n_windows", "n_events", "windows_md5"
+    )
