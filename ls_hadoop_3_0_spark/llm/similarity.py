@@ -40,6 +40,14 @@ from ls_hadoop_3_0_spark.tables import load
 
 TOP_K = 10
 
+#: Query-panel predicates. PANEL is the original corpus-scaling rule
+#: (1%% of vectors are queries — audit work grows quadratically with the
+#: corpus). BOUNDED_PANEL pins the panel to a FIXED id range (the first
+#: replica / an authored panel in production), so the exact audit arm
+#: stays LINEAR in corpus size at any scale — the knn_recall_v2 rule.
+PANEL_SQL = "vec_id % 100 = 0"
+BOUNDED_PANEL_SQL = "vec_id % 100 = 0 AND vec_id < 10000000"
+
 _DOT_SPARK = DOT_SPARK
 
 #: Exact brute-force top-k as a reusable oracle CTE body (also the
@@ -63,7 +71,9 @@ KNN_COSINE_SQL = f"""
 
 
 @query("knn_cosine", KNN_COSINE_SQL)
-def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_cosine(
+    spark: SparkSession, sf_dir: str, panel: str = PANEL_SQL
+) -> DataFrame:
     """X3 brute-force cosine top-k (queries: vec_id ≡ 0 mod 100).
 
     The query side is tiny and broadcast; scoring is a broadcast nested
@@ -72,7 +82,7 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare(spark)
     e = normalized_embeddings(load(spark, sf_dir, "embeddings")).select("vec_id", "u")
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
+    q = e.filter(F.expr(panel)).select(
         F.col("vec_id").alias("q_id"), F.col("u").alias("qu")
     )
     scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
@@ -104,8 +114,10 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(spark, sf_dir, radius=1)
 
 
-def lsh_topk(spark: SparkSession, sf_dir: str, radius: int = 1) -> DataFrame:
-    """knn_lsh body with the probe-radius knob exposed."""
+def lsh_topk(
+    spark: SparkSession, sf_dir: str, radius: int = 1, panel: str = PANEL_SQL
+) -> DataFrame:
+    """knn_lsh body with the probe-radius and query-panel knobs exposed."""
     prepare(spark)
     e = lsh_bucketed(
         normalized_embeddings(load(spark, sf_dir, "embeddings")).select("vec_id", "u")
@@ -113,7 +125,7 @@ def lsh_topk(spark: SparkSession, sf_dir: str, radius: int = 1) -> DataFrame:
     # Probe signatures: the bucket itself + every ≤radius-bit flip.
     probes = probe_signatures("bucket", N_PLANES, radius=radius)
     q = (
-        e.filter(F.col("vec_id") % 100 == 0)
+        e.filter(F.expr(panel))
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("u").alias("qu"),
@@ -215,7 +227,9 @@ def train_centroids(e: DataFrame, k: int = IVF_K) -> list[list[float]]:
 
 
 @query("knn_ivf", None)  # ANN: approximate by design → rows-only check
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_ivf(
+    spark: SparkSession, sf_dir: str, panel: str = PANEL_SQL
+) -> DataFrame:
     """X3 IVF-style ANN: coarse quantizer cells + nprobe cell scoring
     (the inverted-file scheme of Sivic & Zisserman's Video Google and
     Jégou et al.'s IVFADC — public literature; cells here score exact
@@ -255,7 +269,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" (d, i) -> named_struct('nd', -d, 'i', i))), 1, {IVF_NPROBE}), s -> s.i)"
     )
     q = (
-        e.filter(F.col("vec_id") % 100 == 0)
+        e.filter(F.expr(panel))
         .withColumn("cents", cents)
         .withColumn("dots", _dots())
         .select(
@@ -312,7 +326,7 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
-def _knn_recall_sql() -> str:
+def _knn_recall_sql(panel: str = PANEL_SQL) -> str:
     """Full DuckDB mirror of exact + LSH + IVF top-k and their recall.
 
     Every arm re-derives its candidates from the embeddings table with
@@ -329,7 +343,7 @@ def _knn_recall_sql() -> str:
     return f"""
     WITH e AS ({NORM_EMB_SQL}),
     -- ---- exact arm (knn_cosine's CTE body) -------------------------
-    q AS (SELECT vec_id AS q_id, u AS qu FROM e WHERE vec_id % 100 = 0),
+    q AS (SELECT vec_id AS q_id, u AS qu FROM e WHERE {panel}),
     exscored AS (
         SELECT q.q_id, e.vec_id AS n_id,
                round({_dot_sql('q.qu', 'e.u')}, 6) AS cosine
@@ -347,7 +361,7 @@ def _knn_recall_sql() -> str:
     bk AS (SELECT vec_id, u, {lsh_bucket_sql()} AS bucket FROM e),
     lpr AS (SELECT vec_id AS q_id, u AS qu,
                    unnest({probe_signatures_sql('bucket')}) AS sig
-            FROM bk WHERE vec_id % 100 = 0),
+            FROM bk WHERE {panel}),
     lsc AS (
         SELECT lpr.q_id, bk.vec_id AS n_id,
                round({_dot_sql('lpr.qu', 'bk.u')}, 6) AS cosine
@@ -364,7 +378,7 @@ def _knn_recall_sql() -> str:
     -- ---- LSH radius-2 arm (22-probe multi-probe) -------------------
     lpr2 AS (SELECT vec_id AS q_id, u AS qu,
                     unnest({probe_signatures_sql('bucket', radius=2)}) AS sig
-             FROM bk WHERE vec_id % 100 = 0),
+             FROM bk WHERE {panel}),
     l2sc AS (
         SELECT lpr2.q_id, bk.vec_id AS n_id,
                round({_dot_sql('lpr2.qu', 'bk.u')}, 6) AS cosine
@@ -426,7 +440,7 @@ def _knn_recall_sql() -> str:
         SELECT q_id, qu, cell FROM (
             SELECT vec_id AS q_id, u AS qu,
                    unnest(range(0, {IVF_K})) AS cell, unnest(dots) AS d
-            FROM idx WHERE vec_id % 100 = 0
+            FROM idx WHERE {panel}
         ) qd
         QUALIFY row_number() OVER (PARTITION BY q_id
                                    ORDER BY d DESC, cell) <= {IVF_NPROBE}
@@ -465,6 +479,58 @@ def _knn_recall_sql() -> str:
     """
 
 
+def _recall_summary(
+    spark: SparkSession, sf_dir: str, panel: str = PANEL_SQL
+) -> DataFrame:
+    """Shared body of knn_recall / knn_recall_v2 (panel = query predicate)."""
+    prepare(spark)
+    ex = knn_cosine(spark, sf_dir, panel=panel).select(
+        "q_id", "n_id"
+    ).localCheckpoint()
+    exs = ex.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct("q_id").alias("n_queries"),
+    )
+
+    def hits(approx: DataFrame, method: str) -> DataFrame:
+        return (
+            approx.select("q_id", "n_id")
+            .join(ex, ["q_id", "n_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(method).alias("method"), "n_hits")
+        )
+
+    res = (
+        hits(lsh_topk(spark, sf_dir, radius=1, panel=panel), "lsh")
+        .unionByName(hits(lsh_topk(spark, sf_dir, radius=2, panel=panel), "lsh_r2"))
+        .unionByName(hits(knn_ivf(spark, sf_dir, panel=panel), "ivf"))
+    )
+    return res.crossJoin(F.broadcast(exs)).select(
+        "method",
+        "n_queries",
+        "n_exact",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
+    )
+
+
+@query("knn_recall_v2", _knn_recall_sql(BOUNDED_PANEL_SQL))
+def knn_recall_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 ANN quality gate with a BOUNDED query panel — the 100 TB form.
+
+    knn_recall's panel is 1%% of the corpus, so its exact audit arm is
+    quadratic in corpus size (measured: ~30× per 10× decade — fine as a
+    per-release audit up to ~10×, prohibitive beyond). This twin pins
+    the panel to a fixed id range (the first replica here; an authored
+    panel in production — the contamination_check_v2 move applied to
+    ANN auditing): same three arms, same oracle re-derivation, but the
+    exact arm is panel×corpus ⇒ LINEAR at any scale. On the un-replicated
+    fixtures the two keys coincide by construction; they diverge exactly
+    when the corpus outgrows the panel — which is the point.
+    """
+    return _recall_summary(spark, sf_dir, panel=BOUNDED_PANEL_SQL)
+
+
 @query("knn_recall", _knn_recall_sql())
 def knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3/X5 ANN quality gate: recall@{k} of knn_lsh and knn_ivf vs the
@@ -484,30 +550,4 @@ def knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins and the denominator, so it must not recompute the
     brute-force scan three times.
     """
-    prepare(spark)
-    ex = knn_cosine(spark, sf_dir).select("q_id", "n_id").localCheckpoint()
-    exs = ex.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.count_distinct("q_id").alias("n_queries"),
-    )
-
-    def hits(approx: DataFrame, method: str) -> DataFrame:
-        return (
-            approx.select("q_id", "n_id")
-            .join(ex, ["q_id", "n_id"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-            .select(F.lit(method).alias("method"), "n_hits")
-        )
-
-    res = (
-        hits(lsh_topk(spark, sf_dir, radius=1), "lsh")
-        .unionByName(hits(lsh_topk(spark, sf_dir, radius=2), "lsh_r2"))
-        .unionByName(hits(knn_ivf(spark, sf_dir), "ivf"))
-    )
-    return res.crossJoin(F.broadcast(exs)).select(
-        "method",
-        "n_queries",
-        "n_exact",
-        "n_hits",
-        (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
-    )
+    return _recall_summary(spark, sf_dir, panel=PANEL_SQL)

@@ -50,6 +50,14 @@ HEADLINERS = [
     ("quality_crossdup", "ONE gram explode, ONE gram-keyed min/max/count aggregation; shared counts derived as total-minus-exclusive — the gram stream is never joined back (62 s → 43 s at 100×)"),
     ("quantile_bucketize", "global_rank (range partition → local rank → offsets) for the cutpoint positions — no single-task row_number window; 1-row cut set broadcast; one keyed aggregation"),
     ("pipeline_curation_v3", "statistical stack in ONE lazy plan: gram and token branches overlap in one DAG; content_hash computed map-side so doc-keyed joins never shuffle full text (87.7 s → 52.0 s at 100×)"),
+    ("analytics_market_share", "7-way star join: broadcast dims (nation x2/region/supplier) around the orders⋈lineitem⋈customer shuffle spine; share = ratio of two scaled-long sums in the final agg"),
+    ("analytics_waiting_orders", "two keyed aggregations over the same (orderkey[,suppkey]) grain reusing one exchange + co-partitioned self-join — the NOT EXISTS of Q21 as one max-equality pass"),
+    ("timeseries_ohlc", "two row_numbers over ONE (series,bucket) window partitioning (one physical sort) + grouped agg on the same keys — a single exchange end-to-end"),
+    ("graph_triangles", "oriented edge list built once (localCheckpoint) feeding 3 equi-join legs + degree agg; enumeration is output-bound — cost scales with triangle count, not a cross join"),
+    ("agg_skewkurt", "one map-side quantization + one partial/final agg carrying 4 decimal power sums; the moment algebra runs on the 5-row result"),
+    ("vocab_oov_rate", "TakeOrderedAndProject heap top-K vocab → K-bounded broadcast probe (design-constant side) → source-keyed reduce"),
+    ("udf_cogrouped", "FlatMapCoGroupsInPandas: both sides exchanged once on user_id, merged in Arrow batches per key"),
+    ("attribution_last_touch", "banded LEFT join keyed on user_id (band as residual), MAX-per-purchase collapse — no per-row ORDER BY/LIMIT subplans"),
 ]
 
 
