@@ -507,3 +507,61 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(o).cast("long").alias("popcount"),
         )
     )
+
+
+@query(
+    "scalar_struct",
+    """
+    SELECT o_orderkey,
+           {'status': o_orderstatus, 'priced': o_totalprice}.status
+               AS s_status,
+           ({'status': o_orderstatus, 'priced': o_totalprice}
+            > {'status': 'O', 'priced': CAST(200000.0 AS DOUBLE)})
+               AS gt_pivot,
+           ({'a': CAST(1 AS BIGINT), 'b': 'x'}
+            < {'a': CAST(1 AS BIGINT), 'b': 'y'}) AS lt_tiebreak,
+           md5(o_orderstatus || '|' || CAST(o_orderkey AS VARCHAR))
+               AS canon_md5
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar family 10: STRUCT construction, field access, comparison.
+
+    The nested-record surface (named_struct / dot access / lexicographic
+    struct comparison — the semantics array_sort-based digests elsewhere
+    in the repo rely on, pinned here directly against DuckDB's STRUCT
+    type). Struct VALUES never cross the comparator (engines render
+    them differently): every output is a field extraction, a boolean
+    comparison, or a canonical string digest. Map-side only.
+    """
+    prepare(spark)
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("priced"),
+    )
+    pivot = F.struct(
+        F.lit("O").alias("status"), F.lit(200000.0).alias("priced")
+    )
+    lit_a = F.struct(
+        F.lit(1).cast("long").alias("a"), F.lit("x").alias("b")
+    )
+    lit_b = F.struct(
+        F.lit(1).cast("long").alias("a"), F.lit("y").alias("b")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            s.getField("status").alias("s_status"),
+            (s > pivot).alias("gt_pivot"),
+            # equal first field ⇒ comparison falls to the second —
+            # the lexicographic tie-break rule pinned explicitly.
+            (lit_a < lit_b).alias("lt_tiebreak"),
+            F.md5(
+                F.concat_ws("|", "o_orderstatus", F.col("o_orderkey").cast("string"))
+            ).alias("canon_md5"),
+        )
+    )

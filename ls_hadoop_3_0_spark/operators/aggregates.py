@@ -991,3 +991,50 @@ def agg_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_ok("lt50", "le50", 0.5).alias("p50_rank_ok"),
         rank_ok("lt90", "le90", 0.9).alias("p90_rank_ok"),
     )
+
+
+@query(
+    "agg_argminmax",
+    """
+    WITH k AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
+                   + o_orderkey AS tkey
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, tkey) AS top_orderkey,
+           MAX(o_totalprice) AS top_price,
+           arg_min(o_orderkey, tkey) AS bottom_orderkey,
+           MIN(o_totalprice) AS bottom_price
+    FROM k GROUP BY o_orderpriority
+    """,
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT arg-min/arg-max: WHICH row holds each group's extreme.
+
+    min_by/max_by (Spark) ↔ arg_min/arg_max (DuckDB) — the one-pass
+    answer to "the orderkey of the priciest order per priority" that
+    MR idioms solved with a secondary sort + first-record reduce.
+    Both engines leave ties ENGINE-DEFINED, so the ordering key is made
+    UNIQUE by construction: cents-scaled price ⊕ orderkey packed into
+    one long (price < ~9×10⁸ and orderkey < 10¹⁰ fit disjoint digit
+    ranges; ANSI overflow would be loud, not silent). One map-combined
+    aggregation — the agg_minmax shuffle budget.
+    """
+    prepare(spark)
+    tkey = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10_000_000_000)
+        + F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", tkey.alias("tkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", F.col("tkey")).alias("top_orderkey"),
+            F.max("o_totalprice").alias("top_price"),
+            F.min_by("o_orderkey", F.col("tkey")).alias("bottom_orderkey"),
+            F.min("o_totalprice").alias("bottom_price"),
+        )
+    )

@@ -13,7 +13,7 @@ actually runs end-to-end) plus explicitly-demonstrated scale techniques:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ls_hadoop_3_0_spark.exprs import dsum, sql_dsum
@@ -1398,4 +1398,191 @@ def analytics_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
         .groupBy("nation")
         .agg(F.count(F.lit(1)).alias("n_blocking"))
+    )
+
+
+@query(
+    "analytics_rfm",
+    f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate), mx.maxd) AS r_days,
+               CAST(COUNT(*) AS BIGINT) AS f_orders,
+               SUM(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS m_spend
+        FROM orders CROSS JOIN mx
+        GROUP BY o_custkey, mx.maxd
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+    rr AS (SELECT r_days, row_number() OVER (ORDER BY r_days) AS rn FROM cust),
+    rf AS (SELECT f_orders, row_number() OVER (ORDER BY f_orders) AS rn FROM cust),
+    rm AS (SELECT m_spend, row_number() OVER (ORDER BY m_spend) AS rn FROM cust),
+    cut AS (
+        SELECT
+          (SELECT MAX(CASE WHEN rn = (n.n + 3) // 4 THEN r_days END) FROM rr) AS r1,
+          (SELECT MAX(CASE WHEN rn = (n.n + 1) // 2 THEN r_days END) FROM rr) AS r2,
+          (SELECT MAX(CASE WHEN rn = (3 * n.n + 3) // 4 THEN r_days END) FROM rr) AS r3,
+          (SELECT MAX(CASE WHEN rn = (n.n + 3) // 4 THEN f_orders END) FROM rf) AS f1,
+          (SELECT MAX(CASE WHEN rn = (n.n + 1) // 2 THEN f_orders END) FROM rf) AS f2,
+          (SELECT MAX(CASE WHEN rn = (3 * n.n + 3) // 4 THEN f_orders END) FROM rf) AS f3,
+          (SELECT MAX(CASE WHEN rn = (n.n + 3) // 4 THEN m_spend END) FROM rm) AS m1,
+          (SELECT MAX(CASE WHEN rn = (n.n + 1) // 2 THEN m_spend END) FROM rm) AS m2,
+          (SELECT MAX(CASE WHEN rn = (3 * n.n + 3) // 4 THEN m_spend END) FROM rm) AS m3
+        FROM n
+    ),
+    seg AS (
+        SELECT
+          (CASE WHEN r_days <= r1 THEN 0 WHEN r_days <= r2 THEN 1
+                WHEN r_days <= r3 THEN 2 ELSE 3 END) || '|' ||
+          (CASE WHEN f_orders <= f1 THEN 0 WHEN f_orders <= f2 THEN 1
+                WHEN f_orders <= f3 THEN 2 ELSE 3 END) || '|' ||
+          (CASE WHEN m_spend <= m1 THEN 0 WHEN m_spend <= m2 THEN 1
+                WHEN m_spend <= m3 THEN 2 ELSE 3 END) AS segment,
+          f_orders, m_spend
+        FROM cust CROSS JOIN cut
+    )
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(f_orders) AS BIGINT) AS total_orders,
+           CAST(SUM(m_spend) AS DOUBLE) / 1000000.0 AS total_spend
+    FROM seg GROUP BY segment
+    """,
+)
+def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation with DISCRETE quartile boundaries.
+
+    The classic marketing/churn feature: per customer Recency (days
+    since last order, vs the corpus max date), Frequency (order count),
+    Monetary (spend as an exact scaled long), each cut into quartiles
+    by value-at-integer-position order statistics (the
+    quantile_bucketize discipline — permutation-invariant under the
+    heavy ties an integer order-count column guarantees, so the two
+    engines cannot diverge at a boundary).
+
+    Plan: one orders scan → customer-grain aggregation (map-combined),
+    then three global_rank passes over the CUSTOMER summary (≪ fact;
+    range-partitioned, no single-task window), a 1-row broadcast cut
+    set, one final segment aggregation (≤64 rows).
+    """
+    from ls_hadoop_3_0_spark.operators.sort import global_rank
+
+    prepare(spark)
+    orders = load(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count(F.lit(1)).alias("f_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 1_000_000).cast("long")).alias(
+                "m_spend"
+            ),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("maxd"), F.to_date("lastd")).alias("r_days"),
+            "f_orders",
+            "m_spend",
+        )
+        .localCheckpoint()  # customer-grain summary feeds 3 rank passes
+    )
+    n = cust.count()  # exact scalar (customer count)
+    p1, p2, p3 = (n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4
+
+    def cuts(col: str, a: str):
+        r = global_rank(cust.select(F.col(col).alias("v")), F.col("v"))
+        return r.filter(F.col("rank").isin(p1, p2, p3)).agg(
+            F.max(F.when(F.col("rank") == p1, F.col("v"))).alias(f"{a}1"),
+            F.max(F.when(F.col("rank") == p2, F.col("v"))).alias(f"{a}2"),
+            F.max(F.when(F.col("rank") == p3, F.col("v"))).alias(f"{a}3"),
+        )
+
+    cut = cuts("r_days", "r").crossJoin(cuts("f_orders", "f")).crossJoin(
+        cuts("m_spend", "m")
+    )
+
+    def q(col: str, a: str):
+        return (
+            F.when(F.col(col) <= F.col(f"{a}1"), 0)
+            .when(F.col(col) <= F.col(f"{a}2"), 1)
+            .when(F.col(col) <= F.col(f"{a}3"), 2)
+            .otherwise(3)
+        )
+
+    seg = F.concat_ws(
+        "|",
+        q("r_days", "r").cast("string"),
+        q("f_orders", "f").cast("string"),
+        q("m_spend", "m").cast("string"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(cut))
+        .select(seg.alias("segment"), "f_orders", "m_spend")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("f_orders").alias("total_orders"),
+            (F.sum("m_spend").cast("double") / 1e6).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "analytics_yoy",
+    f"""
+    WITH yearly AS (
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+               SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 1000000) AS BIGINT)) AS revq
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+    )
+    SELECT nation, yr,
+           CAST(revq AS DOUBLE) / 1000000.0 AS revenue,
+           CAST(lag(revq) OVER w AS DOUBLE) / 1000000.0 AS prev_revenue,
+           CAST(revq - lag(revq) OVER w AS DOUBLE)
+               / CAST(lag(revq) OVER w AS DOUBLE) AS yoy_growth
+    FROM yearly
+    WINDOW w AS (PARTITION BY nation ORDER BY yr)
+    """,
+)
+def analytics_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation.
+
+    The reporting composite: fact join → (nation, year) aggregation →
+    lag window over the GROUPED result. Growth is a ratio of exact
+    scaled-long sums (both operands integers → the division is
+    bit-identical). The window partitions are nation-bounded (25 rows
+    of years each) — window state is report-scale, never fact-scale.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+    )
+    revq = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000
+    ).cast("long")
+    yearly = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), F.col("nk") == c.c_nationkey)
+        .groupBy("nation", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(revq).alias("revq"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    prev = F.lag("revq").over(w)
+    return yearly.select(
+        "nation",
+        "yr",
+        (F.col("revq").cast("double") / 1e6).alias("revenue"),
+        (prev.cast("double") / 1e6).alias("prev_revenue"),
+        ((F.col("revq") - prev).cast("double") / prev.cast("double")).alias(
+            "yoy_growth"
+        ),
     )

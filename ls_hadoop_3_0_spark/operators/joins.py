@@ -473,3 +473,96 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts(nearest).alias("nearest_click_ts"),
         direction.alias("direction"),
     )
+
+
+#: Banded-range-join geometry: 64 CONTIGUOUS, NON-OVERLAPPING bands of
+#: irregular width cover the unit-price domain [0, 4096). Boundaries are
+#: exact integers (i·64 + md5-jitter(i) ∈ [0,32)) — authored, engine-
+#: independent, and every point matches exactly ONE band, so the join
+#: output is LINEAR in the probe side at any scale (the first cut of
+#: this key used overlapping ±5% per-part tolerance intervals, whose
+#: pair count is probe×interval-density — quadratic under corpus
+#: replication; measured hanging at the 10× replica and redesigned).
+import hashlib as _hashlib
+
+BAND_W = 64.0
+N_BANDS = 64
+
+
+def _band_bounds() -> list[tuple[int, float, float]]:
+    """(band_id, lo, hi) with deterministic md5 jitter, c0=0, c64=4096."""
+    cuts = [0.0]
+    for i in range(1, N_BANDS):
+        j = int(_hashlib.md5(f"band:{i}".encode()).hexdigest()[:4], 16) % 32
+        cuts.append(float(i * 64 + j))
+    cuts.append(float(N_BANDS * 64))
+    return [(i, cuts[i], cuts[i + 1]) for i in range(N_BANDS)]
+
+
+_BANDED_SQL_ROWS = ", ".join(
+    f"({i}, CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))"
+    for i, lo, hi in _band_bounds()
+)
+
+
+@query(
+    "join_range_banded",
+    f"""
+    WITH bands(band_id, lo, hi) AS (VALUES {_BANDED_SQL_ROWS}),
+    u AS (
+        SELECT l_extendedprice / l_quantity AS up FROM lineitem
+    )
+    SELECT b.band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           MIN(u.up) AS min_up, MAX(u.up) AS max_up
+    FROM u JOIN bands b ON u.up >= b.lo AND u.up < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 at scale: interval×point range join as a BANDED EQUI-join.
+
+    ``join_range`` broadcasts a literal 4-row band table (BNLJ is fine
+    there); this key runs the rewrite that survives a LARGE interval
+    table: each interval is exploded to the power-of-two coarse buckets
+    it overlaps (``sequence(floor(lo/W), floor(hi/W))`` — a constant
+    fan-out for design-bounded interval widths), each probe value maps
+    to ``floor(up/W)``, the join is EQUI on the bucket, and exact
+    containment is a residual filter. W is a power of two so value/W is
+    exact double scaling — the bucket of a value is bit-identical on
+    every engine. Bands here are contiguous and non-overlapping
+    (irregular md5-jittered boundaries), so each point matches exactly
+    one interval and the output is linear in the probe side — the
+    histogram/bracket-assignment workload. The oracle runs the direct
+    range join (DuckDB IEJoin); a hash match proves the banded rewrite
+    loses and duplicates nothing.
+
+    tests/test_plans.py asserts NO BroadcastNestedLoopJoin in this plan.
+    """
+    prepare(spark)
+    bands = spark.createDataFrame(
+        _band_bounds(), "band_id int, lo double, hi double"
+    )
+    iv = bands.select(
+        "band_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / BAND_W), F.floor(F.col("hi") / BAND_W)
+            )
+        ).alias("bucket"),
+    )
+    u = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("up")
+    ).withColumn("bucket", F.floor(F.col("up") / BAND_W))
+    return (
+        u.join(iv.hint("shuffle_hash"), "bucket")
+        .filter((F.col("up") >= F.col("lo")) & (F.col("up") < F.col("hi")))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("up").alias("min_up"),
+            F.max("up").alias("max_up"),
+        )
+    )

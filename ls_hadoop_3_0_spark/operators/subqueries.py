@@ -135,3 +135,31 @@ def subquery_scalar_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_sql(
         spark, sf_dir, SUBQUERY_SCALAR_UNCORRELATED_SQL, ["lineitem"]
     )
+
+
+LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+"""
+
+
+@query("subquery_lateral", LATERAL_SQL)
+def subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table: per-customer top-2 orders.
+
+    The SQL:2016 LATERAL join surface — the IDENTICAL text runs on both
+    engines (the subqueries-module discipline). Catalyst decorrelates
+    the LIMIT-ed correlated subquery into the same ranked-window plan
+    `window_topn_per_group` builds by hand — this key pins that the SQL
+    entry point reaches it (DomainJoin → window under the hood), so a
+    user porting LATERAL-heavy warehouse SQL needs no rewrite. Ties are
+    totally ordered (price desc, orderkey) ⇒ deterministic row set.
+    """
+    return _run_sql(spark, sf_dir, LATERAL_SQL, ["customer", "orders"])

@@ -556,3 +556,55 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("attributed_value"),
         )
     )
+
+
+#: Point-in-time snapshot instant for scd2_asof_snapshot (mid-range of
+#: the fixture's one-month event window; a drifted fixture simply moves
+#: how many users have state by then — the key stays valid).
+ASOF_T = "2024-01-15 00:00:00"
+
+
+@query(
+    "scd2_asof_snapshot",
+    f"""
+    WITH e AS (SELECT * FROM {EVENTS_SQL}),
+    latest AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e WHERE ts <= TIMESTAMP '{ASOF_T}'
+    )
+    SELECT event_type AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS oldest_state_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS newest_state_ts
+    FROM latest WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC point-in-time query: reconstruct per-user state AS OF an instant.
+
+    The read side of ``scd2_history``: a user's state at T is their
+    latest change event ≤ T (ties broken by event_id — same total order
+    the history build uses), summarized per state. This is the query a
+    warehouse answers from SCD2 intervals with ``valid_from ≤ T <
+    valid_to``; deriving it straight from the event log proves the two
+    formulations agree without materializing the interval table.
+
+    Plan: pushed ts predicate → one (user_id)-keyed window (bounded per
+    user) → state-vocabulary-sized aggregation. One shuffle.
+    """
+    prepare(spark)
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit(ASOF_T).cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return latest.groupBy(F.col("event_type").alias("state")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        fmt_ts(F.min("ts")).alias("oldest_state_ts"),
+        fmt_ts(F.max("ts")).alias("newest_state_ts"),
+    )

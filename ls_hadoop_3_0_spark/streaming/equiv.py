@@ -32,7 +32,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ls_hadoop_3_0_spark.exprs import SCALE, fmt_ts
+from ls_hadoop_3_0_spark.exprs import SCALE, dsum, fmt_ts
 from ls_hadoop_3_0_spark.registry import query
 from ls_hadoop_3_0_spark.session import prepare
 from ls_hadoop_3_0_spark.streaming import batch_equiv, demo
@@ -352,4 +352,70 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     written = spark.read.parquet(out_dir)
     return _tumbling_digest(written).select(
         "n_windows", "n_events", "windows_md5"
+    )
+
+
+@query(
+    "stream_batch_equiv_sliding",
+    f"""
+    WITH w AS (
+        SELECT strftime(time_bucket(INTERVAL 30 MINUTE, ts)
+                        - k * INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS w,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(round(value * {SCALE}) AS BIGINT)) AS sv
+        FROM {EVENTS_SQL} e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(n) AS BIGINT) AS n_assignments,
+           md5(string_agg(w || '|' || n || '|' || sv, ',' ORDER BY w))
+               AS windows_md5,
+           TRUE AS matches_batch
+    FROM w
+    """,
+)
+def stream_batch_equiv_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 equivalence audit: REAL readStream sliding-window agg vs batch.
+
+    Completes the windowed-operator equivalence set (tumbling/session/
+    dedup are stamped above): the 1 h window sliding by 30 min assigns
+    every event to exactly two windows; the streaming run's per-window
+    digest must match batch and the unnest([0,1]) oracle mirror.
+    """
+    prepare(spark)
+    ev = demo.read_events_stream(spark, sf_dir)
+    sliding = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+    name = f"sbw_{uuid.uuid4().hex[:12]}"
+    demo.run_to_memory(sliding, name, output_mode="complete")
+
+    def _digest(df: DataFrame) -> DataFrame:
+        p = df.select(
+            fmt_ts("win_start").alias("w"),
+            "n",
+            F.round(F.col("sum_value") * SCALE).cast("long").alias("sv"),
+        )
+        return p.agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("n").alias("n_assignments"),
+            _digest_expr(["w", "n", "sv"]).alias("windows_md5"),
+        )
+
+    s_dig = _digest(spark.table(name))
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+    b_dig = _digest(batch).select(F.col("windows_md5").alias("b_md5"))
+    return s_dig.crossJoin(b_dig).select(
+        "n_windows",
+        "n_assignments",
+        "windows_md5",
+        (F.col("windows_md5") == F.col("b_md5")).alias("matches_batch"),
     )

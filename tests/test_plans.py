@@ -260,3 +260,15 @@ def test_partition_pruned_scan_lists_one_directory(spark):
     assert "PartitionFilters" in plan
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("o_orderstatus" in ln and "[]" not in ln for ln in pf), plan
+
+
+def test_range_banded_join_is_equi_not_bnlj(spark):
+    """join_range_banded must plan an equi-join on the coarse bucket —
+    never a BroadcastNestedLoopJoin (the rewrite that makes a large
+    interval table joinable at 100 TB)."""
+    from ls_hadoop_3_0_spark.operators.joins import join_range_banded
+
+    plan = join_range_banded(spark, SF_DIR)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
