@@ -929,3 +929,43 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("oov").cast("double") / F.count(F.lit(1))).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "text_sentences",
+    """
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT) AS n_sentences,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(list_sum(list_transform(s, x -> length(x))) AS DOUBLE)
+               / len(s) AS avg_sentence_chars,
+           CAST(list_max(list_transform(s, x -> length(x))) AS BIGINT)
+               AS max_sentence_chars
+    FROM (
+        SELECT doc_id, text, string_split(text, '. ') AS s FROM documents)
+    """,
+)
+def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 sentence segmentation stats: the doc-structure quality signal.
+
+    Sentence-length distribution separates prose from boilerplate/lists
+    (C4's heuristic family). Split on the literal '. ' delimiter —
+    Spark's split() takes a REGEX, so the dot is escaped; DuckDB's
+    string_split is literal — both produce identical segments. Ratios
+    are exact-int divisions; everything stays in one codegen stage
+    (map-side only, the doc_chunk class).
+    """
+    prepare(spark)
+    s = F.split("text", r"\. ")
+    slen = F.transform(s, lambda x: F.length(x).cast("long"))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(s).cast("long").alias("n_sentences"),
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.aggregate(slen, F.lit(0).cast("long"), lambda a, x: a + x)
+            .cast("double")
+            / F.size(s)
+        ).alias("avg_sentence_chars"),
+        F.array_max(slen).alias("max_sentence_chars"),
+    )

@@ -1038,3 +1038,38 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_totalprice").alias("bottom_price"),
         )
     )
+
+
+@query(
+    "agg_boolbit",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           CAST(bit_and(o_orderkey % 256) AS BIGINT) AS band,
+           CAST(bit_or(o_orderkey % 256) AS BIGINT) AS bor,
+           CAST(bit_xor(o_orderkey % 256) AS BIGINT) AS bxor
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_boolbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT boolean/bitwise aggregates: bool_and/bool_or + bit_and/or/xor.
+
+    The predicate-summary aggregates (EVERY/ANY of SQL:1999) and the
+    bitmask folds — all associative/commutative, so they map-side
+    combine like sums and are partition-order-proof by construction
+    (xor/and/or over ints have no float surface at all). One shuffle.
+    """
+    prepare(spark)
+    m = F.col("o_orderkey") % 256
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+            F.bit_and(m).alias("band"),
+            F.bit_or(m).alias("bor"),
+            F.bit_xor(m).alias("bxor"),
+        )
+    )

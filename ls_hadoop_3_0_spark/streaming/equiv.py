@@ -419,3 +419,99 @@ def stream_batch_equiv_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "windows_md5",
         (F.col("windows_md5") == F.col("b_md5")).alias("matches_batch"),
     )
+
+
+@query(
+    "stream_batch_equiv_interval_join",
+    f"""
+    WITH e AS (SELECT * FROM {EVENTS_SQL}),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        FROM e WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id AS c_user_id, event_id AS click_id, ts AS c_ts
+        FROM e WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.purchase_id, c.click_id
+        FROM p JOIN c
+          ON p.user_id = c.c_user_id
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+         AND c.c_ts <= p.p_ts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(purchase_id) AS BIGINT) AS sum_pid,
+           CAST(SUM(click_id) AS BIGINT) AS sum_cid,
+           CAST(SUM((instr('0123456789abcdef', substr(md5(CAST(purchase_id AS VARCHAR) || ':' || CAST(click_id AS VARCHAR)), 1, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(md5(CAST(purchase_id AS VARCHAR) || ':' || CAST(click_id AS VARCHAR)), 2, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(md5(CAST(purchase_id AS VARCHAR) || ':' || CAST(click_id AS VARCHAR)), 3, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5(CAST(purchase_id AS VARCHAR) || ':' || CAST(click_id AS VARCHAR)), 4, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5(CAST(purchase_id AS VARCHAR) || ':' || CAST(click_id AS VARCHAR)), 5, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(CAST(purchase_id AS VARCHAR) || ':' || CAST(click_id AS VARCHAR)), 6, 1)) - 1) * 1) AS BIGINT) AS sum_pair_u24,
+           TRUE AS matches_batch
+    FROM j
+    """,
+)
+def stream_batch_equiv_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-EXT equivalence audit: REAL stream-stream interval join vs batch.
+
+    The last streaming operator class without a stamped execution run:
+    both sides watermarked, per-side state bounded by the 1 h band
+    (demo.interval_join_stream), availableNow into an append-mode
+    memory sink. The emitted pair set is digested with the associative
+    integer-sum scheme (count, Σids, Σu24(md5(pair))) — map-combinable
+    at any scale, content-sensitive via the pair hash — and must match
+    the batch inner join and the oracle.
+    """
+    prepare(spark)
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    ev1 = demo.read_events_stream(spark, sf_dir)
+    ev2 = demo.read_events_stream(spark, sf_dir)
+    name = f"sbij_{uuid.uuid4().hex[:12]}"
+    demo.run_to_memory(
+        demo.interval_join_stream(ev1, ev2), name, output_mode="append"
+    )
+    pair_u24 = F.expr(
+        _u24_expr("concat(CAST(purchase_id AS STRING), ':',"
+                  " CAST(click_id AS STRING))")
+    )
+
+    def _digest(df: DataFrame) -> DataFrame:
+        return df.select("purchase_id", "click_id", pair_u24.alias("u")).agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("purchase_id").alias("sum_pid"),
+            F.sum("click_id").alias("sum_cid"),
+            F.sum("u").alias("sum_pair_u24"),
+        )
+
+    s_dig = _digest(spark.table(name))
+    ev = _batch_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    b_dig = _digest(batch).select(
+        F.col("n_pairs").alias("b_n"),
+        F.col("sum_pid").alias("b_p"),
+        F.col("sum_cid").alias("b_c"),
+        F.col("sum_pair_u24").alias("b_u"),
+    )
+    return s_dig.crossJoin(b_dig).select(
+        "n_pairs",
+        "sum_pid",
+        "sum_cid",
+        "sum_pair_u24",
+        (
+            (F.col("n_pairs") == F.col("b_n"))
+            & (F.col("sum_pid") == F.col("b_p"))
+            & (F.col("sum_cid") == F.col("b_c"))
+            & (F.col("sum_pair_u24") == F.col("b_u"))
+        ).alias("matches_batch"),
+    )
