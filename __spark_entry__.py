@@ -74,9 +74,18 @@ def _sweep_order(keys: dict) -> list[str]:
         flagged = (".llm." in mod) or (".streaming." in mod) or (".functions." in mod)
         return (k not in engine.ORACLES, not flagged)
 
+    # Stamped keys whose CONTRACT changed since their stamp (rows-only →
+    # oracle-backed in r7) — their old artifact row is the weaker check,
+    # so they re-enter right behind the fresh pool for a full
+    # rows+schema+hash stamp.
+    refresh = {"multimodal_extract"}
+
     fresh = [k for k in keys if k not in _STAMPED_PRIOR]
     fresh.sort(key=prio)  # stable within each (oracle, family) tier
-    stamped = [k for k in keys if k in _STAMPED_PRIOR]
+    stamped = sorted(
+        (k for k in keys if k in _STAMPED_PRIOR),
+        key=lambda k: k not in refresh,
+    )  # stable: refresh keys first, registry order otherwise
     return fresh + stamped
 
 
