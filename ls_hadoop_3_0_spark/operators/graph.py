@@ -306,9 +306,15 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    # e2/e3 are the DIM-bounded side (edges ≤ C(|supplier dim|, 2) — a
+    # design constant, not corpus growth), so the static broadcast is
+    # legitimate per the repo rule and turns the 124M-row wedge stream
+    # into map-side generate-and-probe with ZERO wedge shuffle:
+    # measured 21.4 s → 10.1 s at sf0.1 (count protocol, min-of-2 shape
+    # check; noop-protocol numbers in SCALE.md).
     tri = (
-        e1.join(e2, F.col("b2") == F.col("b"))
-        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
+        e1.join(F.broadcast(e2), F.col("b2") == F.col("b"))
+        .join(F.broadcast(e3), (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     deg = (
