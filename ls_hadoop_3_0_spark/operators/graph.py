@@ -279,14 +279,19 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Global CC = 3·triangles / wedges, both exact BIGINTs before the one
     double division.
 
-    Scale: the pair explosion is per-order-bounded (TPC-H orders have
-    ≤7-13 lines by design — C(13,2) pairs max per order, a design
-    constant, not corpus growth). At real scale the orientation would
-    be by (degree, id) instead of raw id — the standard skew guard that
-    caps the join fan-out of hub nodes at O(sqrt(m)) — noted here
-    because the fixture's id orientation is degree-uniform by
-    construction. Edge list is distinct-deduped once and reused by all
-    three legs (one shuffle to build, equi-joins after).
+    Scale (r8 rewrite): edges are re-oriented by the DEGREE total order
+    (deg, id) — the classic compact-forward / O(sqrt(m)) orientation:
+    every node's ORIENTED out-degree is at most O(sqrt(m)) regardless of
+    how hubby the undirected graph is, so the wedge stream is bounded by
+    sum(outdeg^2) = O(m^1.5) with no hub blow-up. The triangle count is
+    orientation-invariant, so the DuckDB oracle keeps the simpler id
+    orientation and the outputs still hash-match. There is NO static
+    ``F.broadcast`` anywhere: the edge legs grow with the corpus
+    (supplier dim = 10k x SF, edges ~linear under corpus replication —
+    the r7 verdict measured ~50M edge rows at the 100x replica), so the
+    join strategy is left to AQE, which broadcasts only when the runtime
+    size is actually small. Edge list + oriented list are each
+    materialized once (``localCheckpoint``) and reused by all legs.
     """
     prepare(spark)
     os_ = (
@@ -301,27 +306,49 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint()  # reused by 3 join legs + degree pass
-    )
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
-    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
-    # e2/e3 are the DIM-bounded side (edges ≤ C(|supplier dim|, 2) — a
-    # design constant, not corpus growth), so the static broadcast is
-    # legitimate per the repo rule and turns the 124M-row wedge stream
-    # into map-side generate-and-probe with ZERO wedge shuffle:
-    # measured 21.4 s → 10.1 s at sf0.1 (count protocol, min-of-2 shape
-    # check; noop-protocol numbers in SCALE.md).
-    tri = (
-        e1.join(F.broadcast(e2), F.col("b2") == F.col("b"))
-        .join(F.broadcast(e3), (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .localCheckpoint()  # reused by orientation + degree + count passes
     )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient each undirected edge from the (deg, id)-smaller endpoint to
+    # the larger one; carry the destination's rank so the wedge pair can
+    # be ordered without a third degree join.
+    with_deg = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    directed = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    ).localCheckpoint()  # reused by 2 wedge legs + the closure probe
+    t1 = directed.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddst").alias("db"))
+    t2 = directed.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("ddst").alias("dc"))
+    # Wedge at the lowest-rank apex a; order the two out-neighbours by
+    # (deg, id) so each triangle is generated exactly once, then probe
+    # the closing edge — which, being between b < c in the total order,
+    # is oriented b -> c if it exists. Three equi-joins, never all-pairs.
+    wedges = t1.join(t2, "a").filter(
+        F.struct(F.col("db"), F.col("b")) < F.struct(F.col("dc"), F.col("c"))
+    )
+    # Collapse the O(m^1.5) wedge stream with a map-side PARTIAL count
+    # per (b, c) BEFORE any exchange: the generate-join pipelines
+    # straight into the hash aggregate, so the shuffle carries at most
+    # |distinct endpoint pairs| ≤ m rows per task instead of the raw
+    # 124M-row wedge stream (the MR combiner shape — this is what made
+    # dropping the static broadcast cost-neutral: 29.9 s → measured
+    # post-fix numbers in SCALE.md).
+    wedge_counts = wedges.groupBy("b", "c").agg(F.count(F.lit(1)).alias("nw"))
+    closing = directed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedge_counts.join(closing, ["b", "c"]).agg(
+        F.sum("nw").cast("long").alias("n_triangles")
     )
     summary = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),

@@ -47,6 +47,19 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+def has_static_broadcast_hint(df: DataFrame) -> bool:
+    """True if the LOGICAL plan carries an explicit broadcast hint.
+
+    Distinguishes a hand-placed ``F.broadcast(...)`` (a static claim that
+    a side is design-bounded — forbidden for corpus-scale sides by the
+    repo rule) from an AQE/CBO-chosen BroadcastHashJoin (a runtime
+    decision based on measured size, always allowed). The hint survives
+    analysis as ``ResolvedHint``/``UnresolvedHint`` in the analyzed plan.
+    """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "ResolvedHint" in plan or "UnresolvedHint" in plan
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """Partial→final HashAggregate around the exchange (combiner analog)."""
     plan = formatted_plan(df)

@@ -86,6 +86,19 @@ def test_dedup_joins_never_broadcast_corpus_sides(spark):
         assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), key
 
 
+def test_triangles_have_no_static_broadcast(spark):
+    """graph_triangles' edge legs grow with the corpus (supplier dim =
+    10k x SF; ~50M edge rows at the 100x replica), so the r8 rewrite must
+    carry NO hand-placed broadcast hint anywhere in the plan — the join
+    strategy is AQE's runtime call, never a static claim."""
+    import ls_hadoop_3_0_spark as engine
+
+    df = engine.QUERIES["graph_triangles"](spark, SF_DIR)
+    assert not checks.has_static_broadcast_hint(df), (
+        "graph_triangles statically broadcasts a corpus-growing side"
+    )
+
+
 def test_skewed_join_triggers_aqe_skew_split(spark):
     """A 95%-one-key fact-fact join must get AQE's skew-split at runtime.
 
