@@ -353,6 +353,131 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed-id-range audit panel for dedup_recall_v2 — the knn_recall_v2
+#: move. ``doc_id < 10_000_000`` pins the panel to the first replica
+#: (tools/replicate_corpus.py shifts doc_id by 10M per copy), so the
+#: panel does NOT grow with the corpus; `% 10` keeps it a 10% sample of
+#: that fixed range. In production this would be an authored audit set.
+PANEL_DOC_SQL = "doc_id % 10 = 0 AND doc_id < 10000000"
+
+
+@query(
+    "dedup_recall_v2",
+    f"""
+    WITH sh AS ({sh_sql('documents')}),
+    {minhash_candidates_cte()},
+    pex AS (SELECT doc_id AS p, unnest(shingles) AS g FROM sh
+            WHERE {PANEL_DOC_SQL}),
+    ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    shared AS (
+        SELECT p, ex.doc_id AS d, COUNT(*) AS ns
+        FROM pex JOIN ex ON pex.g = ex.g AND ex.doc_id <> pex.p
+        GROUP BY p, d
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    truth AS (
+        SELECT DISTINCT LEAST(p, d) AS doc_a, GREATEST(p, d) AS doc_b
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = shared.p
+        JOIN sizes sb ON sb.doc_id = shared.d
+        WHERE CAST(ns AS DOUBLE) / (sa.n + sb.n - ns)
+              >= CAST({MINHASH_JACCARD_T} AS DOUBLE)
+    ),
+    candp AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE (doc_a % 10 = 0 AND doc_a < 10000000)
+           OR (doc_b % 10 = 0 AND doc_b < 10000000)
+    ),
+    hit AS (SELECT * FROM candp JOIN truth USING (doc_a, doc_b)),
+    s AS (
+        SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM candp) AS n_cand,
+               (SELECT COUNT(*) FROM hit) AS n_hit
+    )
+    SELECT 'minhash_lsh_panel' AS method,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0) AS precision,
+           CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) AS recall
+    FROM s
+    """,
+)
+def dedup_recall_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 quality gate with a BOUNDED audit panel — the 100 TB form.
+
+    dedup_recall's ground-truth arm is pair-bound: on duplicate-heavy
+    corpora both truth and candidates grow with C(copies, 2) (the 100×
+    replica run was killed after 30 min, SCALE.md r7). This twin pins
+    the truth arm to a FIXED id-range panel (``PANEL_DOC_SQL`` — the
+    knn_recall_v2 recipe applied to dedup): exact Jaccard is computed
+    only for panel×corpus pairs via the panel-restricted shared-shingle
+    equi-join (EXACT for J ≥ 0.4 — any qualifying pair shares a
+    shingle), so the audit arm is LINEAR in the corpus at any scale
+    while still measuring the SAME LSH candidate stage (restricted to
+    pairs touching the panel). On the un-replicated fixtures panel
+    pairs are a strict subset of v1's; they diverge exactly when the
+    corpus outgrows the panel — which is the point.
+    """
+    prepare(spark)
+    sh, cand = minhash_candidates(load(spark, sf_dir, "documents"))
+    panel = sh.filter(F.expr(PANEL_DOC_SQL))
+    ex_panel = panel.select(F.col("doc_id").alias("p"), F.explode("shingles").alias("g"))
+    ex_all = sh.select(F.col("doc_id").alias("d"), F.explode("shingles").alias("g"))
+    shared = (
+        ex_panel.join(ex_all.hint("shuffle_hash"), "g")
+        .filter(F.col("d") != F.col("p"))
+        .groupBy("p", "d")
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    truth = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("p"), F.col("n").alias("np")), "p"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d"), F.col("n").alias("nd")).hint(
+                "shuffle_hash"
+            ),
+            "d",
+        )
+        .filter(
+            F.col("ns").cast("double") / (F.col("np") + F.col("nd") - F.col("ns"))
+            >= F.lit(MINHASH_JACCARD_T)
+        )
+        .select(
+            F.least("p", "d").alias("doc_a"), F.greatest("p", "d").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds n_truth AND the hit join
+    )
+    in_panel = lambda c: (F.col(c) % 10 == 0) & (F.col(c) < 10_000_000)  # noqa: E731
+    cand_panel = cand.filter(in_panel("doc_a") | in_panel("doc_b")).localCheckpoint(
+        eager=False
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand_panel.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = cand_panel.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            F.lit("minhash_lsh_panel").alias("method"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            (
+                F.col("n_hit").cast("double") / F.nullif(F.col("n_cand"), F.lit(0))
+            ).alias("precision"),
+            (
+                F.col("n_hit").cast("double") / F.nullif(F.col("n_truth"), F.lit(0))
+            ).alias("recall"),
+        )
+    )
+
+
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 4 × 16-bit bands: Hamming ≤ 3 ⇒ ≥1 exact band match
 SIMHASH_HAMMING_T = 3

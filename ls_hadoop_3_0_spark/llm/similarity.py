@@ -531,13 +531,27 @@ def knn_recall_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_summary(spark, sf_dir, panel=BOUNDED_PANEL_SQL)
 
 
-@query("knn_recall", _knn_recall_sql())
+#: Oracle SQL for the v1 release audit (kept for manual ≤10× runs; the
+#: key itself was retired from the registry in r8 — see knn_recall).
+KNN_RECALL_V1_SQL = _knn_recall_sql()
+
+
 def knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3/X5 ANN quality gate: recall@{k} of knn_lsh and knn_ivf vs the
     exact knn_cosine baseline, computed inside Spark and hash-checked
     against a DuckDB oracle that re-derives ALL THREE result sets
     independently (deterministic hyperplanes/seeds + the scaled-long
     Lloyd step make the approximate candidates SQL-portable).
+
+    RETIRED from the registry in r8 (was stamped green r6): its
+    corpus-proportional panel (1% of vec_ids) makes the exact audit arm
+    QUADRATIC in corpus size — measured 113 s at the 10× replica,
+    killed at 100× (SCALE.md r7 audit table). It remains here as a
+    documented ≤10×-scale RELEASE AUDIT, runnable manually against
+    ``KNN_RECALL_V1_SQL``; the registered, bench-swept, driver-stamped
+    form is ``knn_recall_v2`` (fixed-id panel ⇒ linear arm, 270 s at
+    100×). Per the r7 verdict: the default sweep must carry only
+    linear-or-better keys.
 
     This converts the ANN arms' quality from a test-pinned number
     (tests/test_knn.py's 0.15 floor) into a driver-visible, per-round

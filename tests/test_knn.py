@@ -146,9 +146,12 @@ def test_knn_recall_key_consistent_with_raw_pipelines(spark):
     recomputed here from the raw exact/approx top-k sets, and its
     arithmetic must be internally consistent (n_exact = queries×k,
     n_hits ≤ n_exact, recall = n_hits/n_exact exactly)."""
-    from ls_hadoop_3_0_spark.llm.similarity import lsh_topk
+    from ls_hadoop_3_0_spark.llm.similarity import knn_recall, lsh_topk
 
-    rows = {r["method"]: r for r in engine.QUERIES["knn_recall"](spark, SF_DIR).collect()}
+    # knn_recall was retired from the registry in r8 (quadratic audit
+    # arm; knn_recall_v2 is the registered form) but stays callable as
+    # the ≤10x-scale release audit — exercised directly here.
+    rows = {r["method"]: r for r in knn_recall(spark, SF_DIR).collect()}
     assert set(rows) == {"lsh", "lsh_r2", "ivf"}
     # The 22-probe radius-2 arm must dominate the 7-probe radius-1 arm.
     assert rows["lsh_r2"]["recall"] >= rows["lsh"]["recall"]
