@@ -72,6 +72,12 @@ def prepare(spark: SparkSession) -> SparkSession:
 
 def get_spark(app_name: str = "ls_hadoop_3_0_spark") -> SparkSession:
     """Local session for tests/bench: local[$SPARK_GRAFT_CPUS]."""
+    # Must precede the JVM launch so PYTHONPATH (vendored protobuf shim
+    # for transformWithStateInPandas workers) reaches JVM-spawned python
+    # processes; harmless no-op when a real protobuf is installed.
+    from ls_hadoop_3_0_spark import vendor
+
+    vendor.ensure_protobuf_env()
     n = _cpus()
     builder = (
         SparkSession.builder.master(f"local[{n}]")

@@ -202,6 +202,13 @@ def stateful_user_totals_tws(
     ``google.protobuf`` is importable (importorskip otherwise).
     """
     import pandas as pd
+
+    from ls_hadoop_3_0_spark import vendor
+
+    # r8: the container-no-protobuf limitation is gone — the vendored
+    # wire-compatible shim (vendor/pyshims) is activated for the driver
+    # AND shipped to every python worker, so the micro-batch leg runs.
+    vendor.ensure_protobuf(events.sparkSession)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -228,15 +235,76 @@ def stateful_user_totals_tws(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=UserTotals(),
-        outputStructType="user_id long, n_events long, sum_value double",
-        outputMode="Update",
-        # "None" for the pure running-total demo; "ProcessingTime"
-        # enables registerTimer for TTL-style state expiry — the
-        # plan-level twin asserts BOTH configs analyze correctly.
-        timeMode=time_mode,
+    # The wrapper rides inside the pickled UDF payload, so the shim
+    # reaches even the JVM-spawned driver-side streaming worker that a
+    # foreign session's env can't (vendor.tws_protobuf_shim docstring).
+    with vendor.tws_protobuf_shim():
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType="user_id long, n_events long, sum_value double",
+            outputMode="Update",
+            # "None" for the pure running-total demo; "ProcessingTime"
+            # enables registerTimer for TTL-style state expiry — the
+            # plan-level twin asserts BOTH configs analyze correctly.
+            timeMode=time_mode,
+        )
+
+
+def stateful_user_totals_tws_exact(events: DataFrame) -> DataFrame:
+    """T6 in the ORACLE-EXACT form backing ``stream_batch_equiv_stateful``.
+
+    Same transformWithStateInPandas shape as stateful_user_totals_tws,
+    but every number that crosses the state boundary is an INTEGER: the
+    stream pre-quantizes value → round(value·1e6) as BIGINT (the dsum
+    invariant, computed by Spark so both engines share its rounding),
+    and the processor accumulates (n, scaled_sum) as int64 — no float
+    ever enters python, so the totals are bit-identical to the batch
+    twin and the DuckDB oracle regardless of batch split or row order.
+    """
+    import pandas as pd
+
+    from ls_hadoop_3_0_spark import vendor
+    from ls_hadoop_3_0_spark.exprs import SCALE
+
+    vendor.ensure_protobuf(events.sparkSession)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
     )
+
+    class ExactTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, sv BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, sv = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    sv += int(pdf["sv"].sum())  # int64 sum — exact
+            self._totals.update((n, sv))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sv": [sv]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = events.select(
+        "user_id",
+        F.round(F.col("value") * F.lit(SCALE)).cast("long").alias("sv"),
+    )
+    with vendor.tws_protobuf_shim():
+        return stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=ExactTotals(),
+            outputStructType="user_id long, n_events long, sv long",
+            outputMode="Update",
+            timeMode="None",
+        )
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):

@@ -515,3 +515,222 @@ def stream_batch_equiv_interval_join(spark: SparkSession, sf_dir: str) -> DataFr
             & (F.col("sum_pair_u24") == F.col("b_u"))
         ).alias("matches_batch"),
     )
+
+
+# -- T6: arbitrary stateful processing, executed for real ---------------
+
+#: Dialect-neutral per-user row rendering for the u24 digest (columns
+#: must be named user_id / n / sv on BOTH engines).
+_STATEFUL_ROW_SQL = (
+    "concat(cast(user_id as string), '|', cast(n as string),"
+    " '|', cast(sv as string))"
+)
+
+
+def _stateful_digest(per_user: DataFrame) -> DataFrame:
+    """(user_id, n, sv) → one associative-integer-sum digest row.
+
+    The user set is CORPUS-scale, so per the r7 digest rule this never
+    collect_lists: count + exact BIGINT sums + Σu24(md5(row)) only.
+    """
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+        (F.sum("sv").cast("double") / F.lit(float(SCALE))).alias(
+            "sum_value_total"
+        ),
+        F.sum(F.expr(_u24_expr(_STATEFUL_ROW_SQL))).alias("users_u24"),
+    )
+
+
+def _stateful_oracle_sql() -> str:
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    return f"""
+    WITH pu AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * {SCALE}) AS BIGINT)) AS BIGINT)
+                   AS sv
+        FROM {EVENTS_SQL} e GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(sv) AS DOUBLE) / {SCALE}.0 AS sum_value_total,
+           CAST(SUM({_u24_expr(_STATEFUL_ROW_SQL)}) AS BIGINT) AS users_u24,
+           TRUE AS matches_batch
+    FROM pu
+    """
+
+
+@query("stream_batch_equiv_stateful", _stateful_oracle_sql())
+def stream_batch_equiv_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 equivalence audit: REAL transformWithStateInPandas vs batch twin.
+
+    r8 — the last demo-grade §2.9 surface made driver-stampable: the
+    vendored protobuf shim (vendor/pyshims) lets the Spark 4.x arbitrary-
+    state API execute end-to-end in this container, so the REAL stateful
+    micro-batch path (RocksDB state store, per-user ValueState, Update
+    mode, availableNow) runs inside a query key. The processor keeps
+    integer-only state (demo.stateful_user_totals_tws_exact: counts +
+    pre-quantized scaled-long value sums), so its totals are bit-equal to
+    the batch groupBy twin and the DuckDB oracle no matter how the
+    trigger splits batches. Update mode may emit one row per (user,
+    batch); the final state per user is selected by the monotone
+    (n_events, sv) struct max before digesting.
+
+    Digest = associative integer sums over the corpus-scale user set
+    (count, Σn, Σsv, Σu24(md5(row))) — never a collect_list.
+    ``matches_batch`` is the real in-session comparison.
+    """
+    prepare(spark)
+    ev = demo.read_events_stream(spark, sf_dir)
+    name = f"sbes_{uuid.uuid4().hex[:12]}"
+    demo.run_to_memory(
+        demo.stateful_user_totals_tws_exact(ev), name, output_mode="update"
+    )
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sv")).alias("s"))
+        .select("user_id", F.col("s.n_events").alias("n"), F.col("s.sv").alias("sv"))
+    )
+    s_dig = _stateful_digest(final)
+
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * F.lit(SCALE)).cast("long")).alias("sv"),
+        )
+    )
+    b_dig = _stateful_digest(batch).select(
+        F.col("n_users").alias("b_nu"),
+        F.col("n_events").alias("b_ne"),
+        F.col("users_u24").alias("b_u24"),
+    )
+    return s_dig.crossJoin(b_dig).select(
+        "n_users",
+        "n_events",
+        "sum_value_total",
+        "users_u24",
+        (
+            (F.col("n_users") == F.col("b_nu"))
+            & (F.col("n_events") == F.col("b_ne"))
+            & (F.col("users_u24") == F.col("b_u24"))
+        ).alias("matches_batch"),
+    )
+
+
+# -- T3 sampled audit ---------------------------------------------------
+
+#: Deterministic user-panel predicate for the sampled session audit:
+#: u24(md5(user_id)) < 16^6/8 keeps a uniform ~12.5% of users on BOTH
+#: engines (dialect-neutral md5-uniform — sessions are per-user state,
+#: so a user-closed subset preserves exact session semantics).
+_SESSION_SAMPLE_CUT = 16 ** 6 // 8
+
+
+def _session_sample_pred() -> str:
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    return f"({_u24_expr('cast(user_id as string)')}) < {_SESSION_SAMPLE_CUT}"
+
+
+@query(
+    "stream_batch_equiv_session_sampled",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM {EVENTS_SQL} e
+        WHERE {{pred}}
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+               strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS s_end,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM islands
+        GROUP BY user_id, session_no
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           md5(string_agg(user_id || '|' || s_start || '|' || s_end
+                          || '|' || n,
+                          ',' ORDER BY user_id, s_start)) AS sessions_md5,
+           TRUE AS matches_batch
+    FROM sess
+    """.replace("{pred}", _session_sample_pred()),
+)
+def stream_batch_equiv_session_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 audit on a DETERMINISTIC USER PANEL — the per-release fast form.
+
+    stream_batch_equiv_session runs the full-corpus streaming
+    session-state merge (115 s at the 100x replica — the audited cost of
+    the real operator, kept as the release gate). This twin filters the
+    STREAM to the md5-uniform ~12.5% user panel before the session
+    window, so the per-round audit budget shrinks proportionally while
+    still exercising the identical mutable-state merge path; sessions
+    are user-local state, so the panel subset's sessions are bit-equal
+    to their full-run counterparts (r7 verdict item 7).
+    """
+    prepare(spark)
+    pred = _session_sample_pred()
+    ev = demo.read_events_stream(spark, sf_dir).filter(F.expr(pred))
+    name = f"sbss_{uuid.uuid4().hex[:12]}"
+    demo.run_to_memory(demo.sessionized_stream(ev), name, output_mode="complete")
+
+    def _session_digest(df: DataFrame) -> DataFrame:
+        p = df.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "s_start",
+            "s_end",
+            "n",
+        )
+        return p.agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            _digest_expr(["user_id", "s_start", "s_end", "n"]).alias(
+                "sessions_md5"
+            ),
+        )
+
+    s_dig = _session_digest(
+        spark.table(name).select(
+            "user_id",
+            fmt_ts("session_start").alias("s_start"),
+            fmt_ts("session_end").alias("s_end"),
+            F.col("n_events").alias("n"),
+        )
+    )
+    # Batch twin: sessions are per-user, so filtering the twin's OUTPUT
+    # by the same panel predicate equals filtering its input stream.
+    b_dig = _session_digest(
+        batch_equiv.stream_session(spark, sf_dir)
+        .filter(F.expr(pred))
+        .select(
+            "user_id",
+            F.col("session_start").alias("s_start"),
+            F.col("session_end").alias("s_end"),
+            F.col("n_events").alias("n"),
+        )
+    ).select(F.col("sessions_md5").alias("b_md5"))
+    return s_dig.crossJoin(b_dig).select(
+        "n_sessions",
+        "n_events",
+        "sessions_md5",
+        (F.col("sessions_md5") == F.col("b_md5")).alias("matches_batch"),
+    )

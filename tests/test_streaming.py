@@ -235,15 +235,14 @@ def test_transform_with_state_timer_config_analyzes(spark, events_stream):
 def test_transform_with_state_totals_match_batch(spark, events_stream):
     """T6 twin, executable leg: one availableNow run == batch groupBy.
 
-    transformWithStateInPandas spins up a driver-side Python worker that
-    imports google.protobuf; this container ships no protobuf, so skip
-    there (the plan-level test above still runs) and execute for real
-    wherever the dependency exists.
+    transformWithStateInPandas spins up python workers that import
+    google.protobuf at runtime. Through r7 this leg importorskipped
+    (container ships no protobuf wheel); since r8 the vendored
+    wire-compatible shim (ls_hadoop_3_0_spark/vendor/pyshims) satisfies
+    the import in every worker, so the micro-batch leg ALWAYS runs —
+    the skip is gone and the stamped stream_batch_equiv_stateful key
+    runs this same path against the DuckDB oracle.
     """
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithStateInPandas needs protobuf at runtime",
-    )
     from pyspark.sql import functions as F
 
     from ls_hadoop_3_0_spark.tables import load
