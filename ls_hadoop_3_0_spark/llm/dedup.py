@@ -424,17 +424,26 @@ def dedup_recall_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = sh.filter(F.expr(PANEL_DOC_SQL))
     ex_panel = panel.select(F.col("doc_id").alias("p"), F.explode("shingles").alias("g"))
     ex_all = sh.select(F.col("doc_id").alias("d"), F.explode("shingles").alias("g"))
+    # The panel gram stream is DESIGN-bounded (fixed id range — it does
+    # not grow with the corpus), so the static broadcast is legitimate
+    # per the repo rule and lets the corpus-scale gram stream flow
+    # map-side: the only shuffle left is the (p, d) shared-count
+    # aggregation over matched pairs.
     shared = (
-        ex_panel.join(ex_all.hint("shuffle_hash"), "g")
+        ex_all.join(F.broadcast(ex_panel), "g")
         .filter(F.col("d") != F.col("p"))
         .groupBy("p", "d")
         .agg(F.count(F.lit(1)).alias("ns"))
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    # p-side sizes are panel rows (design-bounded → broadcast); d-side
+    # sizes are corpus-scale → shuffle-bound by hint (the r6 rule: never
+    # let Catalyst static-broadcast a checkpointed corpus intermediate).
+    sizes_p = panel.select(
+        F.col("doc_id").alias("p"), F.size("shingles").alias("np")
+    )
     truth = (
-        shared.join(
-            sizes.select(F.col("doc_id").alias("p"), F.col("n").alias("np")), "p"
-        )
+        shared.join(F.broadcast(sizes_p), "p")
         .join(
             sizes.select(F.col("doc_id").alias("d"), F.col("n").alias("nd")).hint(
                 "shuffle_hash"

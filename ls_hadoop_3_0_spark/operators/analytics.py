@@ -1586,3 +1586,354 @@ def analytics_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth"
         ),
     )
+
+
+@query(
+    "analytics_supplier_diversity",
+    """
+    WITH excl AS (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    ),
+    ps AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+    )
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_size BETWEEN 1 AND 8
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def analytics_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: how many distinct (non-excluded) suppliers can
+    ship each (brand, type, size) part class.
+
+    The composite a procurement dashboard runs: fact-derived distinct
+    part↔supplier relationships, an anti-join against the blacklist
+    (negative-balance suppliers — Q16's complaints filter), a dim join
+    with pushed brand/size predicates, and a grouped COUNT(DISTINCT).
+
+    Scale: the relationship set is `distinct` over two fact columns
+    (map-side partial + one shuffle, far smaller than lineitem); the
+    blacklist anti-join and the part join are left to AQE (both sides
+    grow with SF — no static broadcast per the repo rule); the
+    brand/size predicates push into the part scan, so the join build
+    side is the filtered fraction only. COUNT(DISTINCT suppkey)
+    expands to the standard two-phase aggregate — partial distinct
+    map-side, exact at any scale.
+    """
+    prepare(spark)
+    excl = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(excl, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").between(1, 8)
+    )
+    return (
+        ps.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "analytics_revenue_forecast",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+      AND l_quantity < CAST(24 AS DOUBLE)
+    """,
+)
+def analytics_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: revenue forgone to a narrow discount band.
+
+    The simplest of the 22 shapes — a pure scan→filter→1-row aggregate
+    with no join at all — included so the 22-query sweep is complete and
+    because at 100 TB it is the best pushdown/codegen probe in the
+    suite: every predicate (shipdate range, discount band, quantity cap)
+    reaches the parquet scan as a PushedFilter, the projection is 2
+    columns, and the whole plan is one WholeStageCodegen span ending in
+    a partial+final agg — zero shuffled rows beyond 1 per task.
+
+    Determinism: discount literals are 2-decimal parquet doubles both
+    engines read bit-identically; the oracle casts every numeric literal
+    to DOUBLE (DuckDB would otherwise compare against DECIMAL — the
+    registry trap), and the sum is the scaled-long dsum.
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(F.lit(0.05), F.lit(0.07))
+            & (F.col("l_quantity") < F.lit(24.0))
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "analytics_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    offers AS (
+        SELECT c.l_partkey, c.unit_cost, e.s_suppkey, e.s_name,
+               e.s_acctbal, e.n_name
+        FROM cost c JOIN eu e ON c.l_suppkey = e.s_suppkey
+        JOIN part p ON c.l_partkey = p.p_partkey
+        WHERE p.p_size = 15
+    ),
+    best AS (
+        SELECT l_partkey, MIN(unit_cost) AS best_cost
+        FROM offers GROUP BY l_partkey
+    )
+    SELECT o.s_acctbal, o.s_name, o.n_name, o.l_partkey AS p_partkey,
+           o.unit_cost
+    FROM offers o JOIN best b
+      ON o.l_partkey = b.l_partkey AND o.unit_cost = b.best_cost
+    """,
+)
+def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog: cheapest EUROPE supplier(s) for each size-15 part.
+
+    The fixture has no partsupp, so supply cost is derived from the fact
+    table itself: per (part, supplier) the minimum observed unit price
+    (extendedprice/quantity). The Q2 skeleton is intact — region-bound
+    suppliers, a part-class filter, a groupwise minimum, and the
+    min-achievers joined back (Catalyst plans the same decorrelated
+    aggregate+join the original's correlated subquery becomes).
+
+    Determinism: unit_cost is one IEEE double division on bit-identical
+    parquet inputs (no summation), MIN is order-invariant, and the
+    equality compares two values of the SAME derivation — no float trap.
+
+    Scale: the cost table is a one-shuffle map-combined groupBy over the
+    fact; nation/region are DESIGN-bounded (25/5 rows at any SF) and the
+    only statically-broadcast sides; supplier and part joins are left to
+    AQE (both grow with SF). The p_size predicate pushes into the part
+    scan, and the best-cost table is |parts in class| rows — the
+    min-achiever join is metadata-scale.
+    """
+    prepare(spark)
+    cost = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    offers = (
+        cost.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "unit_cost", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("bp"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "unit_cost",
+        )
+    )
+
+
+@query(
+    "analytics_important_stock",
+    f"""
+    WITH v AS (
+        SELECT l_partkey, {sql_dsum('l_extendedprice')} AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, value
+    FROM v
+    WHERE value > CAST(2 AS DOUBLE) * (
+        SELECT {sql_dsum('value')} / COUNT(*) FROM v
+    )
+    """,
+)
+def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog: parts carrying an outsized share of one
+    nation's shipped value.
+
+    partsupp-free adaptation: "stock value" per part = total
+    extendedprice shipped by NATION_3's suppliers; keep parts above
+    2× the average part value — the HAVING-vs-global-scalar shape (the
+    one TPC-H query whose threshold is itself a query). The spec's own
+    Q11 scales its fraction by 1/SF so the result survives scale-up;
+    the average-relative form bakes that in with no SF knob: a fixed
+    fraction of the GRAND total empties the result as the part
+    vocabulary grows (measured: 0 rows at the 10× replica), while the
+    2×-average cut is distribution-relative — ~9% of parts at every
+    fixture decade (127 rows at sf0.01, 1228 at sf0.1/10×/100×).
+
+    Determinism: per-part values are scaled-long dsums; the threshold
+    re-quantizes those values (round(value·1e6) recovers the exact
+    long — the iterative-numerics recipe), sums exactly, and divides by
+    the part count with the SAME double arithmetic on both engines;
+    the ×2 literal is binary-exact.
+
+    Scale: one fact shuffle for the per-part groupBy (map-side partial);
+    the nation filter reaches the supplier join early; nation is the
+    only design-bounded broadcast; the threshold scalar re-aggregates
+    the ALREADY-GROUPED per-part table (|parts| rows, not the fact) and
+    lands as a 1-row broadcast against it — no second fact scan, no
+    second fact shuffle, unlike the oracle's two-scan SQL form.
+    """
+    prepare(spark)
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey", "l_extendedprice")
+    v = (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            dsum("l_extendedprice").alias("value"),
+            F.sum(F.round(F.col("l_extendedprice") * 1_000_000).cast("long")).alias(
+                "_sv"
+            ),
+        )
+    )
+    avg = v.agg(
+        (
+            (F.sum(F.round(F.col("value") * 1_000_000).cast("long")) / F.lit(1_000_000.0))
+            / F.count(F.lit(1))
+        ).alias("_avg")
+    )
+    return (
+        v.join(F.broadcast(avg), F.col("value") > F.lit(2.0) * F.col("_avg"))
+        .select("l_partkey", "value")
+    )
+
+
+@query(
+    "analytics_excess_inventory",
+    f"""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               {sql_dsum("CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'"
+                         "      AND l_shipdate <  TIMESTAMP '1997-01-01'"
+                         "     THEN l_quantity ELSE CAST(0 AS DOUBLE) END")}
+                   AS q96,
+               {sql_dsum('l_quantity')} AS qt
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    hot AS (
+        SELECT p.l_partkey, p.l_suppkey
+        FROM ps p JOIN part ON p.l_partkey = p_partkey
+        WHERE p_type = 'PROMO'
+          AND p.q96 > CAST(0.5 AS DOUBLE) * p.qt
+    )
+    SELECT s_suppkey, s_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_hot_parts
+    FROM hot
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY s_suppkey, s_name, n_name
+    """,
+)
+def analytics_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog: EUROPE suppliers whose PROMO-part supply just
+    surged — more than half their lifetime volume shipped in 1996.
+
+    partsupp-free adaptation of Q20's nested-aggregate threshold
+    (`ps_availqty > 0.5 * sum(l_quantity ...)`): both sides of the
+    comparison come from the SAME per-(part, supplier) groupBy — a
+    conditional sum (1996 window) against the unconditional sum — so
+    the correlated inner aggregate costs zero extra passes. Suppliers
+    are then qualified through the part-class filter and the
+    nation/region chain, Q20's semi-join ladder, and counted.
+
+    Determinism: both quantity sums are scaled-long dsums over the same
+    rows; the 0.5 threshold multiplies a dsum-exact double by a binary-
+    exact constant, and the oracle mirrors each piece (CASE casts its
+    ELSE to DOUBLE, fraction literal cast to DOUBLE).
+
+    Scale: ONE fact shuffle total (the pair groupBy, map-side partial);
+    part/supplier joins operate on the |pairs|-sized aggregate, not the
+    fact, and are AQE-planned (both dims grow with SF — no static
+    broadcast); nation/region stay design-bounded broadcasts. Output is
+    bounded by the region's supplier count — linear in SF.
+    """
+    prepare(spark)
+    q96 = F.when(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")),
+        F.col("l_quantity"),
+    ).otherwise(F.lit(0.0))
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(q96).alias("q96"), dsum("l_quantity").alias("qt"))
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    hot = (
+        ps.filter(F.col("q96") > F.lit(0.5) * F.col("qt"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey")
+    )
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        hot.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_hot_parts"))
+    )

@@ -60,6 +60,18 @@ def has_static_broadcast_hint(df: DataFrame) -> bool:
     return "ResolvedHint" in plan or "UnresolvedHint" in plan
 
 
+def count_static_broadcast_hints(df: DataFrame) -> int:
+    """Number of hand-placed broadcast hints in the analyzed plan.
+
+    For keys that legitimately broadcast DESIGN-bounded dims (nation,
+    region, 1-row scalars) next to AQE-planned growing joins: assert the
+    hint count stays at exactly the audited dim joins, so a corpus-scale
+    side can't silently acquire a static hint later.
+    """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return plan.count("ResolvedHint") + plan.count("UnresolvedHint")
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """Partial→final HashAggregate around the exchange (combiner analog)."""
     plan = formatted_plan(df)

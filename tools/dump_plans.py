@@ -58,6 +58,9 @@ HEADLINERS = [
     ("vocab_oov_rate", "TakeOrderedAndProject heap top-K vocab → K-bounded broadcast probe (design-constant side) → source-keyed reduce"),
     ("udf_cogrouped", "FlatMapCoGroupsInPandas: both sides exchanged once on user_id, merged in Arrow batches per key"),
     ("attribution_last_touch", "banded LEFT join keyed on user_id (band as residual), MAX-per-purchase collapse — no per-row ORDER BY/LIMIT subplans"),
+    ("analytics_supplier_diversity", "map-side partial distinct over (partkey, suppkey) BEFORE the shuffle; blacklist anti-join + pushed brand/size part filters; two-phase COUNT(DISTINCT) — no static broadcast (both join sides grow with SF)"),
+    ("analytics_excess_inventory", "Q20 nested-agg threshold from ONE fact shuffle: conditional (1996) and total quantity dsums in the same (part,supp) groupBy, compared without a second pass; dim joins on the aggregate, AQE-planned"),
+    ("analytics_revenue_forecast", "the pushdown/codegen probe: all three predicates as PushedFilters, 2-column ReadSchema, one WholeStageCodegen span into partial+final agg"),
 ]
 
 
