@@ -969,3 +969,179 @@ def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_sentence_chars"),
         F.array_max(slen).alias("max_sentence_chars"),
     )
+
+
+@query(
+    "text_collocations",
+    """
+    WITH toks AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2
+    ),
+    pc AS (
+        SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS n_pair
+        FROM g GROUP BY 1, 2
+    ),
+    m1 AS (SELECT w1, SUM(n_pair) AS n_w1 FROM pc GROUP BY w1),
+    m2 AS (SELECT w2, SUM(n_pair) AS n_w2 FROM pc GROUP BY w2),
+    tot AS (SELECT SUM(n_pair) AS nn FROM pc)
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n_w1 AS BIGINT) AS n_w1, CAST(n_w2 AS BIGINT) AS n_w2,
+           CAST(n_pair AS DOUBLE) * CAST(nn AS DOUBLE)
+               / CAST(n_w1 AS DOUBLE) / CAST(n_w2 AS DOUBLE) AS lift,
+           CAST(round(ln(CAST(n_pair AS DOUBLE) * CAST(nn AS DOUBLE)
+               / CAST(n_w1 AS DOUBLE) / CAST(n_w2 AS DOUBLE)) * 1000000)
+               AS BIGINT) AS pmi_e6
+    FROM pc JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+    WHERE n_pair >= 5
+    ORDER BY lift DESC, w1, w2 LIMIT 100
+    """,
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 collocation mining: top bigrams by pointwise mutual information.
+
+    The phrase-detection pass (Mikolov-style word2vec phrases, Gensim
+    ``Phrases``, spaCy collocations) every corpus pipeline runs before
+    tokenizer or embedding training: score each adjacent word pair by
+    lift = P(w1,w2) / (P(w1)·P(w2)) over the bigram universe and keep
+    the strongest, count-thresholded pairs. Emits the exact counts, the
+    lift ratio, and PMI = ln(lift) quantized through the scaled-long
+    recipe (the lm_unigram_score ln discipline).
+
+    Determinism: lift is a single double expression over exact int64
+    counts, written in the IDENTICAL operand order on both engines
+    (cast → multiply → divide → divide, the left-fold rule), so the
+    sort key and every emitted double are bit-equal; the top-100 cut is
+    total-ordered by (lift DESC, w1, w2).
+
+    Scale: ONE corpus-scale shuffle — the bigram groupBy (map-side
+    partial combine absorbs the explode). Both margins and the grand
+    total are re-aggregations of the ALREADY-GROUPED pair table
+    (vocabulary² rows ≪ corpus), the margin joins are vocab-scale and
+    AQE-planned (a growing vocabulary side is never statically
+    broadcast; the 1-row total is), and the top-100 lands as
+    TakeOrderedAndProject.
+    """
+    prepare(spark)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    d = load(spark, sf_dir, "documents").select(toks.alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2))"
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    m1 = pc.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
+    m2 = pc.groupBy("w2").agg(F.sum("n_pair").alias("n_w2"))
+    tot = pc.agg(F.sum("n_pair").alias("nn"))
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("nn").cast("double")
+        / F.col("n_w1").cast("double")
+        / F.col("n_w2").cast("double")
+    )
+    return (
+        pc.join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_pair") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            lift.alias("lift"),
+            F.round(F.log(lift) * 1_000_000).cast("long").alias("pmi_e6"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+@query(
+    "token_bpe_pairs",
+    """
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS t
+        FROM documents
+    ),
+    tc AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    p AS (
+        SELECT t, c,
+               unnest(list_transform(generate_series(1, length(t) - 1),
+                      i -> substring(t, CAST(i AS BIGINT), 2))) AS pair
+        FROM tc WHERE length(t) >= 2
+    )
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_positions,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types
+    FROM p GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 50
+    """,
+)
+def token_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 tokenizer training: one BPE merge round's pair-frequency table.
+
+    Byte-pair-encoding training iterates "count adjacent symbol pairs
+    weighted by word frequency → merge the most frequent" — this key is
+    that counting step at the character rung, the part that is a pure
+    corpus aggregation (the merge loop itself is driver-side control
+    flow over this table). Emits the 50 strongest pairs with corpus
+    occurrence counts, within-vocabulary position counts, and the
+    number of distinct word types containing the pair.
+
+    Scale — the real BPE trick is visible in the plan: the corpus-scale
+    token stream collapses to WORD-TYPE counts first (one corpus
+    shuffle, map-combined wordcount), and the character-pair explosion
+    runs over the VOCABULARY (Heaps'-law sublinear ≪ corpus), weighted
+    by the counts — never over the raw corpus. The pair groupBy is
+    vocab-scale; the top-50 is TakeOrderedAndProject.
+
+    Determinism: all-integer arithmetic; the cut is total-ordered by
+    (n_occurrences DESC, pair). Spark's sequence(1,0) would generate a
+    DESCENDING range, so 1-char tokens are filtered out before the
+    transform on BOTH engines (DuckDB's generate_series(1,0) is empty —
+    the filter keeps the engines aligned rather than relying on that).
+    """
+    prepare(spark)
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).alias(
+            "t"
+        )
+    )
+    tc = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    p = (
+        tc.filter(F.length("t") >= 2)
+        .select(
+            "t",
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(t) - 1),"
+                    " i -> substring(t, i, 2))"
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        p.groupBy("pair")
+        .agg(
+            F.sum("c").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_positions"),
+            F.count_distinct("t").alias("n_types"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(50)
+    )

@@ -907,3 +907,105 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(j, v[j]) for j in range(DIM)], "dim long, loading double"
     )
+
+
+@query(
+    "eval_confusion",
+    f"""
+    WITH cent AS ({_CENTROIDS_SQL}),
+    carr AS (SELECT label, list(centroid ORDER BY pos) AS c
+             FROM cent GROUP BY label),
+    v AS (SELECT vec_id, label AS true_label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    d AS (SELECT vec_id, true_label, carr.label AS cand,
+                 list_sum(list_transform(generate_series(1, {DIM}),
+                          i -> (v[i] - c[i]) * (v[i] - c[i]))) AS dist2
+          FROM v CROSS JOIN carr),
+    assign AS (
+        SELECT vec_id, true_label, cand AS pred_label
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist2, cand) AS rn
+              FROM d)
+        WHERE rn = 1
+    ),
+    per_true AS (
+        SELECT true_label AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(CASE WHEN pred_label = true_label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        FROM assign GROUP BY true_label
+    ),
+    per_pred AS (
+        SELECT pred_label AS label, CAST(COUNT(*) AS BIGINT) AS n_pred
+        FROM assign GROUP BY pred_label
+    )
+    SELECT COALESCE(t.label, p.label) AS label,
+           COALESCE(n_true, 0) AS n_true,
+           COALESCE(n_pred, 0) AS n_pred,
+           COALESCE(tp, 0) AS tp,
+           CAST(COALESCE(tp, 0) AS DOUBLE) / NULLIF(COALESCE(n_pred, 0), 0)
+               AS precision,
+           CAST(COALESCE(tp, 0) AS DOUBLE) / NULLIF(COALESCE(n_true, 0), 0)
+               AS recall,
+           CAST(2 * COALESCE(tp, 0) AS DOUBLE)
+               / NULLIF(COALESCE(n_true, 0) + COALESCE(n_pred, 0), 0) AS f1
+    FROM per_true t FULL JOIN per_pred p ON t.label = p.label
+    """,
+)
+def eval_confusion(spark, sf_dir: str) -> DataFrame:
+    """X-EXT model-evaluation rung: per-class confusion-matrix metrics.
+
+    Every labeling / filtering model in a curation stack (quality
+    classifier, language ID, toxicity filter) is gated on exactly this
+    table: per class, support (n_true), predicted volume (n_pred), true
+    positives, precision, recall, F1 — computed here for the in-repo
+    nearest-centroid classifier (knn_centroid_classify), whose per-vector
+    assignment is already oracle-exact via the proven left-fold distance
+    parity.
+
+    Determinism: counts are exact integers; precision/recall are
+    exact-int divisions; F1 uses the algebraic identity
+    2PR/(P+R) = 2·tp/(n_true+n_pred) — ONE division of exact int64s
+    instead of a float composition, so no engine can diverge. Zero
+    denominators go NULL via NULLIF on both engines.
+
+    Scale: the assignment is knn_centroid_classify's plan (label-count
+    row amplification through a design-bounded centroid broadcast, one
+    windowed argmin); both confusion aggregations are map-combined
+    corpus→label-vocabulary reductions, and the final FULL join runs on
+    label-vocabulary rows — metadata-scale.
+    """
+    from ls_hadoop_3_0_spark.session import prepare
+
+    prepare(spark)
+    assign = knn_centroid_classify(spark, sf_dir).select(
+        "true_label", "pred_label"
+    )
+    per_true = assign.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(
+            (F.col("pred_label") == F.col("true_label")).cast("long")
+        ).alias("tp"),
+    )
+    per_pred = assign.groupBy(F.col("pred_label").alias("p_label")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    j = per_true.join(
+        per_pred, F.col("label") == F.col("p_label"), "full_outer"
+    )
+    n_true = F.coalesce(F.col("n_true"), F.lit(0))
+    n_pred = F.coalesce(F.col("n_pred"), F.lit(0))
+    tp = F.coalesce(F.col("tp"), F.lit(0))
+    return j.select(
+        F.coalesce(F.col("label"), F.col("p_label")).alias("label"),
+        n_true.alias("n_true"),
+        n_pred.alias("n_pred"),
+        tp.alias("tp"),
+        (tp.cast("double") / F.nullif(n_pred, F.lit(0))).alias("precision"),
+        (tp.cast("double") / F.nullif(n_true, F.lit(0))).alias("recall"),
+        (
+            (F.lit(2) * tp).cast("double")
+            / F.nullif(n_true + n_pred, F.lit(0))
+        ).alias("f1"),
+    )

@@ -307,6 +307,97 @@ def stateful_user_totals_tws_exact(events: DataFrame) -> DataFrame:
         )
 
 
+def stateful_user_listmap_tws(events: DataFrame) -> DataFrame:
+    """T6 through ListState AND MapState, oracle-exact (integer-only).
+
+    The streaming top-k-per-key + per-key-category-counts pattern: each
+    user's top-3 scaled event values live in a ListState (appendValue on
+    arrival, pruned back to 3 with the ListStatePut arm — bounded state
+    regardless of stream length), per-event-type counts in a MapState
+    (containsKey/getValue/updateValue/keys/values arms). This drives the
+    state-server protocol surface the ValueState demos never touch —
+    list iterators, AppendList/Put, MapStateCall — through the vendored
+    shim, as a STAMPABLE query (stream_batch_equiv_stateful_listmap),
+    not just the unit test.
+
+    Integer-only state (pre-quantized sv longs, int counts) keeps every
+    emission bit-equal to the batch recompute under ANY micro-batch
+    split; n_events is strictly monotone per user, so the sink's final
+    row per user is max(struct(n_events, ...)).
+    """
+    import pandas as pd
+
+    from ls_hadoop_3_0_spark import vendor
+    from ls_hadoop_3_0_spark.exprs import SCALE
+
+    vendor.ensure_protobuf(events.sparkSession)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ListMap(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getListState("top_vals", "sv BIGINT")
+            self._counts = handle.getMapState(
+                "type_counts", "event_type STRING", "n BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            # State chatter is bounded per (key, batch) — O(event types),
+            # never O(rows): only a batch's own top-3 can enter the
+            # global top-3 (appendList once), and per-type counts are
+            # pre-reduced with value_counts before the MapState calls.
+            # (The per-row appendValue/updateValue arms are exercised by
+            # tests/test_streaming.py's protocol test.)
+            for pdf in rows:
+                if len(pdf):
+                    self._last.appendList(
+                        [(int(v),) for v in pdf["sv"].nlargest(3)]
+                    )
+                    for et, c in pdf["event_type"].value_counts().items():
+                        prev = (
+                            self._counts.getValue((et,))[0]
+                            if self._counts.containsKey((et,))
+                            else 0
+                        )
+                        self._counts.updateValue((et,), (prev + int(c),))
+            top3 = sorted(v[0] for v in self._last.get())[-3:]
+            self._last.put([(v,) for v in top3])  # prune: bounded state
+            n_types = sum(1 for _ in self._counts.keys())
+            n_events = sum(n for (n,) in self._counts.values())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n_events],
+                    "n_types": [n_types],
+                    "top3_sum": [sum(top3)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = events.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * F.lit(SCALE)).cast("long").alias("sv"),
+    )
+    with vendor.tws_protobuf_shim():
+        return stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=ListMap(),
+            outputStructType=(
+                "user_id long, n_events long, n_types long, top3_sum long"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DataFrame to completion into a memory sink.
 

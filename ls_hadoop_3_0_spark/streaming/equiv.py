@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ls_hadoop_3_0_spark.exprs import SCALE, dsum, fmt_ts
@@ -733,4 +733,146 @@ def stream_batch_equiv_session_sampled(spark: SparkSession, sf_dir: str) -> Data
         "n_events",
         "sessions_md5",
         (F.col("sessions_md5") == F.col("b_md5")).alias("matches_batch"),
+    )
+
+
+# -- T6 ListState/MapState, executed and stamped --------------------------
+
+#: Dialect-neutral per-user row rendering for the listmap digest.
+_LISTMAP_ROW_SQL = (
+    "concat(cast(user_id as string), '|', cast(n_events as string),"
+    " '|', cast(n_types as string), '|', cast(top3_sum as string))"
+)
+
+
+def _listmap_digest(per_user: DataFrame) -> DataFrame:
+    """(user_id, n_events, n_types, top3_sum) → associative digest row."""
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("n_types").alias("sum_types"),
+        F.sum("top3_sum").alias("sum_top3"),
+        F.sum(F.expr(_u24_expr(_LISTMAP_ROW_SQL))).alias("users_u24"),
+    )
+
+
+def _listmap_oracle_sql() -> str:
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    return f"""
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(round(value * {SCALE}) AS BIGINT) AS sv
+        FROM {EVENTS_SQL} ev
+        WHERE {_session_sample_pred()}
+    ),
+    r AS (
+        SELECT user_id, sv,
+               row_number() OVER (PARTITION BY user_id ORDER BY sv DESC)
+                   AS rn
+        FROM e
+    ),
+    pu1 AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM e GROUP BY user_id
+    ),
+    pu2 AS (
+        SELECT user_id, CAST(SUM(sv) AS BIGINT) AS top3_sum
+        FROM r WHERE rn <= 3 GROUP BY user_id
+    ),
+    pu AS (
+        SELECT pu1.user_id, n_events, n_types, top3_sum
+        FROM pu1 JOIN pu2 USING (user_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(n_types) AS BIGINT) AS sum_types,
+           CAST(SUM(top3_sum) AS BIGINT) AS sum_top3,
+           CAST(SUM({_u24_expr(_LISTMAP_ROW_SQL)}) AS BIGINT) AS users_u24,
+           TRUE AS matches_batch
+    FROM pu
+    """
+
+
+@query("stream_batch_equiv_stateful_listmap", _listmap_oracle_sql())
+def stream_batch_equiv_stateful_listmap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T6 equivalence audit for ListState + MapState (the r8 unit test's
+    protocol exercise promoted to a driver-stamped key).
+
+    Runs the REAL transformWithStateInPandas plan from
+    demo.stateful_user_listmap_tws — per-user top-3 values in a pruned
+    ListState, per-event-type counts in a MapState, integer-only state —
+    on the deterministic md5-uniform 12.5% user panel (state-server
+    round-trips are per-row; the panel bounds the per-round budget the
+    stream_batch_equiv_session_sampled way while driving the identical
+    protocol arms). The final per-user row is selected by the monotone
+    n_events struct-max, digested with associative integer sums, and
+    compared in-session against a windowed batch recompute AND the
+    DuckDB oracle.
+    """
+    prepare(spark)
+    pred = _session_sample_pred()
+    ev = demo.read_events_stream(spark, sf_dir).filter(F.expr(pred))
+    name = f"sblm_{uuid.uuid4().hex[:12]}"
+    demo.run_to_memory(
+        demo.stateful_user_listmap_tws(ev), name, output_mode="update"
+    )
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_types", "top3_sum")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.n_types").alias("n_types"),
+            F.col("s.top3_sum").alias("top3_sum"),
+        )
+    )
+    s_dig = _listmap_digest(final)
+
+    e = (
+        _batch_events(spark, sf_dir)
+        .filter(F.expr(pred))
+        .select(
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * F.lit(SCALE)).cast("long").alias("sv"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("sv").desc())
+    top3 = (
+        e.select("user_id", "sv", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(F.sum("sv").alias("top3_sum"))
+    )
+    batch = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+        .join(top3, "user_id")
+    )
+    b_dig = _listmap_digest(batch).select(
+        F.col("n_users").alias("b_nu"),
+        F.col("n_events").alias("b_ne"),
+        F.col("users_u24").alias("b_u24"),
+    )
+    return s_dig.crossJoin(b_dig).select(
+        "n_users",
+        "n_events",
+        "sum_types",
+        "sum_top3",
+        "users_u24",
+        (
+            (F.col("n_users") == F.col("b_nu"))
+            & (F.col("n_events") == F.col("b_ne"))
+            & (F.col("users_u24") == F.col("b_u24"))
+        ).alias("matches_batch"),
     )

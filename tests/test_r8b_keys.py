@@ -1,0 +1,167 @@
+"""Behavioral tests for the second r8 key batch — beyond the oracle sweep.
+
+Covers: collocation lift/PMI arithmetic against a Python reduction, the
+BPE pair table's word-frequency weighting, confusion-matrix identities
+against the classifier's own assignment, and the ListState/MapState
+streaming key's batch equivalence under multi-micro-batch splits.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import math
+
+from pyspark.sql import functions as F
+
+import ls_hadoop_3_0_spark as engine
+from ls_hadoop_3_0_spark.tables import load
+
+from .conftest import SF_DIR
+
+
+def _tokens(spark):
+    rows = load(spark, SF_DIR, "documents").select("text").collect()
+    return [[t for t in r["text"].split(" ") if t] for r in rows]
+
+
+def test_collocations_match_manual_reduction(spark):
+    """Every returned (pair, counts, lift, pmi) must equal a row-by-row
+    Python reduction, and the result must be the top-100 by
+    (lift desc, w1, w2) with the count threshold applied."""
+    docs = _tokens(spark)
+    pc: Counter = Counter()
+    for t in docs:
+        for a, b in zip(t, t[1:]):
+            pc[(a, b)] += 1
+    n = sum(pc.values())
+    m1: Counter = Counter()
+    m2: Counter = Counter()
+    for (a, b), c in pc.items():
+        m1[a] += c
+        m2[b] += c
+    scored = []
+    for (a, b), c in pc.items():
+        if c >= 5:
+            lift = float(c) * float(n) / float(m1[a]) / float(m2[b])
+            scored.append((-lift, a, b, c, lift))
+    scored.sort()
+    want = scored[:100]
+    out = engine.QUERIES["text_collocations"](spark, SF_DIR).collect()
+    assert len(out) == len(want)
+    for row, (_, a, b, c, lift) in zip(out, want):
+        assert (row["w1"], row["w2"], row["n_pair"]) == (a, b, c)
+        assert (row["n_w1"], row["n_w2"]) == (m1[a], m2[b])
+        assert row["lift"] == lift
+        assert row["pmi_e6"] == round(math.log(lift) * 1_000_000)
+
+
+def test_bpe_pairs_weighted_by_word_frequency(spark):
+    """Pair counts must be word-frequency-weighted (the BPE invariant):
+    n_occurrences sums the token counts, n_positions counts vocabulary
+    positions, n_types counts distinct word types."""
+    docs = _tokens(spark)
+    tc = Counter(t for doc in docs for t in doc)
+    occ: Counter = Counter()
+    pos: Counter = Counter()
+    types: dict = {}
+    for t, c in tc.items():
+        for i in range(len(t) - 1):
+            p = t[i : i + 2]
+            occ[p] += c
+            pos[p] += 1
+            types.setdefault(p, set()).add(t)
+    ranked = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    out = engine.QUERIES["token_bpe_pairs"](spark, SF_DIR).collect()
+    assert [(r["pair"], r["n_occurrences"]) for r in out] == ranked
+    for r in out:
+        assert r["n_positions"] == pos[r["pair"]]
+        assert r["n_types"] == len(types[r["pair"]])
+
+
+def test_confusion_identities_hold_against_assignment(spark):
+    """tp/n_true/n_pred must re-derive from knn_centroid_classify's own
+    assignment, and precision/recall/f1 must satisfy their exact-int
+    identities (f1 = 2tp/(n_true+n_pred))."""
+    assign = engine.QUERIES["knn_centroid_classify"](spark, SF_DIR).collect()
+    n_true: Counter = Counter()
+    n_pred: Counter = Counter()
+    tp: Counter = Counter()
+    for r in assign:
+        n_true[r["true_label"]] += 1
+        n_pred[r["pred_label"]] += 1
+        if r["true_label"] == r["pred_label"]:
+            tp[r["true_label"]] += 1
+    out = engine.QUERIES["eval_confusion"](spark, SF_DIR).collect()
+    labels = set(n_true) | set(n_pred)
+    assert {r["label"] for r in out} == labels
+    for r in out:
+        lbl = r["label"]
+        assert (r["n_true"], r["n_pred"], r["tp"]) == (
+            n_true[lbl], n_pred[lbl], tp[lbl],
+        )
+        assert r["precision"] == (
+            tp[lbl] / n_pred[lbl] if n_pred[lbl] else None
+        )
+        assert r["recall"] == (tp[lbl] / n_true[lbl] if n_true[lbl] else None)
+        assert r["f1"] == 2 * tp[lbl] / (n_true[lbl] + n_pred[lbl])
+    # totals conserve: every vector appears once on each axis
+    assert sum(r["n_true"] for r in out) == len(assign)
+    assert sum(r["n_pred"] for r in out) == len(assign)
+
+
+def test_stateful_listmap_matches_batch_twin(spark):
+    """The ListState/MapState streaming run must equal the windowed batch
+    recompute (matches_batch is the real in-session comparison)."""
+    row = engine.QUERIES["stream_batch_equiv_stateful_listmap"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert row["matches_batch"] is True
+    assert row["n_users"] > 0 and row["n_events"] > 0
+
+
+def test_stateful_listmap_state_survives_micro_batch_splits(spark, tmp_path):
+    """With maxFilesPerTrigger=1 over a 3-file copy of the panel events,
+    the pruned ListState top-3 and MapState counts must carry across
+    batches: the struct-max final rows equal the single-batch run's."""
+    from ls_hadoop_3_0_spark.streaming import demo
+    from ls_hadoop_3_0_spark.streaming.equiv import _session_sample_pred
+
+    pred = _session_sample_pred()
+    ev = load(spark, SF_DIR, "events").filter(F.expr(pred))
+    src = str(tmp_path / "events_multi")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    demo.run_to_memory(
+        demo.stateful_user_listmap_tws(stream), "lm_multi", output_mode="update"
+    )
+    multi = spark.table("lm_multi")
+    # intermediate rows exist (more rows than users) proves >1 batch
+    n_users = multi.select("user_id").distinct().count()
+    final = {
+        r["user_id"]: (r["n_events"], r["n_types"], r["top3_sum"])
+        for r in multi.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_types", "top3_sum")).alias("s"))
+        .select("user_id", "s.n_events", "s.n_types", "s.top3_sum")
+        .collect()
+    }
+    demo.run_to_memory(
+        demo.stateful_user_listmap_tws(
+            spark.readStream.schema(ev.schema).parquet(src)
+        ),
+        "lm_single",
+        output_mode="update",
+    )
+    single = {
+        r["user_id"]: (r["n_events"], r["n_types"], r["top3_sum"])
+        for r in spark.table("lm_single")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_types", "top3_sum")).alias("s"))
+        .select("user_id", "s.n_events", "s.n_types", "s.top3_sum")
+        .collect()
+    }
+    assert len(final) == n_users and final == single

@@ -61,6 +61,8 @@ HEADLINERS = [
     ("analytics_supplier_diversity", "map-side partial distinct over (partkey, suppkey) BEFORE the shuffle; blacklist anti-join + pushed brand/size part filters; two-phase COUNT(DISTINCT) — no static broadcast (both join sides grow with SF)"),
     ("analytics_excess_inventory", "Q20 nested-agg threshold from ONE fact shuffle: conditional (1996) and total quantity dsums in the same (part,supp) groupBy, compared without a second pass; dim joins on the aggregate, AQE-planned"),
     ("analytics_revenue_forecast", "the pushdown/codegen probe: all three predicates as PushedFilters, 2-column ReadSchema, one WholeStageCodegen span into partial+final agg"),
+    ("text_collocations", "ONE corpus shuffle (map-combined bigram groupBy); margins re-aggregate the vocab-bounded pair table; 1-row total broadcast; top-100 = TakeOrderedAndProject"),
+    ("token_bpe_pairs", "corpus collapses to word-type counts first; char-pair explode runs over the VOCABULARY weighted by counts — the real BPE counting shape"),
 ]
 
 
