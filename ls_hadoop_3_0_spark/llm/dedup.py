@@ -240,9 +240,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(load(spark, sf_dir, "documents"))
 
 
-@query(
-    "dedup_recall",
-    f"""
+#: Oracle SQL for the v1 release audit (kept for manual ≤10× runs; the
+#: key itself was retired from the registry in late r8 — see
+#: dedup_recall's docstring and the knn_recall precedent).
+DEDUP_RECALL_V1_SQL = f"""
     WITH sh AS ({sh_sql('documents')}),
     {minhash_candidates_cte()},
     ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
@@ -272,11 +273,22 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0) AS precision,
            CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) AS recall
     FROM s
-    """,
-)
+    """
+
+
 def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 quality gate: MinHash-LSH candidate precision/recall vs exact
     Jaccard ground truth — driver-visible, like knn_recall for ANN.
+
+    RETIRED from the registry in late r8 (was stamped green r6): its
+    pair-bound ground-truth arm grows with C(duplicates, 2) — 49.8 s at
+    the 10× replica (the slowest key in the whole 10× suite run), killed
+    at 100× (SCALE.md r7 audit). It remains here as a documented
+    ≤10×-scale RELEASE AUDIT, runnable manually against
+    ``DEDUP_RECALL_V1_SQL``; the registered, bench-swept, driver-stamped
+    form is ``dedup_recall_v2`` (fixed-id panel ⇒ linear arm, 194 s at
+    100×). Per the r7 verdict: the default sweep carries only
+    linear-or-better keys.
 
     Truth = ALL pairs with exact shingle Jaccard ≥ MINHASH_JACCARD_T,
     generated by a shared-shingle equi-join (EXACT: J ≥ 0.4 implies at

@@ -1054,3 +1054,69 @@ def scan_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_keys"),
         F.sum(F.length("v")).alias("sum_prio_chars"),
     )
+
+
+@query(
+    "jdbc_pushdown",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('s_acctbal')} AS sum_bal,
+           CAST(MIN(s_suppkey) AS BIGINT) AS min_key,
+           CAST(MAX(s_suppkey) AS BIGINT) AS max_key
+    FROM supplier
+    WHERE s_nationkey = 3 AND s_acctbal > CAST(1000 AS DOUBLE)
+    """,
+)
+def jdbc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8-EXT federated-scan predicate pushdown into a JDBC source.
+
+    The jdbc_roundtrip sibling proves the DB(Input|Output)Format
+    mechanics; this key proves the SCAN QUALITY contract against a
+    federated source: one nation's supplier registry lives in an
+    embedded Derby database (the realistic external-dim pattern — the
+    DB side is design-bounded at ~4% of suppliers, not corpus-scale),
+    and the Spark read applies a selective predicate that must reach
+    the remote engine as ``PushedFilters`` (WHERE in the generated SQL
+    — tests/test_r8b_keys.py asserts it in the plan), with the
+    projection pruned to the 2 queried columns + key. At a real
+    warehouse this is the difference between shipping the table and
+    shipping the answer.
+
+    Determinism: the Derby trip is value-preserving for BIGINT/DOUBLE
+    columns; the aggregate is the scaled-long dsum + exact extrema.
+    """
+    prepare(spark)
+    import shutil
+
+    path = scratch(sf_dir, "jdbc_pushdown")
+    shutil.rmtree(path, ignore_errors=True)  # stale Derby locks
+    url = f"jdbc:derby:{path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    registry = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 3)
+        .select("s_suppkey", "s_acctbal", "s_nationkey")
+    )
+    (
+        registry.write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", "supplier_registry")
+        .option("driver", driver)
+        .save()
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "supplier_registry")
+        .option("driver", driver)
+        .load()
+        .filter(F.col("s_acctbal") > 1000.0)
+        .select("s_suppkey", "s_acctbal")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("s_acctbal").alias("sum_bal"),
+        F.min("s_suppkey").alias("min_key"),
+        F.max("s_suppkey").alias("max_key"),
+    )

@@ -254,7 +254,10 @@ def test_dedup_recall_gate_consistency(spark):
 
     from .conftest import SF_DIR
 
-    row = engine.QUERIES["dedup_recall"](spark, SF_DIR).collect()[0]
+    from ls_hadoop_3_0_spark.llm.dedup import dedup_recall
+
+    # retired from the registry in late r8 — still the ≤10× release audit
+    row = dedup_recall(spark, SF_DIR).collect()[0]
     assert row["method"] == "minhash_lsh"
     assert row["n_hit"] <= min(row["n_truth"], row["n_cand"])
     assert 0.0 <= row["precision"] <= 1.0 and 0.0 <= row["recall"] <= 1.0

@@ -70,7 +70,12 @@ def test_dedup_recall_v2_panel_is_subset_of_v1(spark):
     """On un-replicated fixtures the bounded panel covers every doc id
     in range, so v2's truth/cand counts are bounded by v1's and its
     ratios stay well-defined."""
-    v1 = engine.QUERIES["dedup_recall"](spark, SF_DIR).collect()[0]
+    from ls_hadoop_3_0_spark.llm.dedup import dedup_recall
+
+    # dedup_recall was retired from the registry in late r8 (pair-bound
+    # quadratic audit arm — the knn_recall precedent); the release-audit
+    # function remains directly callable.
+    v1 = dedup_recall(spark, SF_DIR).collect()[0]
     v2 = engine.QUERIES["dedup_recall_v2"](spark, SF_DIR).collect()[0]
     assert v2["n_truth"] <= v1["n_truth"]
     assert v2["n_cand"] <= v1["n_cand"]

@@ -165,3 +165,26 @@ def test_stateful_listmap_state_survives_micro_batch_splits(spark, tmp_path):
         .collect()
     }
     assert len(final) == n_users and final == single
+
+
+def test_jdbc_pushdown_filter_reaches_the_remote_scan(spark):
+    """The acctbal predicate must appear as a PushedFilter on the JDBC
+    relation (shipped to Derby as WHERE), and the result must equal a
+    parquet-side recompute."""
+    out = engine.QUERIES["jdbc_pushdown"](spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(s_acctbal,1000.0)" in plan
+    row = out.collect()[0]
+    want = (
+        load(spark, SF_DIR, "supplier")
+        .filter((F.col("s_nationkey") == 3) & (F.col("s_acctbal") > 1000.0))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("s_suppkey").alias("mn"),
+            F.max("s_suppkey").alias("mx"),
+        )
+        .collect()[0]
+    )
+    assert (row["n_rows"], row["min_key"], row["max_key"]) == (
+        want["n"], want["mn"], want["mx"],
+    )
