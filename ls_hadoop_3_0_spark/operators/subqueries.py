@@ -163,3 +163,49 @@ def subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     totally ordered (price desc, orderkey) ⇒ deterministic row set.
     """
     return _run_sql(spark, sf_dir, LATERAL_SQL, ["customer", "orders"])
+
+
+from ls_hadoop_3_0_spark.exprs import sql_dsum as _sql_dsum  # noqa: E402
+
+RECURSIVE_SQL = f"""
+    WITH RECURSIVE tree AS (
+        SELECT s_suppkey AS k, CAST(0 AS BIGINT) AS depth, s_acctbal
+        FROM supplier WHERE s_suppkey = 1
+        UNION ALL
+        SELECT s.s_suppkey AS k, t.depth + 1 AS depth, s.s_acctbal
+        FROM supplier s JOIN tree t
+          ON CAST(floor(s.s_suppkey / 2.0) AS BIGINT) = t.k
+        WHERE s.s_suppkey > 1
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           {_sql_dsum('s_acctbal')} AS sum_bal,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM tree GROUP BY depth
+"""
+
+
+@query("cte_recursive", RECURSIVE_SQL)
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (SQL:1999 WITH RECURSIVE — new in Spark 4): BFS over
+    an implied hierarchy, the IDENTICAL text on both engines.
+
+    The iterative-query surface graph_pagerank/kmeans_lloyd hand-unroll
+    is here expressed declaratively: suppliers form a binary org chart by
+    construction (parent(k) = floor(k/2), root k=1 — derived, not stored,
+    so the key needs no new fixture), and the recursion walks it level by
+    level, rolling up per-depth headcount and exact-dsum balances.
+
+    Scale: Catalyst executes WITH RECURSIVE as a level-synchronous loop
+    (UnionLoop) — each round joins ONE frontier level against the base
+    table, exactly the bounded-rounds shape of the large/small-star CC
+    rounds; depth is log2(n) by construction, so the round count grows
+    logarithmically, never linearly, with the supplier dim. The
+    per-round join is AQE-planned. The recursion-depth conf guard is
+    Spark's cteRecursionLevelLimit (default 100 ≫ log2 of any realistic
+    dim).
+
+    Determinism: integer keys and depths; balances ride the scaled-long
+    dsum; MIN/MAX are order-invariant.
+    """
+    return _run_sql(spark, sf_dir, RECURSIVE_SQL, ["supplier"])

@@ -1120,3 +1120,106 @@ def jdbc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s_suppkey").alias("min_key"),
         F.max("s_suppkey").alias("max_key"),
     )
+
+
+#: Fixed shape for the Python-DataSource demo: 8 partitions × 2000 rows.
+#: The synthetic generator's volume is an API parameter, not a corpus
+#: property — the key proves the CONNECTOR contract (schema, planned
+#: input partitions, per-partition readers), not byte throughput.
+_PYDS_PARTS = 8
+_PYDS_ROWS = 2000
+
+
+def _pyds_u24(payload_sql: str) -> str:
+    """u24 of an md5-hex payload (the _u24_expr core without re-hashing)."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr({payload_sql}, {i}, 1)) - 1)"
+        f" * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    )
+
+
+@query(
+    "scan_python_datasource",
+    f"""
+    WITH ids AS (
+        SELECT unnest(generate_series(0, {_PYDS_PARTS * _PYDS_ROWS - 1}))
+            AS row_id
+    ),
+    r AS (
+        SELECT row_id,
+               CAST(floor(row_id / {_PYDS_ROWS}.0) AS INT) AS part,
+               md5(CAST(row_id AS VARCHAR)) AS payload
+        FROM ids
+    )
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(row_id) AS BIGINT) AS sum_ids,
+           CAST(SUM({_pyds_u24('payload')}) AS BIGINT) AS payload_u24
+    FROM r GROUP BY part
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-EXT custom connector via the Spark 4 Python DataSource API.
+
+    The modern answer to writing a Hadoop InputFormat: a pure-Python
+    ``DataSource`` with a partition-planning reader — ``partitions()``
+    returns {_PYDS_PARTS} splits, each ``read(partition)`` generates its
+    own deterministic row range (id, owning part, md5 payload) — wired
+    in with ``spark.dataSource.register`` and consumed through the
+    ordinary ``spark.read.format(...)`` path. The scan is genuinely
+    partition-parallel ({_PYDS_PARTS} tasks; asserted in
+    tests/test_r8b_keys.py), Arrow-batched python→JVM, and the per-part
+    aggregate digests ids and payload u24s so the oracle re-derives
+    every byte (DuckDB's md5 of the same decimal strings).
+
+    The classes are defined in-function so cloudpickle ships them BY
+    VALUE — a foreign driver session needs no import path for the
+    connector, the vendor.tws_protobuf_shim lesson applied to the
+    DataSource surface.
+    """
+    prepare(spark)
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    rows_per_part = _PYDS_ROWS
+
+    class SynthLogReader(DataSourceReader):
+        def __init__(self, options):
+            self.parts = int(options.get("parts", str(_PYDS_PARTS)))
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(self.parts)]
+
+        def read(self, partition):
+            import hashlib
+
+            p = partition.value
+            base = p * rows_per_part
+            for i in range(base, base + rows_per_part):
+                yield (i, p, hashlib.md5(str(i).encode()).hexdigest())
+
+    class SynthLogDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthlog"
+
+        def schema(self):
+            return "row_id bigint, part int, payload string"
+
+        def reader(self, schema):
+            return SynthLogReader(self.options)
+
+    spark.dataSource.register(SynthLogDataSource)
+    df = (
+        spark.read.format("synthlog")
+        .option("parts", str(_PYDS_PARTS))
+        .load()
+    )
+    return df.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("row_id").alias("sum_ids"),
+        F.sum(F.expr(_pyds_u24("payload"))).alias("payload_u24"),
+    )

@@ -188,3 +188,64 @@ def test_jdbc_pushdown_filter_reaches_the_remote_scan(spark):
     assert (row["n_rows"], row["min_key"], row["max_key"]) == (
         want["n"], want["mn"], want["mx"],
     )
+
+
+def test_cte_recursive_walks_the_implied_binary_tree(spark):
+    """WITH RECURSIVE must reproduce an explicit BFS over parent(k) =
+    floor(k/2) — per depth: exact headcount, key range, and scaled-long
+    balance sums."""
+    sup = {
+        r["s_suppkey"]: r["s_acctbal"]
+        for r in load(spark, SF_DIR, "supplier").collect()
+    }
+    levels: dict[int, list[int]] = {0: [1]}
+    seen = {1}
+    d = 0
+    while True:
+        nxt = [
+            k for k in sup
+            if k > 1 and k // 2 in set(levels[d]) and k not in seen
+        ]
+        if not nxt:
+            break
+        d += 1
+        levels[d] = sorted(nxt)
+        seen.update(nxt)
+    out = {r["depth"]: r for r in engine.QUERIES["cte_recursive"](spark, SF_DIR).collect()}
+    assert set(out) == set(levels)
+    for d, keys in levels.items():
+        r = out[d]
+        assert r["n_suppliers"] == len(keys)
+        assert (r["min_key"], r["max_key"]) == (min(keys), max(keys))
+        want = sum(round(sup[k] * 1e6) for k in keys)
+        assert round(r["sum_bal"] * 1e6) == want
+
+
+def test_python_datasource_is_partition_parallel_and_exact(spark):
+    """The custom connector must plan one task per declared partition and
+    generate exactly the deterministic content (hashlib recompute)."""
+    import hashlib
+
+    from ls_hadoop_3_0_spark.sources.io import _PYDS_PARTS, _PYDS_ROWS
+
+    # the raw scan: partition count is the connector's partitions() plan
+    engine.QUERIES["scan_python_datasource"](spark, SF_DIR)  # registers
+    raw = (
+        spark.read.format("synthlog")
+        .option("parts", str(_PYDS_PARTS))
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == _PYDS_PARTS
+    out = {
+        r["part"]: r
+        for r in engine.QUERIES["scan_python_datasource"](spark, SF_DIR).collect()
+    }
+    assert set(out) == set(range(_PYDS_PARTS))
+    for p, r in out.items():
+        ids = range(p * _PYDS_ROWS, (p + 1) * _PYDS_ROWS)
+        assert r["n_rows"] == _PYDS_ROWS
+        assert r["sum_ids"] == sum(ids)
+        want = sum(
+            int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) for i in ids
+        )
+        assert r["payload_u24"] == want
