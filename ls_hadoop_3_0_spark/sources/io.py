@@ -1223,3 +1223,133 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("row_id").alias("sum_ids"),
         F.sum(F.expr(_pyds_u24("payload"))).alias("payload_u24"),
     )
+
+
+@query(
+    "sink_python_datasource",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(SUM({{u24}}) AS BIGINT) AS rows_u24,
+           TRUE AS matches_manifest
+    FROM orders WHERE o_orderkey % 100 = 0
+    """.format(
+        u24=" + ".join(
+            f"(instr('0123456789abcdef', substr(md5(concat(CAST(o_orderkey"
+            f" AS VARCHAR), '|', o_orderpriority)), {i}, 1)) - 1)"
+            f" * {16 ** (6 - i)}"
+            for i in range(1, 7)
+        )
+    ),
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-EXT custom SINK via the Spark 4 Python DataSource writer API —
+    the OutputFormat/Committer pair in its modern form.
+
+    scan_python_datasource proves the reader half; this key drives the
+    WRITER contract end-to-end: per-task ``write(iterator)`` lands a
+    temp file and renames it (the task-commit pattern), returns a typed
+    ``WriterCommitMessage`` (path + row count), and the driver-side
+    ``commit(messages)`` publishes a manifest only after every task
+    succeeded — exactly FileOutputCommitter's two-phase visibility rule,
+    implemented in ~30 lines of Python. The emitted digest is computed
+    from the FILES READ BACK (spark.read.json over the committed parts),
+    and ``matches_manifest`` is a REAL comparison of the read-back row
+    count against the manifest's committed total — not a literal.
+
+    Scale: per-task streaming writes (no driver collect); the manifest
+    is metadata-scale (one row per task). The filtered slice is 1% of
+    orders — the sink-keys scratch discipline.
+    """
+    prepare(spark)
+    import json as _json
+    import shutil
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    path = scratch(sf_dir, "sink_python_datasource")
+    shutil.rmtree(path, ignore_errors=True)
+
+    @dataclass
+    class _Msg(WriterCommitMessage):
+        path: str
+        n: int
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import json
+            import os
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self.path, exist_ok=True)
+            p = f"{self.path}/part-{pid:05d}.jsonl"
+            n = 0
+            with open(p + ".tmp", "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            os.rename(p + ".tmp", p)  # task commit: atomic visibility
+            return _Msg(path=p, n=n)
+
+        def commit(self, messages):
+            import json
+
+            manifest = {
+                "files": sorted(m.path for m in messages),
+                "rows": sum(m.n for m in messages),
+            }
+            with open(f"{self.path}/_MANIFEST.json", "w") as fh:
+                json.dump(manifest, fh)
+
+        def abort(self, messages):
+            pass  # uncommitted .tmp files are never published
+
+    class _SinkDS(DataSource):
+        @classmethod
+        def name(cls):
+            return "manifestsink"
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options)
+
+    spark.dataSource.register(_SinkDS)
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    (
+        src.write.format("manifestsink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    with open(f"{path}/_MANIFEST.json") as fh:
+        manifest_rows = int(_json.load(fh)["rows"])  # committed total
+    back = spark.read.schema("o_orderkey long, o_orderpriority string").json(
+        path + "/part-*.jsonl"
+    )
+    u24 = F.expr(
+        " + ".join(
+            f"(instr('0123456789abcdef', substr(md5(concat(CAST(o_orderkey"
+            f" AS STRING), '|', o_orderpriority)), {i}, 1)) - 1)"
+            f" * {16 ** (6 - i)}"
+            for i in range(1, 7)
+        )
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_keys"),
+        F.sum(u24).alias("rows_u24"),
+        (F.count(F.lit(1)) == F.lit(manifest_rows)).alias("matches_manifest"),
+    )

@@ -249,3 +249,31 @@ def test_python_datasource_is_partition_parallel_and_exact(spark):
             int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) for i in ids
         )
         assert r["payload_u24"] == want
+
+
+def test_python_datasink_commit_protocol(spark):
+    """The custom sink must publish atomically: committed part files +
+    a manifest whose per-file row counts sum to the read-back total, and
+    no uncommitted .tmp residue."""
+    import glob
+    import json
+    import os
+
+    from ls_hadoop_3_0_spark.sources.io import scratch
+
+    row = engine.QUERIES["sink_python_datasource"](spark, SF_DIR).collect()[0]
+    assert row["matches_manifest"] is True
+    path = scratch(SF_DIR, "sink_python_datasource")
+    manifest = json.load(open(f"{path}/_MANIFEST.json"))
+    assert manifest["rows"] == row["n_rows"]
+    assert not glob.glob(f"{path}/*.tmp"), "uncommitted temp files leaked"
+    parts = glob.glob(f"{path}/part-*.jsonl")
+    assert sorted(parts) == manifest["files"]
+    n_lines = sum(1 for p in parts for _ in open(p))
+    assert n_lines == manifest["rows"]
+    want = (
+        load(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .count()
+    )
+    assert row["n_rows"] == want
