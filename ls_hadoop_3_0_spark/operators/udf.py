@@ -401,3 +401,61 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(c.groupBy("user_id"))
         .applyInPandas(merge, "purchase_id long, user_id long, n_clicks_1h long")
     )
+
+
+@query(
+    "udf_sql_declared",
+    """
+    SELECT CASE WHEN o_totalprice < 50000.0 THEN 'S'
+                WHEN o_totalprice < 150000.0 THEN 'M'
+                WHEN o_totalprice < 300000.0 THEN 'L'
+                ELSE 'XL' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(length(o_orderpriority) + (o_orderkey % 7))
+                AS BIGINT) AS checksum
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def udf_sql_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT the TOP rung of the UDF ladder: declarative SQL UDFs
+    (``CREATE FUNCTION ... RETURN expr``, new in Spark 4).
+
+    The repo's UDF ladder demonstrates every Python rung with its cost
+    (udf_scalar pickled → udf_arrow Arrow-batched → udf_pandas
+    vectorized); this key adds the rung ABOVE all of them: a function
+    DECLARED in SQL is inlined by Catalyst into the calling plan — it
+    runs inside WholeStageCodegen with ZERO python workers, serialization
+    or per-row interpreter cost, yet gives users the same
+    name-once/reuse-everywhere packaging as a UDF. At 100 TB this is the
+    first thing to reach for before any Python rung.
+
+    Two functions compose (`price_tier` calls nothing exotic,
+    `row_checksum` is reused inside an aggregate), and the oracle simply
+    inlines the same expressions — which is exactly what Catalyst does,
+    making the equivalence the point of the test.
+    """
+    prepare(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_tier(p DOUBLE)"
+        " RETURNS STRING RETURN"
+        " CASE WHEN p < 50000.0 THEN 'S'"
+        "      WHEN p < 150000.0 THEN 'M'"
+        "      WHEN p < 300000.0 THEN 'L'"
+        "      ELSE 'XL' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION row_checksum(k BIGINT,"
+        " prio STRING) RETURNS BIGINT RETURN"
+        " CAST(length(prio) + (k % 7) AS BIGINT)"
+    )
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT price_tier(o_totalprice) AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(row_checksum(o_orderkey, o_orderpriority))
+                    AS BIGINT) AS checksum
+        FROM orders GROUP BY 1
+        """
+    )

@@ -876,3 +876,143 @@ def stream_batch_equiv_stateful_listmap(
             & (F.col("users_u24") == F.col("b_u24"))
         ).alias("matches_batch"),
     )
+
+
+# -- custom STREAMING connector (Python DataSource), executed ------------
+
+#: Fixed shape for the streaming-connector demo: 4 offsets × 500 rows.
+_PYSTREAM_CHUNKS = 4
+_PYSTREAM_ROWS = 500
+
+
+def _pystream_u24(v_sql: str) -> str:
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    return _u24_expr(f"CAST({v_sql} AS STRING)")
+
+
+@query(
+    "stream_python_datasource",
+    f"""
+    WITH r AS (
+        SELECT unnest(generate_series(0,
+            {_PYSTREAM_CHUNKS * _PYSTREAM_ROWS - 1})) AS v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM({_pystream_u24('v')}) AS BIGINT) AS rows_u24,
+           TRUE AS matches_batch
+    FROM r
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T/S-EXT the connector trio's STREAMING third: a custom Python
+    DataSource micro-batch stream, executed for real.
+
+    scan_/sink_python_datasource stamp the batch reader and the
+    committing writer; this key registers a ``SimpleDataSourceStreamReader``
+    whose offset log is a plain counter — each ``read(start)`` hands out
+    one deterministic 500-row chunk and advances the offset, with
+    ``readBetweenOffsets`` providing exact replay (the crash-recovery
+    contract). The micro-batch engine drives it chunk by chunk
+    (availableNow snapshots only the first offset of a custom python
+    source, so the run uses a zero-interval processing-time trigger and
+    stops at the source's declared end — bounded by construction, the
+    stream is finite). The digest must match BOTH the DuckDB oracle and
+    the in-session batch recompute of the same closed-form content
+    (associative integer sums — count, Σv, Σu24(md5(v))).
+
+    Scale: content generation is partitionable per offset range; state
+    is one integer offset — the minimal-state streaming-source shape.
+    """
+    import time
+
+    prepare(spark)
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    chunks, rows_per = _PYSTREAM_CHUNKS, _PYSTREAM_ROWS
+    total = chunks * rows_per
+
+    class _TickReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = start["i"]
+            if i >= chunks:
+                return iter([]), {"i": i}
+            rows = [(v,) for v in range(i * rows_per, (i + 1) * rows_per)]
+            return iter(rows), {"i": i + 1}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                (v,)
+                for v in range(
+                    start["i"] * rows_per, end["i"] * rows_per
+                )
+            )
+
+    class _TickSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pyticks"
+
+        def schema(self):
+            return "v bigint"
+
+        def reader(self, schema):  # pragma: no cover - stream-only source
+            raise NotImplementedError("pyticks is a streaming source")
+
+        def simpleStreamReader(self, schema):
+            return _TickReader()
+
+    spark.dataSource.register(_TickSource)
+    name = f"spds_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.format("pyticks")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= total:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+
+    u24 = F.expr(_pystream_u24("v"))
+
+    def _digest(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+            F.sum(u24).alias("rows_u24"),
+        )
+
+    s_dig = _digest(spark.table(name))
+    b_dig = _digest(
+        spark.range(0, total).select(F.col("id").alias("v"))
+    ).select(
+        F.col("n_rows").alias("b_n"),
+        F.col("sum_v").alias("b_s"),
+        F.col("rows_u24").alias("b_u"),
+    )
+    return s_dig.crossJoin(b_dig).select(
+        "n_rows",
+        "sum_v",
+        "rows_u24",
+        (
+            (F.col("n_rows") == F.col("b_n"))
+            & (F.col("sum_v") == F.col("b_s"))
+            & (F.col("rows_u24") == F.col("b_u"))
+        ).alias("matches_batch"),
+    )

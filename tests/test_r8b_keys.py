@@ -277,3 +277,49 @@ def test_python_datasink_commit_protocol(spark):
         .count()
     )
     assert row["n_rows"] == want
+
+
+def test_sql_declared_udf_is_inlined_not_python(spark):
+    """The declared SQL functions must be inlined by Catalyst: the plan
+    contains NO python evaluation node, and the tiers partition the
+    orders exactly."""
+    df = engine.QUERIES["udf_sql_declared"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, marker
+    rows = {r["tier"]: r for r in df.collect()}
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    from collections import Counter
+    want_n: Counter = Counter()
+    want_ck: Counter = Counter()
+    for o in orders:
+        p = o["o_totalprice"]
+        t = "S" if p < 50000.0 else "M" if p < 150000.0 else "L" if p < 300000.0 else "XL"
+        want_n[t] += 1
+        want_ck[t] += len(o["o_orderpriority"]) + (o["o_orderkey"] % 7)
+    assert {t: r["n_orders"] for t, r in rows.items()} == dict(want_n)
+    assert {t: r["checksum"] for t, r in rows.items()} == dict(want_ck)
+
+
+def test_stream_python_datasource_consumes_every_offset(spark):
+    """The finite custom stream must drain all chunks (exact closed-form
+    digest) and agree with the in-session batch recompute."""
+    import hashlib
+
+    from ls_hadoop_3_0_spark.streaming.equiv import (
+        _PYSTREAM_CHUNKS,
+        _PYSTREAM_ROWS,
+    )
+
+    total = _PYSTREAM_CHUNKS * _PYSTREAM_ROWS
+    row = engine.QUERIES["stream_python_datasource"](spark, SF_DIR).collect()[0]
+    assert row["matches_batch"] is True
+    assert row["n_rows"] == total
+    assert row["sum_v"] == total * (total - 1) // 2
+    want_u24 = sum(
+        int(hashlib.md5(str(v).encode()).hexdigest()[:6], 16)
+        for v in range(total)
+    )
+    assert row["rows_u24"] == want_u24
