@@ -459,3 +459,55 @@ def udf_sql_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
         """
     )
+
+
+@query(
+    "udf_map_arrow",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-EXT ``mapInArrow``: the RecordBatch-native rung of the ladder.
+
+    Between udf_pandas (vectorized but pays the Arrow→pandas→Arrow
+    conversion per batch) and the JVM built-ins sits mapInArrow: the UDF
+    receives raw ``pyarrow.RecordBatch``es and answers with the same —
+    all three derived columns are computed by Arrow's C++ compute
+    kernels (utf8_length/split_pattern/list_value_length/binary_length),
+    so NO pandas object materializes and nothing is copied row-wise.
+    This is the right rung for byte/string-level batch transforms whose
+    kernel exists in Arrow but not in Spark.
+
+    Token semantics deliberately mirror the oracle's ``string_split``
+    exactly (single-space split, empties counted) so the kernel output
+    is definitionally comparable. Map-side only — no shuffle at any
+    scale.
+    """
+    prepare(spark)
+
+    def extract(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column("text")
+            n_tokens = pc.cast(
+                pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+            )
+            n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+            n_bytes = pc.cast(
+                pc.binary_length(pc.cast(text, pa.binary())), pa.int64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), n_tokens, n_chars, n_bytes],
+                ["doc_id", "n_tokens", "n_chars", "n_bytes"],
+            )
+
+    return load(spark, sf_dir, "documents").select("doc_id", "text").mapInArrow(
+        extract, "doc_id long, n_tokens long, n_chars long, n_bytes long"
+    )

@@ -323,3 +323,16 @@ def test_stream_python_datasource_consumes_every_offset(spark):
         for v in range(total)
     )
     assert row["rows_u24"] == want_u24
+
+
+def test_map_arrow_matches_python_recompute(spark):
+    """The Arrow-kernel outputs must equal a per-row Python recompute
+    with the same split semantics (single space, empties counted)."""
+    out = {r["doc_id"]: r for r in engine.QUERIES["udf_map_arrow"](spark, SF_DIR).collect()}
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert len(out) == len(docs)
+    for d in docs:
+        r = out[d["doc_id"]]
+        assert r["n_tokens"] == len(d["text"].split(" "))
+        assert r["n_chars"] == len(d["text"])
+        assert r["n_bytes"] == len(d["text"].encode("utf-8"))
