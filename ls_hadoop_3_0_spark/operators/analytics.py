@@ -1845,11 +1845,10 @@ def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # _sv IS round(value·1e6) exactly (value = _sv/1e6 by construction),
+    # so the threshold reuses it instead of re-rounding the double.
     avg = v.agg(
-        (
-            (F.sum(F.round(F.col("value") * 1_000_000).cast("long")) / F.lit(1_000_000.0))
-            / F.count(F.lit(1))
-        ).alias("_avg")
+        ((F.sum("_sv") / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("_avg")
     )
     return (
         v.join(F.broadcast(avg), F.col("value") > F.lit(2.0) * F.col("_avg"))

@@ -347,8 +347,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # post-fix numbers in SCALE.md).
     wedge_counts = wedges.groupBy("b", "c").agg(F.count(F.lit(1)).alias("nw"))
     closing = directed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    # SUM over an empty join (triangle-free graph) is NULL; the oracle's
+    # COUNT-based form yields 0 — coalesce so the empty case agrees.
     tri = wedge_counts.join(closing, ["b", "c"]).agg(
-        F.sum("nw").cast("long").alias("n_triangles")
+        F.coalesce(F.sum("nw"), F.lit(0)).cast("long").alias("n_triangles")
     )
     summary = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),

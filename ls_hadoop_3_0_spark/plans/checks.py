@@ -54,10 +54,12 @@ def has_static_broadcast_hint(df: DataFrame) -> bool:
     a side is design-bounded — forbidden for corpus-scale sides by the
     repo rule) from an AQE/CBO-chosen BroadcastHashJoin (a runtime
     decision based on measured size, always allowed). The hint survives
-    analysis as ``ResolvedHint``/``UnresolvedHint`` in the analyzed plan.
+    analysis as ``ResolvedHint (strategy=broadcast)`` in the analyzed
+    plan. Matches the BROADCAST strategy specifically: a legitimate
+    non-broadcast hint (``.hint("shuffle_hash")`` / ``.hint("merge")``,
+    which the repo rules encourage on corpus-scale sides) must NOT count.
     """
-    plan = df._jdf.queryExecution().analyzed().toString()
-    return "ResolvedHint" in plan or "UnresolvedHint" in plan
+    return count_static_broadcast_hints(df) > 0
 
 
 def count_static_broadcast_hints(df: DataFrame) -> int:
@@ -66,10 +68,14 @@ def count_static_broadcast_hints(df: DataFrame) -> int:
     For keys that legitimately broadcast DESIGN-bounded dims (nation,
     region, 1-row scalars) next to AQE-planned growing joins: assert the
     hint count stays at exactly the audited dim joins, so a corpus-scale
-    side can't silently acquire a static hint later.
+    side can't silently acquire a static hint later. Only the broadcast
+    STRATEGY is counted — shuffle_hash/merge hints are scale-safe (they
+    pick among shuffle strategies, never force a corpus-wide replicate).
     """
     plan = df._jdf.queryExecution().analyzed().toString()
-    return plan.count("ResolvedHint") + plan.count("UnresolvedHint")
+    return plan.count("ResolvedHint (strategy=broadcast") + plan.count(
+        "UnresolvedHint BROADCAST"
+    )
 
 
 def has_partial_aggregation(df: DataFrame) -> bool:

@@ -1011,12 +1011,18 @@ def scan_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Closes the r7 verdict's last cosmetic-parity gap ("subsumed row
     never exercised against a real SequenceFile"): (orderkey, orderpriority)
-    pairs are written as Int-/LongWritable (Pyrolite infers the writable
-    from the key magnitude) + Text through the actual
+    pairs are written as LongWritable + Text through the actual
     SequenceFile OutputFormat in the local hadoop-client jars, read back
     through the actual InputFormat, and reduced to exact integer totals
     the oracle recomputes from the source table — so container fidelity
     (key/value typing, record boundaries, splits) is value-checked.
+
+    Key typing is forced UNIFORM: Pyrolite infers Int- vs LongWritable
+    per element from the key magnitude, so a partition whose orderkeys
+    straddle 2^31 would hand the SequenceFile writer mixed key classes
+    and fail — a latent scale defect. Writing ``key + 2^31`` pins every
+    key ≥ 2^31 (orderkeys are non-negative), i.e. LongWritable for all
+    rows at every SF; the read side subtracts the offset back.
 
     This is deliberately the RDD rung: SequenceFile is a KV container
     with no DataFrame source, and the per-row Pyrolite conversion is the
@@ -1044,10 +1050,11 @@ def scan_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = spark.createDataFrame([], "k long, v string")
     else:
         src.rdd.map(
-            lambda r: (r["o_orderkey"], r["o_orderpriority"])
+            lambda r: (r["o_orderkey"] + 2**31, r["o_orderpriority"])
         ).saveAsSequenceFile(path)
         back = spark.createDataFrame(
-            spark.sparkContext.sequenceFile(path), "k long, v string"
+            spark.sparkContext.sequenceFile(path).map(lambda kv: (kv[0] - 2**31, kv[1])),
+            "k long, v string",
         )
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
