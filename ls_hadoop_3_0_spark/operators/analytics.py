@@ -90,9 +90,11 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5-shaped: local-supplier revenue by nation (6-way star join).
 
-    region/nation/supplier are broadcast (tiny at any TPC-H scale);
-    customer⋈orders⋈lineitem shuffle on their keys; the co-nation
-    predicate rides the supplier join condition.
+    region/nation are broadcast (design-bounded: fixed row counts at
+    every SF); customer⋈orders⋈lineitem shuffle on their keys; the
+    co-nation predicate rides the supplier join condition. Supplier is
+    NOT statically hinted — it grows 10k×SF, so its strategy is left to
+    size-based planning/AQE (which still broadcasts at fixture sizes).
     """
     prepare(spark)
     r = load(spark, sf_dir, "region")
@@ -110,7 +112,7 @@ def analytics_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .groupBy("n_name")
@@ -171,7 +173,9 @@ def analytics_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7-shaped: cross-nation shipping volume by (supp, cust, year).
 
     The nation dim joins twice under different roles (broadcast each
-    time); the inequality predicate rides as a post-join filter.
+    time — nation is design-bounded); the inequality predicate rides as
+    a post-join filter. Supplier is NOT statically hinted: it grows
+    10k×SF, so its join strategy is left to size-based planning/AQE.
     """
     prepare(spark)
     li = load(spark, sf_dir, "lineitem")
@@ -186,7 +190,7 @@ def analytics_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -426,23 +430,27 @@ def analytics_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back to the fact (exactly what Catalyst's
     RewriteCorrelatedScalarSubquery does to the oracle's form). Scale
     design: the per-part average is only needed for the brand's parts,
-    so the fact is semi-join-pruned by the broadcast part dim BEFORE
-    the aggregate — at 100 TB that's the difference between averaging
-    every part and averaging 1/25 of them. The average composes from
-    the exact scaled-long sum (exprs.dsum) so the `<` threshold
-    comparison is bit-identical in both engines.
+    so the fact is semi-join-pruned by the part dim BEFORE the
+    aggregate — at 100 TB that's the difference between averaging
+    every part and averaging 1/25 of them. Neither the brand key set
+    nor the per-part average carries a static broadcast hint: both grow
+    linearly with SF (part is 200k×SF), so their join strategy is left
+    to size-based planning/AQE, which still broadcasts them while they
+    measure small. The average composes from the exact scaled-long sum
+    (exprs.dsum) so the `<` threshold comparison is bit-identical in
+    both engines.
     """
     prepare(spark)
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
     li = load(spark, sf_dir, "lineitem")
-    brand_keys = F.broadcast(p.select("p_partkey"))
+    brand_keys = p.select("p_partkey")
     brand_li = li.join(brand_keys, li.l_partkey == F.col("p_partkey"), "left_semi")
     avg_qty = brand_li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
     )
     return (
         brand_li.join(
-            F.broadcast(avg_qty), brand_li.l_partkey == F.col("a_partkey")
+            avg_qty, brand_li.l_partkey == F.col("a_partkey")
         )
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
@@ -1190,9 +1198,10 @@ def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The share is a ratio of two exact scaled-long sums — one double
     division per output row, bit-identical across engines (the dsum
-    invariant extended to ratios). 7-way star join: nation/region/
-    supplier broadcast (design-bounded dims), orders⋈lineitem⋈customer
-    shuffle on their keys — the classic fact-to-fact spine at 100 TB.
+    invariant extended to ratios). 7-way star join: nation/region
+    broadcast (design-bounded dims); orders⋈lineitem⋈customer shuffle
+    on their keys — the classic fact-to-fact spine at 100 TB. Supplier
+    (10k×SF) is NOT statically hinted — size-based planning/AQE decides.
     """
     prepare(spark)
     li = load(spark, sf_dir, "lineitem")
@@ -1218,7 +1227,7 @@ def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(r.filter(F.col("r_name") == "ASIA")),
             F.col("r_regionkey") == F.col("cn_rk"),
         )
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
         .select(
             F.year("o_orderdate").alias("yr"),
@@ -1261,8 +1270,11 @@ def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.6·p_retailprice·quantity (cast to DOUBLE in the oracle — the
     DECIMAL-literal drift rule). The part-name filter prunes the part
     dim BEFORE the join, and Catalyst pushes the resulting semi-join
-    (bloom filter at runtime) into the lineitem scan — at 100 TB the
-    filtered part side is the broadcast build.
+    (bloom filter at runtime) into the lineitem scan. Neither part nor
+    supplier carries a static broadcast hint — both grow with SF
+    (200k×/10k×SF), so even the name-filtered part side is corpus-scale
+    at 100 TB; size-based planning/AQE picks the build side at runtime.
+    Only the fixed-25-row nation dim keeps its hint.
     """
     prepare(spark)
     li = load(spark, sf_dir, "lineitem")
@@ -1276,8 +1288,8 @@ def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
         .groupBy("nation", F.year("l_shipdate").alias("yr"))
         .agg(
@@ -1366,7 +1378,8 @@ def analytics_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order's last shipment. Two keyed aggregations over the same
     (orderkey[, suppkey]) grain — the second reuses the first's shuffle
     partitioning — then a co-partitioned self-join on orderkey; only
-    the design-bounded supplier/nation dims broadcast. No EXISTS
+    the design-bounded nation dim carries a static broadcast hint
+    (supplier grows 10k×SF — its strategy is AQE's call). No EXISTS
     subquery needed: the max-equality formulation is one pass where
     Q21's correlated NOT EXISTS would be a second corpus-scale probe.
     """
@@ -1394,7 +1407,7 @@ def analytics_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supps") >= 2)
             & (F.col("supp_last") == F.col("order_last")),
         )
-        .join(F.broadcast(s), s.s_suppkey == per_supp.l_suppkey)
+        .join(s, s.s_suppkey == per_supp.l_suppkey)
         .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
         .groupBy("nation")
         .agg(F.count(F.lit(1)).alias("n_blocking"))

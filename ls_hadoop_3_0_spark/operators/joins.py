@@ -10,9 +10,10 @@ Scale notes (100 TB posture):
 - Equi-joins are declared; Catalyst picks SMJ for big-big (co-partitioned
   via the shuffle — the moral equivalent of CompositeInputFormat's
   pre-sorted inputs) and broadcast-hash when one side fits
-  ``autoBroadcastJoinThreshold`` (AQE converts at runtime too). Dimension
-  joins below hint ``broadcast()`` explicitly — nation/supplier/region
-  stay small at any TPC-H scale.
+  ``autoBroadcastJoinThreshold`` (AQE converts at runtime too). Only
+  DESIGN-bounded dims (nation/region — fixed row counts at every SF) may
+  carry a static ``broadcast()`` hint; supplier/part/customer GROW with
+  SF, so their join strategy is always left to size-based planning.
 - AQE skew-join splitting is on (session.py) for skewed fact keys.
 - The as-of join is the union+window formulation — one shuffle on
   (user), no per-row probing, no cross product — the formulation that
@@ -190,11 +191,15 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7 DistributedCache map-side hash join → explicit broadcast hint.
+    """J7 DistributedCache map-side hash join → broadcast-hash plan.
 
-    Fact (lineitem) joins two hinted-broadcast dims — zero shuffle for the
-    joins; the only shuffle is the final aggregation. At 100 TB supplier
-    and nation remain MBs — the hint stays valid at any TPC-H scale.
+    Fact (lineitem) joins two broadcast dims — zero shuffle for the
+    joins; the only shuffle is the final aggregation. Only nation (25
+    rows at EVERY TPC-H scale) carries the static hint. Supplier is NOT
+    hinted: it GROWS with SF (10k×SF ⇒ ~1 B rows at 100 TB), so forcing
+    a broadcast there is a latent OOM — size-based planning/AQE still
+    broadcasts it at today's fixture sizes, which is exactly the point:
+    a runtime decision tracks the data, a hand hint cannot be demoted.
     tests/test_plans.py asserts BroadcastHashJoin in the physical plan.
     """
     prepare(spark)
@@ -202,7 +207,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     nat = load(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy("s_name", "n_name")
         .agg(
