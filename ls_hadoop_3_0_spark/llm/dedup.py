@@ -28,7 +28,7 @@ tests/test_dedup.py on constructed near-duplicates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ls_hadoop_3_0_spark.llm.embeddings import (
@@ -72,7 +72,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingled(docs: DataFrame) -> DataFrame:
-    """doc_id + distinct word-3-shingles (docs with ≥3 tokens)."""
+    """doc_id + distinct word-3-shingles (docs with ≥3 tokens).
+
+    Parallelism guard: text compresses so well that a corpus can arrive
+    as a handful of parquet splits (the 100× replica is 500 k docs in a
+    4.5 MB file → a 2-task scan), and everything expensive in the dedup
+    family — shingling, the 12-hash md5 partial-min aggregation — is
+    MAP-SIDE work that inherits scan parallelism. Re-split to the
+    cluster's parallelism ONLY when the source under-splits; on a real
+    many-file 100 TB corpus the scan already has thousands of splits
+    and this is a no-op (no gratuitous corpus shuffle at scale).
+    """
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     return (
         docs.select(
             "doc_id", F.expr("filter(split(text, ' '), t -> t <> '')").alias("w")
@@ -174,10 +187,10 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_T) -> Data
     )
 
 
-def minhash_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(shingled docs, LSH band-collision candidate pairs) — the
-    candidate stage of minhash_pairs, exposed for the dedup_recall
-    quality gate (which needs PRE-verification candidates)."""
+def minhash_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(shingled docs, per-doc LSH band signatures) — the signature
+    stage alone, exposed so audits can restrict the collision join to a
+    panel side instead of paying the full corpus×corpus self-join."""
     # Shingling feeds the signature explode AND both verify sides; the
     # band table feeds both candidate join sides. Lazy localCheckpoints
     # make each a compute-once intermediate (the cluster analog: persist).
@@ -205,6 +218,14 @@ def minhash_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("doc_id", F.col("bs.b").alias("b"), F.col("bs.sig").alias("sig"))
         .localCheckpoint(eager=False)
     )
+    return sh, bands
+
+
+def minhash_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(shingled docs, LSH band-collision candidate pairs) — the
+    candidate stage of minhash_pairs, exposed for the dedup_recall
+    quality gate (which needs PRE-verification candidates)."""
+    sh, bands = minhash_bands(docs)
     # Every join side below grows linearly with the corpus — the join
     # hints veto Catalyst's static broadcast (its size estimate for these
     # checkpointed intermediates is corpus-independent and wildly low; a
@@ -372,6 +393,17 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: that fixed range. In production this would be an authored audit set.
 PANEL_DOC_SQL = "doc_id % 10 = 0 AND doc_id < 10000000"
 
+#: Per-panel-doc match-list bound applied BEFORE the Jaccard verify
+#: (r8 verdict item 4). A J ≥ 0.4 pair needs ns ≥ 0.4/1.4·(np+nd), so
+#: true duplicates rank at the TOP of a panel doc's shared-count list;
+#: the long tail is weak 1-2-shingle partials the Jaccard filter would
+#: kill anyway — but only AFTER the sizes joins processed them. The cap
+#: must exceed the max expected duplicate multiplicity per doc (the
+#: adversarial 100× replica has 99 copies/doc; 128 > 99 keeps truth
+#: EXACT there while cutting the verify-stage volume). Ties at the cut
+#: break on d ASC — deterministic on both engines.
+DEDUP_RECALL_TOPK = 128
+
 
 @query(
     "dedup_recall_v2",
@@ -381,10 +413,15 @@ PANEL_DOC_SQL = "doc_id % 10 = 0 AND doc_id < 10000000"
     pex AS (SELECT doc_id AS p, unnest(shingles) AS g FROM sh
             WHERE {PANEL_DOC_SQL}),
     ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-    shared AS (
+    shared_all AS (
         SELECT p, ex.doc_id AS d, COUNT(*) AS ns
         FROM pex JOIN ex ON pex.g = ex.g AND ex.doc_id <> pex.p
         GROUP BY p, d
+    ),
+    shared AS (
+        SELECT p, d, ns FROM shared_all
+        QUALIFY row_number() OVER (PARTITION BY p ORDER BY ns DESC, d ASC)
+                <= {DEDUP_RECALL_TOPK}
     ),
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
     truth AS (
@@ -430,9 +467,28 @@ def dedup_recall_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs touching the panel). On the un-replicated fixtures panel
     pairs are a strict subset of v1's; they diverge exactly when the
     corpus outgrows the panel — which is the point.
+
+    r9 cost trims (the 194 s → measured-in-SCALE.md 100× cut):
+
+    1. The LSH candidate arm only ever KEEPS pairs touching the panel,
+       and band collision is a pairwise equi-predicate — so the
+       corpus×corpus band self-join is replaced by corpus×PANEL-bands
+       (identical result set by construction; the oracle still filters
+       the full self-join, so sf0.01/10× parity PROVES the rewrite).
+       The per-doc signature stage is unchanged — computing every
+       doc's signature is the honest audited cost of the LSH stage.
+    2. Each panel doc's match list is capped at the
+       ``DEDUP_RECALL_TOPK`` strongest shared-counts BEFORE the
+       Jaccard verify (window over the already-aggregated (p, d)
+       pairs — panel-bounded partitions). On duplicate-heavy corpora
+       the (p, d) list is dominated by weak 1-2-shingle partials that
+       the Jaccard filter rejects anyway; the cap removes them before
+       the sizes joins. Truth stays EXACT while K exceeds the per-doc
+       strong-match count (ties break on d ASC — deterministic both
+       engines).
     """
     prepare(spark)
-    sh, cand = minhash_candidates(load(spark, sf_dir, "documents"))
+    sh, bands = minhash_bands(load(spark, sf_dir, "documents"))
     panel = sh.filter(F.expr(PANEL_DOC_SQL))
     ex_panel = panel.select(F.col("doc_id").alias("p"), F.explode("shingles").alias("g"))
     ex_all = sh.select(F.col("doc_id").alias("d"), F.explode("shingles").alias("g"))
@@ -441,11 +497,17 @@ def dedup_recall_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per the repo rule and lets the corpus-scale gram stream flow
     # map-side: the only shuffle left is the (p, d) shared-count
     # aggregation over matched pairs.
-    shared = (
+    shared_all = (
         ex_all.join(F.broadcast(ex_panel), "g")
         .filter(F.col("d") != F.col("p"))
         .groupBy("p", "d")
         .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    w = Window.partitionBy("p").orderBy(F.desc("ns"), F.asc("d"))
+    shared = (
+        shared_all.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= DEDUP_RECALL_TOPK)
+        .drop("_rk")
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     # p-side sizes are panel rows (design-bounded → broadcast); d-side
@@ -470,32 +532,54 @@ def dedup_recall_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("p", "d").alias("doc_a"), F.greatest("p", "d").alias("doc_b")
         )
         .distinct()
-        .localCheckpoint(eager=False)  # feeds n_truth AND the hit join
     )
-    in_panel = lambda c: (F.col(c) % 10 == 0) & (F.col(c) < 10_000_000)  # noqa: E731
-    cand_panel = cand.filter(in_panel("doc_a") | in_panel("doc_b")).localCheckpoint(
-        eager=False
+    # Panel-restricted candidate arm (trim #1): probe the corpus band
+    # stream against the panel's band signatures. The panel band table
+    # is DESIGN-bounded (fixed id range × N_BANDS rows) → broadcast is
+    # legitimate; the corpus band stream flows map-side, no self-join.
+    panel_bands = bands.filter(F.expr(PANEL_DOC_SQL)).select(
+        F.col("doc_id").alias("pd"), "b", "sig"
     )
-    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    n_cand = cand_panel.agg(F.count(F.lit(1)).alias("n_cand"))
-    n_hit = cand_panel.join(truth, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    return (
-        n_truth.crossJoin(n_cand)
-        .crossJoin(n_hit)
+    cand_panel = (
+        bands.join(F.broadcast(panel_bands), ["b", "sig"])
+        .filter(F.col("doc_id") != F.col("pd"))
         .select(
-            F.lit("minhash_lsh_panel").alias("method"),
-            F.col("n_truth").cast("long").alias("n_truth"),
-            F.col("n_cand").cast("long").alias("n_cand"),
-            F.col("n_hit").cast("long").alias("n_hit"),
-            (
-                F.col("n_hit").cast("double") / F.nullif(F.col("n_cand"), F.lit(0))
-            ).alias("precision"),
-            (
-                F.col("n_hit").cast("double") / F.nullif(F.col("n_truth"), F.lit(0))
-            ).alias("recall"),
+            F.least("doc_id", "pd").alias("doc_a"),
+            F.greatest("doc_id", "pd").alias("doc_b"),
         )
+        .distinct()
+    )
+    # Trim #3 (the one that actually moved the 100× number): the three
+    # counts reduce ONE tagged union — never three aggregate branches
+    # cross-joined. Branch aggregates each become their own broadcast
+    # job, and concurrent jobs racing an unmaterialized lazy checkpoint
+    # recompute the full truth/candidate lineages (measured: ~200 s for
+    # a plan whose unique stage work sums to ~55 s at 100×). The union
+    # form references each arm exactly once in one job.
+    tagged = truth.select(
+        "doc_a", "doc_b", F.lit(1).alias("t"), F.lit(0).alias("c")
+    ).unionAll(
+        cand_panel.select("doc_a", "doc_b", F.lit(0).alias("t"), F.lit(1).alias("c"))
+    )
+    pairs = tagged.groupBy("doc_a", "doc_b").agg(
+        F.max("t").alias("t"), F.max("c").alias("c")
+    )
+    counts = pairs.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).alias("n_truth"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_cand"),
+        F.coalesce(F.sum(F.col("t") * F.col("c")), F.lit(0)).alias("n_hit"),
+    )
+    return counts.select(
+        F.lit("minhash_lsh_panel").alias("method"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        (
+            F.col("n_hit").cast("double") / F.nullif(F.col("n_cand"), F.lit(0))
+        ).alias("precision"),
+        (
+            F.col("n_hit").cast("double") / F.nullif(F.col("n_truth"), F.lit(0))
+        ).alias("recall"),
     )
 
 
