@@ -934,6 +934,76 @@ def agg_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_distinct_merge",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+           TRUE AS merge_matches,
+           TRUE AS hll_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 sketch MERGEABILITY gate — the property that matters at 100 TB.
+
+    A sketch is only useful at scale if partial sketches built
+    independently per task merge into an answer that does NOT depend on
+    how the corpus was split — that is what every executor partial
+    aggregation relies on when thousands of tasks each see a slice.
+    This key proves PARTITION-INDEPENDENCE end to end with the
+    DataSketches HLL surface: the fact is sharded two unrelated ways
+    (16 shards on l_orderkey vs 32 on l_suppkey — different key,
+    different fan-out, and the same l_partkey lands in MANY shards of
+    each, so the union must deduplicate register-wise), per-shard
+    sketches built with ``hll_sketch_agg`` merge via ``hll_union_agg``,
+    and the two merged estimates must be IDENTICAL (register-wise max
+    is associative/commutative ⇒ identical union sketch ⇒ identical
+    estimate — pinned TRUE by the oracle; any drift hash-fails).
+
+    Deliberately NOT asserted: merged == single-pass estimate. A
+    direct-built DataSketches sketch carries the HIP accumulator; a
+    union invalidates HIP and falls back to the composite estimator,
+    so the two differ by DESIGN (measured: 1999 vs 1991 on the 2000-key
+    fixture — both inside the bound). The 5% accuracy bound vs the
+    exact count is asserted for the MERGED estimate — the one a real
+    multi-task aggregation would report.
+
+    Plan: two shard-partial aggregations + unions; every stage combines
+    map-side — shuffles only carry sketches/counts per (flag[, shard]).
+    """
+    prepare(spark)
+    li = load(spark, sf_dir, "lineitem")
+
+    def merged_est(shard: F.Column, n: int, alias: str) -> DataFrame:
+        s = li.select("l_returnflag", "l_partkey", (shard % n).alias("shard"))
+        per_shard = s.groupBy("l_returnflag", "shard").agg(
+            F.hll_sketch_agg("l_partkey").alias("sk")
+        )
+        return per_shard.groupBy("l_returnflag").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(alias)
+        )
+
+    a = merged_est(F.col("l_orderkey"), 16, "est_a")
+    b = merged_est(F.col("l_suppkey"), 32, "est_b")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    err = F.abs(F.col("est_a") - F.col("exact_distinct")).cast("double") / F.col(
+        "exact_distinct"
+    )
+    return (
+        exact.join(a, "l_returnflag")
+        .join(b, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            (F.col("est_a") == F.col("est_b")).alias("merge_matches"),
+            (err <= 0.05).alias("hll_within_5pct"),
+        )
+    )
+
+
+@query(
     "agg_approx_quantile_audit",
     """
     SELECT l_returnflag,

@@ -1016,3 +1016,135 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("rows_u24") == F.col("b_u"))
         ).alias("matches_batch"),
     )
+
+
+#: rate limit for the _rt variant — a non-divisor of both the sibling's
+#: 500-row chunks and the 2000-row total, so micro-batch boundaries
+#: NEVER align with the availableNow-style run's (3 uneven batches:
+#: 667+667+666 — per-micro-batch engine overhead dominates the key's
+#: wall-clock, so the batch count is kept small while staying >1).
+_PYSTREAM_RT_MAX_ROWS = 667
+
+
+@query(
+    "stream_python_datasource_rt",
+    f"""
+    WITH r AS (
+        SELECT unnest(generate_series(0,
+            {_PYSTREAM_CHUNKS * _PYSTREAM_ROWS - 1})) AS v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM({_pystream_u24('v')}) AS BIGINT) AS rows_u24,
+           TRUE AS matches_batch
+    FROM r
+    """,
+)
+def stream_python_datasource_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T/S-EXT trigger-independence twin of ``stream_python_datasource``.
+
+    The availableNow-snapshot lesson (late r8) showed the TRIGGER CHOICE
+    changes how a custom python source is driven — so the digest must be
+    pinned trigger-independent, not assumed. This variant re-runs the
+    same counter-offset source under a REAL processing-time cadence
+    (100 ms) with a per-batch rate limit (``maxRecordsPerBatch``-style:
+    ``read`` hands out at most ``_PYSTREAM_RT_MAX_ROWS`` rows per
+    trigger — a non-divisor of the sibling's 500-row chunks, so no
+    micro-batch boundary ever coincides) and must land on the IDENTICAL
+    one-row digest: same oracle, same in-session batch twin. Content
+    partitioning across micro-batches is the thing being varied;
+    associative integer sums are the thing that must not care.
+
+    Scale: same minimal-state shape as the sibling — one integer offset;
+    rate limiting bounds per-batch memory by construction (the knob a
+    production source uses to keep micro-batches inside executor memory
+    at any ingest rate).
+    """
+    import time
+
+    prepare(spark)
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    total = _PYSTREAM_CHUNKS * _PYSTREAM_ROWS
+    max_rows = _PYSTREAM_RT_MAX_ROWS
+
+    class _RateReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"v": 0}
+
+        def read(self, start):
+            v = start["v"]
+            if v >= total:
+                return iter([]), {"v": v}
+            end = min(v + max_rows, total)
+            # list iterator, not a generator: the engine's prefetch
+            # cache copy.copy()s the handed-out iterator on replay
+            return iter([(x,) for x in range(v, end)]), {"v": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter((x,) for x in range(start["v"], end["v"]))
+
+    class _RateSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pyticks_rt"
+
+        def schema(self):
+            return "v bigint"
+
+        def reader(self, schema):  # pragma: no cover - stream-only source
+            raise NotImplementedError("pyticks_rt is a streaming source")
+
+        def simpleStreamReader(self, schema):
+            return _RateReader()
+
+    spark.dataSource.register(_RateSource)
+    name = f"spdsrt_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.format("pyticks_rt")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= total:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+
+    u24 = F.expr(_pystream_u24("v"))
+
+    def _digest(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+            F.sum(u24).alias("rows_u24"),
+        )
+
+    s_dig = _digest(spark.table(name))
+    b_dig = _digest(
+        spark.range(0, total).select(F.col("id").alias("v"))
+    ).select(
+        F.col("n_rows").alias("b_n"),
+        F.col("sum_v").alias("b_s"),
+        F.col("rows_u24").alias("b_u"),
+    )
+    return s_dig.crossJoin(b_dig).select(
+        "n_rows",
+        "sum_v",
+        "rows_u24",
+        (
+            (F.col("n_rows") == F.col("b_n"))
+            & (F.col("sum_v") == F.col("b_s"))
+            & (F.col("rows_u24") == F.col("b_u"))
+        ).alias("matches_batch"),
+    )
