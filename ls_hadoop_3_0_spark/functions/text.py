@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ls_hadoop_3_0_spark.registry import query
 from ls_hadoop_3_0_spark.session import prepare
-from ls_hadoop_3_0_spark.tables import load
+from ls_hadoop_3_0_spark.tables import load, spread
 
 
 @query(
@@ -35,7 +35,7 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4+A1: THE MapReduce program — tokenize, emit (word,1), grouped sum."""
     prepare(spark)
     return (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
@@ -61,7 +61,7 @@ def grep_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare(spark)
     return (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .filter(F.col("text").rlike(r"(^| )[a-z]{8,}( |$)"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_matching"))
@@ -101,7 +101,7 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE CAST(array() AS array<string>) END"
     )
     return (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .select(toks.alias("t"))
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -134,7 +134,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ratios are exact-integer divisions (len/len) → bit-stable doubles.
     """
     prepare(spark)
-    d = load(spark, sf_dir, "documents").select(
+    d = spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang", "text", F.split("text", " ").alias("toks")
     )
     t = F.col("toks")
@@ -193,7 +193,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc count is a literal-ish 1-row stat. Ties broken by word asc.
     """
     prepare(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -262,7 +262,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language score columns + argmax.)
     """
     prepare(spark)
-    d = load(spark, sf_dir, "documents").select(
+    d = spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang", F.split("text", " ").alias("toks")
     )
     t = F.col("toks")
@@ -303,7 +303,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 token counting: whitespace split + BPE-ish regex segmentation."""
     prepare(spark)
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
     return d.select(
         "doc_id",
         F.size(F.split("text", r"\s+")).cast("long").alias("ws_tokens"),
@@ -377,7 +377,7 @@ def wordstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     ln = F.length("word").cast("long")
     return (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .agg(
@@ -447,7 +447,7 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare(spark)
     counts = (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
@@ -537,7 +537,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is TakeOrderedAndProject, never a global sort.
     """
     prepare(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     base = docs.select("doc_id", toks.alias("t")).select(
         "doc_id", "t", F.size("t").alias("dl")
@@ -666,7 +666,7 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side count. Two token-keyed shuffles + one doc-keyed reduce.
     """
     prepare(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -738,7 +738,7 @@ def feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare(spark)
     tok = (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
     )
@@ -818,7 +818,7 @@ def vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prepare(spark)
     v = (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
@@ -907,7 +907,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles total.
     """
     prepare(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
     tok = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -958,7 +958,7 @@ def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     s = F.split("text", r"\. ")
     slen = F.transform(s, lambda x: F.length(x).cast("long"))
-    return load(spark, sf_dir, "documents").select(
+    return spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.size(s).cast("long").alias("n_sentences"),
         F.length("text").cast("long").alias("n_chars"),
@@ -1028,7 +1028,7 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare(spark)
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
-    d = load(spark, sf_dir, "documents").select(toks.alias("t")).filter(
+    d = spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet").select(toks.alias("t")).filter(
         F.size("t") >= 2
     )
     pairs = d.select(
@@ -1116,7 +1116,7 @@ def token_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter keeps the engines aligned rather than relying on that).
     """
     prepare(spark)
-    tok = load(spark, sf_dir, "documents").select(
+    tok = spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet").select(
         F.explode(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).alias(
             "t"
         )

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ls_hadoop_3_0_spark.registry import query
 from ls_hadoop_3_0_spark.session import prepare
-from ls_hadoop_3_0_spark.tables import load
+from ls_hadoop_3_0_spark.tables import load, spread
 
 #: Chunking geometry: 16-token windows advancing 12 tokens (4 overlap).
 CHUNK_SIZE = 16
@@ -162,7 +162,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     nz = F.nullif(n, F.lit(0))
     stop_arr = F.array(*[F.lit(w) for w in _STOP])
     m = (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .select("doc_id", toks.alias("t"))
         .select(
             "doc_id",
@@ -259,7 +259,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     t = (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= CONTAM_GRAM)
     )
@@ -382,7 +382,7 @@ def contamination_check_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-join distinct would shuffle the whole gram stream for nothing
     # (measured 91 s → 46 s at the 100× corpus).
     corp = (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= CONTAM_GRAM)
         .select("doc_id", F.explode(F.expr(gram_expr)).alias("gram"))
@@ -481,7 +481,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n in (2, 3, 4, 5)
     )
     g = (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .select("doc_id", toks.alias("t"))
         .select("doc_id", F.explode(F.expr(f"flatten(array({arms}))")).alias("s"))
         .select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
@@ -813,7 +813,7 @@ def quality_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" i -> array_join(slice(t, i, {n}), ' '))"
     )
     t = (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= n)
     )

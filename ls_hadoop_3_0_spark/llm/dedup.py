@@ -41,7 +41,7 @@ from ls_hadoop_3_0_spark.llm.embeddings import (
 )
 from ls_hadoop_3_0_spark.registry import query
 from ls_hadoop_3_0_spark.session import prepare
-from ls_hadoop_3_0_spark.tables import load
+from ls_hadoop_3_0_spark.tables import load, spread
 
 N_HASHES = 12
 N_BANDS = 4
@@ -65,7 +65,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 exact dedup: normalized-content hash → keep min doc_id per group."""
     prepare(spark)
     return (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet", min_rows_per_split=2_000)
         .groupBy(F.md5(F.lower(F.trim("text"))).alias("content_hash"))
         .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
     )
@@ -83,9 +83,7 @@ def _shingled(docs: DataFrame) -> DataFrame:
     many-file 100 TB corpus the scan already has thousands of splits
     and this is a no-op (no gratuitous corpus shuffle at scale).
     """
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+    docs = spread(docs)
     return (
         docs.select(
             "doc_id", F.expr("filter(split(text, ' '), t -> t <> '')").alias("w")
@@ -330,7 +328,7 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     its b=4, r=3 S-curve choice.
     """
     prepare(spark)
-    sh, cand = minhash_candidates(load(spark, sf_dir, "documents"))
+    sh, cand = minhash_candidates(spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet", min_rows_per_split=2_000))
     ex = sh.select("doc_id", F.explode("shingles").alias("g"))
     shared = (
         ex.select(F.col("doc_id").alias("doc_a"), "g")
@@ -766,7 +764,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on md5 hex — bit-identical in both engines.
     """
     prepare(spark)
-    sigs = simhash_signatures(load(spark, sf_dir, "documents")).localCheckpoint(
+    sigs = simhash_signatures(spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet", min_rows_per_split=2_000)).localCheckpoint(
         eager=False
     )
     bands = simhash_bands(sigs)
@@ -916,6 +914,15 @@ def ngram_pairs(
     never materialize. The Jaccard domain is the filtered gram sets on
     BOTH engines — boilerplate carries no signal, and keeping it would
     reintroduce the k² hot key that the cap exists to kill.
+
+    Join strategy (r9): shuffle_hash, not merge — the gram-match join
+    keys are short strings whose sort buys nothing (measured at the 10×
+    replica: 31.6 s SMJ → 28.4 s SHJ), the hint still vetoes a static
+    broadcast of the corpus-sized sides, and when the DF cap empties
+    the rare-gram table (the 100× exact-dup replica: every gram becomes
+    ≥100-doc boilerplate — degenerate BY DESIGN) AQE propagates the
+    empty build through SHJ and short-circuits the probe (215 s → 2.7 s
+    there), where SMJ sorted the probe side before discovering it.
     """
     rare = rare_grams(_grammed(docs), max_df).localCheckpoint(eager=False)
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -924,7 +931,7 @@ def ngram_pairs(
         F.col("source").alias("source_b"),
         F.col("gram").alias("gram_b"),
         F.col("doc_id").alias("doc_b"),
-    ).hint("merge")  # exploded-gram table: corpus-sized, never broadcast
+    ).hint("shuffle_hash")  # exploded-gram table: corpus-sized, never broadcast
     inter = (
         a.join(
             b,
@@ -935,8 +942,8 @@ def ngram_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a")).hint("merge")
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b")).hint("merge")
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a")).hint("shuffle_hash")
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b")).hint("shuffle_hash")
     jac = F.round(
         F.col("n_inter").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -958,7 +965,7 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DF-capped sparse formulation and its scale rationale.
     """
     prepare(spark)
-    return ngram_pairs(load(spark, sf_dir, "documents"))
+    return ngram_pairs(spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet", min_rows_per_split=2_000))
 
 
 DEDUP_CLUSTERS_SQL = f"""
@@ -1112,7 +1119,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachable count equals component size.)
     """
     prepare(spark)
-    pairs = minhash_pairs(load(spark, sf_dir, "documents"))
+    pairs = minhash_pairs(spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet", min_rows_per_split=2_000))
     comps = connected_components(pairs)
     sizes = comps.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
     return comps.join(sizes.hint("merge"), "cluster_id").select(
@@ -1370,7 +1377,7 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangular and engine-order-independent.
     """
     prepare(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet", min_rows_per_split=2_000)
     pairs = minhash_pairs(docs)
     src = docs.select("doc_id", "source")
     lab = (

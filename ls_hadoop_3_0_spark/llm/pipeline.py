@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ls_hadoop_3_0_spark.llm.dedup import minhash_pairs, minhash_pairs_sql
 from ls_hadoop_3_0_spark.registry import query
 from ls_hadoop_3_0_spark.session import prepare
-from ls_hadoop_3_0_spark.tables import load
+from ls_hadoop_3_0_spark.tables import load, spread
 
 KEEP_LANGS = ("en", "de", "es", "fr")
 MIN_TOKENS = 10
@@ -190,7 +190,7 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     t = (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .select("doc_id", "source", "text", toks.alias("t"))
         # Deliberately NOT checkpointed although 3 gate branches read it:
         # re-scanning compressed parquet per branch beats materializing
@@ -297,7 +297,7 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1-X4 composed: the curation run a reference user would schedule."""
     prepare(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
     norm = F.lower(F.trim("text"))
     toks = F.expr("filter(split(lower(trim(text)), ' '), t -> t <> '')")
     cleaned = (
@@ -442,7 +442,7 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # content_hash is computed MAP-SIDE here and `text` dropped before
     # any join: the pool's doc-keyed shuffles then carry a 32-char hash
     # instead of full documents (87.7 s -> 52.0 s at the 100x replica).
-    t = load(spark, sf_dir, "documents").select(
+    t = spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet").select(
         "doc_id",
         "source",
         "text",

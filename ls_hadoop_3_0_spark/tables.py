@@ -58,6 +58,59 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (source path, defaultParallelism, threshold) -> should we re-split?
+_SPREAD_CACHE: dict[tuple[str | None, int, int], bool] = {}
+
+
+def spread(
+    df: DataFrame,
+    src_path: str | None = None,
+    min_rows_per_split: int = 20_000,
+) -> DataFrame:
+    """Raise map-side parallelism when the source badly under-splits.
+
+    Text compresses so well that a whole corpus can arrive as a handful
+    of parquet splits (the 100× replica is 500 k docs in one 4.4 MB
+    file → a 2-task scan, and parquet cannot split below a row-group
+    boundary) — and tokenize/explode/partial-aggregate work is MAP-SIDE,
+    inheriting scan parallelism: quality_repetition measured 436 s at
+    100× with 30 of 32 cores idle. Round-robin to the cluster's default
+    parallelism ONLY when (a) the scan under-splits AND (b) the footer
+    row count says each missing core forgoes real map work
+    (``min_rows_per_split`` rows per existing split — measured: the
+    extra exchange costs ~0.3-0.6 s at sf0.1, so re-splitting a 5 k-doc
+    fixture LOSES time for cheap per-row work, while md5-heavy callers
+    pass a lower threshold because they win even there). On a real
+    many-file 100 TB corpus the scan has thousands of splits and this
+    is a no-op — no gratuitous corpus shuffle at scale. Apply to keys
+    whose downstream work is explode/token-heavy; pure per-row map keys
+    keep their zero-shuffle plans (their design claim) instead.
+
+    The split probe (``df.rdd.getNumPartitions``) costs ~200 ms of
+    driver-side plan conversion per call, so the verdict is cached per
+    (source, parallelism, threshold) when ``src_path`` is given. Without
+    a path the row count is unknown and under-split alone decides
+    (the pre-r9 behavior, for DataFrame-only call sites).
+    """
+    sc = df.sparkSession.sparkContext
+    key = (src_path, sc.defaultParallelism, min_rows_per_split)
+    need = _SPREAD_CACHE.get(key) if src_path else None
+    if need is None:
+        n_parts = df.rdd.getNumPartitions()
+        need = n_parts < sc.defaultParallelism
+        if need and src_path:
+            try:
+                import pyarrow.parquet as pq
+
+                rows = pq.ParquetFile(src_path).metadata.num_rows
+                need = rows / max(n_parts, 1) > min_rows_per_split
+            except Exception:  # noqa: BLE001 - non-parquet/remote: keep old rule
+                pass
+        if src_path:
+            _SPREAD_CACHE[key] = need
+    return df.repartition(sc.defaultParallelism) if need else df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 

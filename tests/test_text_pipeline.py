@@ -161,7 +161,10 @@ def test_repetition_flags_handcrafted_docs(spark, tmp_path):
 def test_repetition_metrics_bounded_and_two_shuffles(spark):
     # Count on a fresh plan: after .collect() AQE's final plan re-prints
     # exchanges (AQEShuffleRead wrappers) and double-counts.
-    assert checks.shuffle_count(quality_repetition(spark, SF_DIR)) == 2
+    # 2 doc-keyed shuffles + at most 1 spread() round-robin of the raw
+    # docs when the fixture scan under-splits (a no-op on a real
+    # many-split corpus — see tables.spread).
+    assert checks.shuffle_count(quality_repetition(spark, SF_DIR)) <= 3
     df = quality_repetition(spark, SF_DIR)
     rows = df.collect()
     n_docs = load(spark, SF_DIR, "documents").filter(F.length("text") > 0).count()
