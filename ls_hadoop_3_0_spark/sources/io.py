@@ -1232,6 +1232,159 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pushdown demo predicate constants — shared by the Spark query, the
+#: oracle SQL, and the partition-prune test so they cannot drift apart.
+_PYDS_MIN_PART = 5
+_PYDS_MAX_ROWID = 13_000
+_PYDS_NEEDLE = "ab"
+
+
+def _pyds_pushdown_scan(spark: SparkSession):
+    """Build (and register) the pushdown-capable synthlog scan.
+
+    Returns the FILTERED DataFrame (pre-aggregation) so tests can assert
+    the planned partition count directly: with the `part >= 5` and
+    `row_id < 13000` predicates consumed by the reader, only partitions
+    5 and 6 are planned (part 7 starts at row 14000), i.e. 2 of 8.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+    )
+
+    rows_per_part = _PYDS_ROWS
+
+    class PushdownLogReader(DataSourceReader):
+        def __init__(self, options):
+            self.parts = int(options.get("parts", str(_PYDS_PARTS)))
+            self.min_part = 0
+            self.max_rowid = None
+            self.n_pushed = 0
+
+        def pushFilters(self, filters):
+            # Consume what the generator can evaluate natively; yield the
+            # rest back to Spark (the API contract: returned filters are
+            # re-applied post-scan — e.g. the StringContains probe).
+            for f in filters:
+                if isinstance(f, GreaterThanOrEqual) and f.attribute == ("part",):
+                    self.min_part = max(self.min_part, int(f.value))
+                    self.n_pushed += 1
+                elif isinstance(f, LessThan) and f.attribute == ("row_id",):
+                    mr = int(f.value)
+                    self.max_rowid = mr if self.max_rowid is None else min(self.max_rowid, mr)
+                    self.n_pushed += 1
+                else:
+                    yield f
+
+        def partitions(self):
+            # Partition pruning from the consumed filters: a partition
+            # whose row range cannot match is never planned or read.
+            out = []
+            for p in range(self.min_part, self.parts):
+                if self.max_rowid is not None and p * rows_per_part >= self.max_rowid:
+                    continue
+                out.append(InputPartition(p))
+            return out
+
+        def read(self, partition):
+            import hashlib
+
+            p = partition.value
+            base = p * rows_per_part
+            hi = base + rows_per_part
+            if self.max_rowid is not None:
+                hi = min(hi, self.max_rowid)
+            for i in range(base, hi):
+                yield (i, p, hashlib.md5(str(i).encode()).hexdigest(), self.n_pushed)
+
+    class PushdownLogDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthlog_pushdown"
+
+        def schema(self):
+            return "row_id bigint, part int, payload string, pushed int"
+
+        def reader(self, schema):
+            return PushdownLogReader(self.options)
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PushdownLogDataSource)
+    return (
+        spark.read.format("synthlog_pushdown")
+        .option("parts", str(_PYDS_PARTS))
+        .load()
+        .filter(
+            (F.col("part") >= _PYDS_MIN_PART)
+            & (F.col("row_id") < _PYDS_MAX_ROWID)
+            & F.col("payload").contains(_PYDS_NEEDLE)
+        )
+    )
+
+
+@query(
+    "scan_python_pushdown",
+    f"""
+    WITH ids AS (
+        SELECT unnest(generate_series(0, {_PYDS_PARTS * _PYDS_ROWS - 1}))
+            AS row_id
+    ),
+    r AS (
+        SELECT row_id,
+               CAST(floor(row_id / {_PYDS_ROWS}.0) AS INT) AS part,
+               md5(CAST(row_id AS VARCHAR)) AS payload
+        FROM ids
+    )
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(row_id) AS BIGINT) AS sum_ids,
+           CAST(SUM({_pyds_u24('payload')}) AS BIGINT) AS payload_u24,
+           CAST(2 AS BIGINT) AS filters_pushed
+    FROM r
+    WHERE part >= {_PYDS_MIN_PART} AND row_id < {_PYDS_MAX_ROWID}
+      AND payload LIKE '%{_PYDS_NEEDLE}%'
+    GROUP BY part
+    """,
+)
+def scan_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-EXT Python DataSource FILTER PUSHDOWN (r9 verdict missing #1).
+
+    `scan_python_datasource` proves the connector contract; this key
+    proves the reader implements ``DataSourceReader.pushFilters`` (Spark
+    4.1's python-side predicate pushdown, gated behind
+    ``spark.sql.python.filterPushdown.enabled``) — the difference, on a
+    federated 100 TB-remote connector, between scanning the remote
+    system and scanning a WHERE clause. Three legs, all oracle-checked:
+
+    - PARTITION PRUNING: the consumed `part >= 5` / `row_id < 13000`
+      range predicates shrink ``partitions()`` to 2 of 8 splits
+      (asserted planned-count == 2 in tests/test_r10_keys.py) and bound
+      row generation inside each split, so pruned data is never
+      produced, shipped, or filtered.
+    - PARTIAL PUSHDOWN: the ``payload LIKE '%ab%'`` StringContains probe
+      is yielded back unsupported, and Spark re-applies it post-scan —
+      the oracle's LIKE reproduces it, proving consumed+returned filters
+      compose to exactly the original predicate.
+    - CONSUMPTION EVIDENCE IN-DATA: every emitted row carries the
+      reader's own count of consumed filters (``pushed``); the digest
+      takes max(pushed) per group and the oracle pins it to 2. If the
+      pushdown path regresses (conf off, API change), the reader sees
+      zero filters, emits pushed=0 — and the value hash fails. The
+      evidence is produced by the executing reader, never a literal on
+      the Spark side (r7 matches_batch rule).
+    """
+    prepare(spark)
+    df = _pyds_pushdown_scan(spark)
+    return df.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("row_id").alias("sum_ids"),
+        F.sum(F.expr(_pyds_u24("payload"))).alias("payload_u24"),
+        F.max("pushed").cast("bigint").alias("filters_pushed"),
+    )
+
+
 @query(
     "sink_python_datasource",
     f"""

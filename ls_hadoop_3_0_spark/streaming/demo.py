@@ -398,6 +398,83 @@ def stateful_user_listmap_tws(events: DataFrame) -> DataFrame:
         )
 
 
+def stateful_user_totals_ttl_tws(events: DataFrame) -> DataFrame:
+    """T6 with EXECUTED timers: TTL-style flush-on-expiry (r9 verdict #3).
+
+    The state-expiry pattern real sessionization needs at 100 TB to
+    bound state: every batch the processor accumulates integer totals
+    per user AND ``registerTimer``s an already-expired processing-time
+    timer; when the timer fires (next micro-batch — ProcessingTime
+    timeMode keeps batches coming even after the source drains),
+    ``handleExpiredTimer`` FLUSHES the frozen totals as an output row
+    and clears the state. Each event is therefore counted in exactly
+    one flush — per-user SUMS over the flush rows are invariant to how
+    the trigger splits batches, which is what keeps the key
+    oracle-exact despite wall-clock timers being nondeterministic.
+
+    Integer-only state (pre-quantized sv longs, the dsum invariant):
+    no float crosses the python state boundary.
+    """
+    import pandas as pd
+
+    from ls_hadoop_3_0_spark import vendor
+    from ls_hadoop_3_0_spark.exprs import SCALE
+
+    vendor.ensure_protobuf(events.sparkSession)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TtlFlush(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._totals = handle.getValueState("totals", "n BIGINT, sv BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, sv = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    sv += int(pdf["sv"].sum())  # int64 sum — exact
+            self._totals.update((n, sv))
+            # Already-expired: fires at the next micro-batch boundary.
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() - 1
+            )
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # Flush exactly the unflushed events; absent state (already
+            # flushed, no new data) emits nothing — so late duplicate
+            # timers are harmless and every event lands in ONE flush.
+            if self._totals.exists():
+                n, sv = self._totals.get()
+                self._totals.clear()
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n": [n], "sv": [sv]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = events.select(
+        "user_id",
+        F.round(F.col("value") * F.lit(SCALE)).cast("long").alias("sv"),
+    )
+    with vendor.tws_protobuf_shim():
+        return stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TtlFlush(),
+            outputStructType="user_id long, n BIGINT, sv BIGINT",
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DataFrame to completion into a memory sink.
 

@@ -99,16 +99,53 @@ def spread(
         n_parts = df.rdd.getNumPartitions()
         need = n_parts < sc.defaultParallelism
         if need and src_path:
-            try:
-                import pyarrow.parquet as pq
-
-                rows = pq.ParquetFile(src_path).metadata.num_rows
+            rows = _parquet_rows(src_path)
+            if rows is not None:
                 need = rows / max(n_parts, 1) > min_rows_per_split
-            except Exception:  # noqa: BLE001 - non-parquet/remote: keep old rule
-                pass
         if src_path:
             _SPREAD_CACHE[key] = need
     return df.repartition(sc.defaultParallelism) if need else df
+
+
+def _parquet_rows(src_path: str) -> int | None:
+    """Footer row count of a parquet source — single file OR directory.
+
+    Every Spark-written dataset is a DIRECTORY of part files; the r9 cut
+    probed it with ``pq.ParquetFile`` (single-file only), so the
+    ``min_rows_per_split`` guard was silently bypassed for the common
+    layout (ADVICE r9, high). Directories resolve by summing the
+    per-fragment footer counts — metadata-only, no data read. When the
+    probe is genuinely impossible (non-parquet, remote FS without a
+    local path) we warn ONCE and return None so the caller falls back to
+    the under-split-only rule VISIBLY instead of silently.
+    """
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(src_path):
+            total = 0
+            for root, _dirs, files in os.walk(src_path):
+                for f in files:
+                    if f.endswith(".parquet") and not f.startswith((".", "_")):
+                        total += pq.read_metadata(os.path.join(root, f)).num_rows
+            return total
+        return pq.ParquetFile(src_path).metadata.num_rows
+    except Exception as exc:  # noqa: BLE001 - non-parquet/remote source
+        if src_path not in _PROBE_WARNED:
+            _PROBE_WARNED.add(src_path)
+            import warnings
+
+            warnings.warn(
+                f"spread(): row-count probe failed for {src_path!r} ({exc!r}); "
+                "falling back to the under-split-only rule",
+                stacklevel=3,
+            )
+        return None
+
+
+_PROBE_WARNED: set[str] = set()
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,51 @@
+"""r10 keys: Python DataSource filter pushdown + TWS timer execution."""
+
+from __future__ import annotations
+
+import pytest
+
+import ls_hadoop_3_0_spark as engine
+from ls_hadoop_3_0_spark.sources.io import _PYDS_PARTS, _pyds_pushdown_scan
+
+from .conftest import SF_DIR
+
+
+def test_pyds_pushdown_prunes_partitions(spark):
+    """pushFilters-consumed range predicates must shrink the PLANNED
+    input partitions: only parts 5 and 6 can match part>=5 AND
+    row_id<13000, so 2 of 8 splits are planned (the unfiltered sibling
+    `scan_python_datasource` plans all 8 — tests/test_r8b_keys.py)."""
+    scan = _pyds_pushdown_scan(spark)
+    assert scan.rdd.getNumPartitions() == 2
+
+
+def test_pyds_pushdown_conf_gate_is_real(spark):
+    """Spark 4.1 hard-errors when a reader implements pushFilters but
+    the pushdown conf is off (DATA_SOURCE_PUSHDOWN_DISABLED) — the error
+    itself proves our reader genuinely overrides pushFilters (a reader
+    inheriting the default would analyze fine)."""
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    _pyds_pushdown_scan(spark)  # registers the source, enables the conf
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        bad = (
+            spark.read.format("synthlog_pushdown")
+            .option("parts", str(_PYDS_PARTS))
+            .load()
+            .filter(F.col("part") >= 5)
+        )
+        with pytest.raises(AnalysisException, match="PUSHDOWN_DISABLED"):
+            bad.rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def test_pyds_pushdown_consumption_evidence(spark):
+    """Every surviving row must carry the reader's own consumed-filter
+    count (2) — produced by the executing reader, not a literal."""
+    rows = engine.QUERIES["scan_python_pushdown"](spark, SF_DIR).collect()
+    assert {r["part"] for r in rows} == {5, 6}
+    assert all(r["filters_pushed"] == 2 for r in rows)
+    assert all(r["n_rows"] > 0 for r in rows)

@@ -1,0 +1,72 @@
+"""Mechanical 2×-gate check: diff a bench JSON against governing baselines.
+
+Usage:
+    python tools/check_bench.py [bench.json]   # default: newest BENCH_LOCAL_r*.json
+
+Prints every key whose in-suite timing exceeds 1.5× of its governing
+baseline (the documented shared-JVM inflation band tops out there — keys
+above it deserve a focused min-of-2 re-measure before calling drift),
+and exits 1 if any key exceeds the binding 2× gate (BASELINE.json B2)
+or the run has failures. Sub-0.5 s baselines use an absolute floor
+(+0.5 s) before ratio-flagging — a 0.2 s → 0.45 s wobble is host noise,
+not a regression signal.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from dump_baselines import governing_table  # noqa: E402
+
+ABS_FLOOR = 0.5  # seconds added to the threshold for tiny baselines
+
+
+def main() -> int:
+    if len(sys.argv) > 1:
+        path = sys.argv[1]
+    else:
+        cands = sorted(glob.glob(os.path.join(REPO, "BENCH_LOCAL_r*.json")))
+        if not cands:
+            print("no BENCH_LOCAL_r*.json found and no path given")
+            return 2
+        path = cands[-1]
+    with open(path) as fh:
+        data = json.loads(fh.read().strip().splitlines()[-1])
+    timings = data.get("queries", {})
+    baselines = governing_table()
+
+    bad = False
+    if data.get("failed"):
+        print(f"FAILED KEYS in {os.path.basename(path)}: {data['failed']}")
+        bad = True
+
+    warned = 0
+    for key in sorted(timings):
+        sec = timings[key]
+        if sec < 0 or key not in baselines:
+            continue
+        base, src = baselines[key]
+        if sec > 2.0 * base + ABS_FLOOR:
+            print(f"GATE  {key}: {sec:.2f}s > 2x of {base:.2f}s ({src})")
+            bad = True
+            warned += 1
+        elif sec > 1.5 * base + ABS_FLOOR:
+            print(f"WARN  {key}: {sec:.2f}s > 1.5x of {base:.2f}s ({src})")
+            warned += 1
+    nb = sum(1 for k in timings if k in baselines)
+    print(
+        f"checked {nb}/{len(timings)} keys of {os.path.basename(path)} "
+        f"against governing baselines; {warned} above 1.5x "
+        f"({'GATE VIOLATION' if bad else 'gate OK'})"
+    )
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
