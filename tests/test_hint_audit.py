@@ -56,7 +56,12 @@ HINT_ALLOWANCE: dict[str, tuple[int, str]] = {
     "anomaly_zscore": (1, "per-event-type stats (type vocabulary)"),
     "bm25_topk": (1, "doc frequencies of the fixed query terms"),
     "contamination_check_v2": (1, "benchmark eval-set grams (design-bounded)"),
-    "dedup_recall_v2": (3, "fixed-id panel grams/sizes/band-signatures"),
+    "dedup_recall_v2": (
+        5,
+        "fixed-id panel grams/sizes/band-signatures; the r10 cap-guard "
+        "arm re-references the panel-sizes broadcast (same design-"
+        "bounded side, counted once per plan branch)",
+    ),
     "doc_pack": (1, "per-partition prefix-sum offsets (metadata)"),
     "embedding_norm_outliers": (1, "1-row norm stats"),
     "eval_confusion": (2, "k centroids + label stats (label vocabulary)"),

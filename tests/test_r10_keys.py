@@ -42,6 +42,56 @@ def test_pyds_pushdown_conf_gate_is_real(spark):
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
+def test_minhash_class_collapse_equivalence(spark):
+    """The adaptive exact-class collapse must produce EXACTLY the
+    direct pipeline's pairs and component labels on a duplicate-heavy
+    corpus (every doc duplicated once — the probe picks the collapsed
+    path; the direct result is computed by bypassing the probe)."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.llm import dedup
+    from ls_hadoop_3_0_spark.tables import load
+
+    base = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs = base.unionAll(
+        base.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    assert dedup._dup_ratio_material(docs), "probe must pick collapse"
+
+    sh, cand = dedup.minhash_candidates(docs)
+    direct = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup._verify_pairs(sh, cand, dedup.MINHASH_JACCARD_T).collect()
+    }
+    collapsed = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_pairs(docs).collect()
+    }
+    assert collapsed == direct and len(direct) > 0
+
+    direct_labels = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(
+            dedup._verify_pairs(sh, cand, dedup.MINHASH_JACCARD_T)
+        ).collect()
+    }
+    collapsed_labels = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.minhash_components(docs).collect()
+    }
+    assert collapsed_labels == direct_labels and len(direct_labels) > 0
+
+
+def test_dup_probe_is_conservative_on_fixture(spark):
+    """The driver fixtures are near-duplicate-free — the probe must pick
+    the DIRECT path there (no class/expansion shuffles added to the
+    stamped keys' plans at fixture scale)."""
+    from ls_hadoop_3_0_spark.llm import dedup
+    from ls_hadoop_3_0_spark.tables import load
+
+    assert not dedup._dup_ratio_material(load(spark, SF_DIR, "documents"))
+
+
 def test_pyds_pushdown_consumption_evidence(spark):
     """Every surviving row must carry the reader's own consumed-filter
     count (2) — produced by the executing reader, not a literal."""
