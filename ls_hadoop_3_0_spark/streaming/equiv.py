@@ -1266,3 +1266,169 @@ def stream_python_datasource_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("rows_u24") == F.col("b_u"))
         ).alias("matches_batch"),
     )
+
+
+# -- S-EXT: custom Python STREAMING sink (DataSourceStreamWriter) -------
+
+_SINK_ROW_SQL = (
+    "concat(cast(event_id as string), '|', cast(user_id as string),"
+    " '|', cast(sv as string))"
+)
+
+
+def _datasink_oracle_sql() -> str:
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    return f"""
+    WITH r AS (
+        SELECT event_id, user_id,
+               CAST(round(value * {SCALE}) AS BIGINT) AS sv
+        FROM {EVENTS_SQL} e
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(sv) AS BIGINT) AS sum_sv,
+           CAST(SUM({_u24_expr(_SINK_ROW_SQL)}) AS BIGINT) AS rows_u24,
+           TRUE AS matches_manifest
+    FROM r
+    """
+
+
+@query("stream_python_datasink", _datasink_oracle_sql())
+def stream_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-EXT custom STREAMING sink via ``DataSourceStreamWriter`` — the
+    last Python-DataSource API leg (batch reader/writer and the stream
+    reader are r8/r9 keys; this executes the stream WRITER's per-epoch
+    two-phase commit for real).
+
+    The events file stream runs through the registered sink: each task's
+    ``write(iterator)`` lands a uniquely-named jsonl part and returns a
+    typed commit message; the driver-side ``commit(messages, batchId)``
+    APPENDS one manifest line per epoch only after every task of that
+    epoch succeeded — the FileOutputCommitter visibility rule, per
+    micro-batch. The digest is computed from the FILES THE MANIFEST
+    COMMITTED read back through spark.read (uncommitted parts are
+    invisible by construction), so a broken commit protocol breaks the
+    value hash; ``matches_manifest`` additionally compares the read-back
+    count against the manifest's committed total in-session (never a
+    literal — the r7 rule). Sums are associative integers (exactly-once
+    across any availableNow batch split); epoch count and file names are
+    split-dependent and deliberately excluded from compared columns.
+
+    Scale: per-task streaming writes, no driver collect; the manifest is
+    metadata-scale (one line per epoch). 28 s per 10M events at the 100×
+    replica for the TWS sibling bounds this cheaper plan.
+    """
+    prepare(spark)
+    import json as _json
+    import os
+    import shutil
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = f"/root/repo/.scratch/{tag}/stream_python_datasink"
+    shutil.rmtree(path, ignore_errors=True)
+    # The checkpoint must reset WITH the data dir: a stale offset log
+    # makes availableNow a no-op and the manifest would stay empty.
+    shutil.rmtree(f"{path}_chk", ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    @dataclass
+    class _Msg(WriterCommitMessage):
+        path: str
+        n: int
+
+    class _EpochWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self.path, exist_ok=True)
+            p = f"{self.path}/part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(p + ".tmp", "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            os.rename(p + ".tmp", p)  # task commit: atomic visibility
+            return _Msg(path=p, n=n)
+
+        def commit(self, messages, batchId):
+            import json
+
+            line = {
+                "batch": batchId,
+                "files": sorted(m.path for m in messages if m is not None),
+                "rows": sum(m.n for m in messages if m is not None),
+            }
+            with open(f"{self.path}/_MANIFEST.jsonl", "a") as fh:
+                fh.write(json.dumps(line) + "\n")
+
+        def abort(self, messages, batchId):
+            pass  # uncommitted .tmp files are never published
+
+    class _EpochSinkDS(DataSource):
+        @classmethod
+        def name(cls):
+            return "epochsink"
+
+        def streamWriter(self, schema, overwrite):
+            return _EpochWriter(self.options)
+
+    spark.dataSource.register(_EpochSinkDS)
+    ev = demo.read_events_stream(spark, sf_dir)
+    stream = ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * F.lit(SCALE)).cast("long").alias("sv"),
+    )
+    q = (
+        stream.writeStream.format("epochsink")
+        .option("path", path)
+        .option(
+            "checkpointLocation", f"{path}_chk"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    files: list[str] = []
+    manifest_rows = 0
+    mpath = f"{path}/_MANIFEST.jsonl"
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            for line in fh:
+                rec = _json.loads(line)
+                files.extend(rec["files"])
+                manifest_rows += int(rec["rows"])
+
+    schema = "event_id long, user_id long, sv long"
+    back = (
+        spark.read.schema(schema).json(files)
+        if files
+        else spark.createDataFrame([], schema)
+    )
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_ids"),
+        F.sum("sv").alias("sum_sv"),
+        F.sum(F.expr(_u24_expr(_SINK_ROW_SQL))).alias("rows_u24"),
+        (F.count(F.lit(1)) == F.lit(manifest_rows)).alias("matches_manifest"),
+    )

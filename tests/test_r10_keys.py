@@ -99,3 +99,21 @@ def test_pyds_pushdown_consumption_evidence(spark):
     assert {r["part"] for r in rows} == {5, 6}
     assert all(r["filters_pushed"] == 2 for r in rows)
     assert all(r["n_rows"] > 0 for r in rows)
+
+
+@pytest.mark.streaming
+def test_stream_python_datasink_two_phase(spark):
+    """The streaming Python sink must publish rows only through the
+    per-epoch manifest (task part files + driver commit line), leave no
+    uncommitted .tmp residue, and read back exactly the committed
+    total."""
+    import glob
+    import os
+
+    row = engine.QUERIES["stream_python_datasink"](spark, SF_DIR).collect()[0]
+    assert row["matches_manifest"] is True
+    assert row["n_rows"] > 0
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    path = f"/root/repo/.scratch/{tag}/stream_python_datasink"
+    assert os.path.exists(f"{path}/_MANIFEST.jsonl")
+    assert not glob.glob(f"{path}/*.tmp"), "uncommitted task files leaked"
