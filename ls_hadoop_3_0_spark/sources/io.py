@@ -1513,3 +1513,142 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(u24).alias("rows_u24"),
         (F.count(F.lit(1)) == F.lit(manifest_rows)).alias("matches_manifest"),
     )
+
+
+@query(
+    "sink_python_datasource_arrow",
+    f"""
+    WITH s AS (
+        SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_orderkey % 100 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(SUM({{u24}}) AS BIGINT) AS rows_u24,
+           TRUE AS matches_manifest
+    FROM s
+    """.replace(
+        "{u24}",
+        " + ".join(
+            f"(instr('0123456789abcdef', substr(md5(CAST(o_orderkey"
+            f" AS VARCHAR) || '|' || o_orderpriority), {i}, 1)) - 1)"
+            f" * {16 ** (6 - i)}"
+            for i in range(1, 7)
+        ),
+    ),
+)
+def sink_python_datasource_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-EXT Arrow-NATIVE custom sink (``DataSourceArrowWriter``) — the
+    throughput rung of the Python writer ladder.
+
+    `sink_python_datasource` proves the writer contract with row-at-a-
+    time ``Iterator[Row]``; this twin receives ``pyarrow.RecordBatch``es
+    (zero row-by-row python objects on the wire — the Arrow batch
+    transfer that makes a python connector viable at 100 TB ingest
+    rates) and lands each task's batches as ONE parquet part via
+    pyarrow, under the same two-phase manifest protocol: task-commit by
+    atomic rename, driver commit publishes the manifest only after all
+    tasks succeed. Digest is computed from the read-back parquet
+    (Spark's own parquet scan — so the Arrow bytes round-trip through a
+    second independent reader) and ``matches_manifest`` compares the
+    read-back count to the manifest total in-session.
+    """
+    prepare(spark)
+    import json as _json
+    import shutil
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        WriterCommitMessage,
+    )
+
+    path = scratch(sf_dir, "sink_python_datasource_arrow")
+    shutil.rmtree(path, ignore_errors=True)
+
+    @dataclass
+    class _Msg(WriterCommitMessage):
+        path: str
+        n: int
+
+    class _ArrowWriter(DataSourceArrowWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import os
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self.path, exist_ok=True)
+            p = f"{self.path}/part-{pid:05d}.parquet"
+            batches = [b for b in iterator if b.num_rows]
+            n = sum(b.num_rows for b in batches)
+            if batches:
+                table = pa.Table.from_batches(batches)
+            else:
+                table = pa.table(
+                    {"o_orderkey": pa.array([], pa.int64()),
+                     "o_orderpriority": pa.array([], pa.string())}
+                )
+            pq.write_table(table, p + ".tmp")
+            os.rename(p + ".tmp", p)  # task commit: atomic visibility
+            return _Msg(path=p, n=n)
+
+        def commit(self, messages):
+            import json
+
+            manifest = {
+                "files": sorted(m.path for m in messages),
+                "rows": sum(m.n for m in messages),
+            }
+            with open(f"{self.path}/_MANIFEST.json", "w") as fh:
+                json.dump(manifest, fh)
+
+        def abort(self, messages):
+            pass  # uncommitted .tmp files are never published
+
+    class _ArrowSinkDS(DataSource):
+        @classmethod
+        def name(cls):
+            return "manifestsink_arrow"
+
+        def writer(self, schema, overwrite):
+            return _ArrowWriter(self.options)
+
+    spark.dataSource.register(_ArrowSinkDS)
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    (
+        src.write.format("manifestsink_arrow")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    with open(f"{path}/_MANIFEST.json") as fh:
+        manifest_rows = int(_json.load(fh)["rows"])  # committed total
+    back = spark.read.schema("o_orderkey long, o_orderpriority string").parquet(
+        f"{path}/part-*.parquet"
+    )
+    u24 = F.expr(
+        " + ".join(
+            f"(instr('0123456789abcdef', substr(md5(concat(CAST(o_orderkey"
+            f" AS STRING), '|', o_orderpriority)), {i}, 1)) - 1)"
+            f" * {16 ** (6 - i)}"
+            for i in range(1, 7)
+        )
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_keys"),
+        F.sum(u24).alias("rows_u24"),
+        (F.count(F.lit(1)) == F.lit(manifest_rows)).alias("matches_manifest"),
+    )

@@ -1432,3 +1432,63 @@ def stream_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(_u24_expr(_SINK_ROW_SQL))).alias("rows_u24"),
         (F.count(F.lit(1)) == F.lit(manifest_rows)).alias("matches_manifest"),
     )
+
+
+@query("stream_batch_equiv_stateful_rows", _stateful_oracle_sql())
+def stream_batch_equiv_stateful_rows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T6 through the ROW-BASED ``transformWithState`` API — the
+    no-pandas rung of the arbitrary-state ladder, executed for real and
+    driver-stamped like its pandas sibling (same integer-only state,
+    same oracle, same monotone struct-max reduction of the Update-mode
+    sink). Pins that BOTH Spark 4 stateful APIs
+    (SQL_TRANSFORM_WITH_STATE_PANDAS_UDF and
+    SQL_TRANSFORM_WITH_STATE_PYTHON_ROW_UDF) run end-to-end through the
+    vendored protobuf shim — a row-mode-only protocol regression can no
+    longer hide behind the pandas key.
+    """
+    prepare(spark)
+    ev = demo.read_events_stream(spark, sf_dir)
+    name = f"sber_{uuid.uuid4().hex[:12]}"
+    demo.run_to_memory(
+        demo.stateful_user_totals_rows_tws(ev), name, output_mode="update"
+    )
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sv")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n"),
+            F.col("s.sv").alias("sv"),
+        )
+    )
+    s_dig = _stateful_digest(final)
+
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * F.lit(SCALE)).cast("long")).alias(
+                "sv"
+            ),
+        )
+    )
+    b_dig = _stateful_digest(batch).select(
+        F.col("n_users").alias("b_nu"),
+        F.col("n_events").alias("b_ne"),
+        F.col("users_u24").alias("b_u24"),
+    )
+    return s_dig.crossJoin(b_dig).select(
+        "n_users",
+        "n_events",
+        "sum_value_total",
+        "users_u24",
+        (
+            (F.col("n_users") == F.col("b_nu"))
+            & (F.col("n_events") == F.col("b_ne"))
+            & (F.col("users_u24") == F.col("b_u24"))
+        ).alias("matches_batch"),
+    )

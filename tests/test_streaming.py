@@ -232,6 +232,28 @@ def test_transform_with_state_timer_config_analyzes(spark, events_stream):
     assert "ProcessingTime" in first, first
 
 
+def test_transform_with_state_row_mode_plan(spark, events_stream):
+    """Row-mode transformWithState must analyze to python_row execution
+    (not pandas) — the no-batch-layer rung the r10 key executes."""
+    out = demo.stateful_user_totals_rows_tws(events_stream)
+    first = out._jdf.queryExecution().analyzed().toString().splitlines()[0]
+    assert "TransformWithStateInPySpark" in first, first
+    assert "python_row" in first and "pandas" not in first, first
+
+
+def test_transform_with_state_row_mode_executes(spark):
+    """Row-mode TWS executed end-to-end (the r10 key) must match the
+    batch twin — a row-mode-only protocol regression can't hide behind
+    the pandas key."""
+    import ls_hadoop_3_0_spark as engine
+
+    row = engine.QUERIES["stream_batch_equiv_stateful_rows"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert row["matches_batch"] is True
+    assert row["n_users"] > 0
+
+
 def test_transform_with_state_timers_execute(spark):
     """T6 timer leg, EXECUTED (r9 verdict missing #2 closed): the TTL
     flush processor emits rows ONLY from handleExpiredTimer, so a digest
