@@ -223,6 +223,26 @@ DEDUP_CLASS_COLLAPSE_RATIO = 0.95
 _DUP_PROBE_CACHE: dict[int, bool] = {}
 
 
+def _probe_material(df: DataFrame, distinct_agg: F.Column) -> bool:
+    """True when exact duplication (count vs ``distinct_agg``'s HLL
+    estimate) is worth a class collapse. Cached per analyzed-plan
+    semanticHash — see _DUP_PROBE_CACHE."""
+    try:
+        key = df._jdf.queryExecution().analyzed().semanticHash()
+        cached = _DUP_PROBE_CACHE.get(key)
+        if cached is not None:
+            return cached
+    except Exception:  # noqa: BLE001 - private API drift: probe uncached
+        key = None
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), distinct_agg.alias("d")
+    ).collect()[0]
+    verdict = row["d"] <= DEDUP_CLASS_COLLAPSE_RATIO * row["n"]
+    if key is not None:
+        _DUP_PROBE_CACHE[key] = verdict
+    return verdict
+
+
 def _dup_ratio_material(docs: DataFrame) -> bool:
     """True when exact duplication is worth a class collapse.
 
@@ -234,21 +254,7 @@ def _dup_ratio_material(docs: DataFrame) -> bool:
     set-level duplication — conservative: the miss costs speed on an
     exotic corpus, never correctness.
     """
-    try:
-        key = docs._jdf.queryExecution().analyzed().semanticHash()
-        cached = _DUP_PROBE_CACHE.get(key)
-        if cached is not None:
-            return cached
-    except Exception:  # noqa: BLE001 - private API drift: probe uncached
-        key = None
-    row = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct("text", 0.02).alias("d"),
-    ).collect()[0]
-    verdict = row["d"] <= DEDUP_CLASS_COLLAPSE_RATIO * row["n"]
-    if key is not None:
-        _DUP_PROBE_CACHE[key] = verdict
-    return verdict
+    return _probe_material(docs, F.approx_count_distinct("text", 0.02))
 
 
 def _verify_pairs(
@@ -1535,11 +1541,8 @@ def embedding_candidates(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     )
 
 
-def embedding_pairs(e: DataFrame, threshold: float = EMB_COSINE_T) -> DataFrame:
-    """Cosine-verified near-dup pairs from LSH-bucketed candidates."""
-    # Normalization feeds candidate generation + both verify sides.
-    e = e.localCheckpoint(eager=False)
-    cand = embedding_candidates(e)
+def _verify_cosine(e: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact normalized-dot verify of candidate pairs against ``e``."""
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua")).hint("merge")
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub")).hint("merge")
     cos = F.round(
@@ -1552,6 +1555,88 @@ def embedding_pairs(e: DataFrame, threshold: float = EMB_COSINE_T) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_pairs(e: DataFrame, threshold: float = EMB_COSINE_T) -> DataFrame:
+    """Cosine-verified near-dup pairs from LSH-bucketed candidates.
+
+    r10 ADAPTIVE EXACT-CLASS COLLAPSE, the minhash_pairs recipe applied
+    to vectors: buckets, probe signatures, and the normalized dot are
+    all functions of (label, u), so vectors with an identical
+    (label, u) are interchangeable — the LSH + verify pipeline runs on
+    one representative per class and member pairs expand afterward.
+    Intra-class pairs score the class's SELF-dot computed with the SAME
+    zip_with/aggregate fold the per-pair verify uses (bit-identical to
+    what the direct path would emit for those pairs — ~0.999999-1.0
+    after normalization rounding, never assumed to be 1.0); inter-class
+    pairs inherit the verified rep-pair cosine. Without this the 100×
+    replica (every vector copied 100×) makes the verify C(copies,2)-
+    quadratic — dedup_embedding did not finish 400 s there; the probe
+    (count + HLL over xxhash64(label, u) — engine-internal, decides
+    only which identical-result plan runs) keeps the dup-free fixture
+    path unchanged.
+    """
+    # Probe BEFORE the checkpoint: a localCheckpoint mints a fresh plan
+    # id per call, which would defeat the semanticHash probe cache.
+    material = _probe_material(
+        e, F.approx_count_distinct(F.xxhash64("label", "u"), 0.02)
+    )
+    # Normalization feeds candidate generation + both verify sides.
+    e = e.localCheckpoint(eager=False)
+    if not material:
+        return _verify_cosine(e, embedding_candidates(e), threshold)
+
+    m = e.withColumn(
+        "rep", F.min("vec_id").over(Window.partitionBy("label", "u"))
+    )
+    member = m.select("rep", "vec_id").localCheckpoint(eager=False)
+    e_rep = (
+        m.filter(F.col("rep") == F.col("vec_id"))
+        .drop("rep")
+        .localCheckpoint(eager=False)
+    )
+    rep_pairs = _verify_cosine(e_rep, embedding_candidates(e_rep), threshold)
+
+    self_cos = F.round(
+        F.expr("aggregate(zip_with(u, u, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"),
+        6,
+    )
+    reps_ok = (
+        e_rep.select(F.col("vec_id").alias("rep"), self_cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .hint("shuffle_hash")
+    )
+    mx, my = member.alias("mx"), member.alias("my")
+    intra = (
+        mx.join(my, "rep")
+        .filter(F.col("mx.vec_id") < F.col("my.vec_id"))
+        .join(reps_ok, "rep")
+        .select(
+            F.col("mx.vec_id").alias("vec_a"),
+            F.col("my.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+    inter = (
+        rep_pairs.join(
+            member.select(
+                F.col("rep").alias("vec_a"), F.col("vec_id").alias("ma")
+            ).hint("shuffle_hash"),
+            "vec_a",
+        )
+        .join(
+            member.select(
+                F.col("rep").alias("vec_b"), F.col("vec_id").alias("mb")
+            ).hint("shuffle_hash"),
+            "vec_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("vec_a"),
+            F.greatest("ma", "mb").alias("vec_b"),
+            "cosine",
+        )
+    )
+    return inter.unionAll(intra)
 
 
 @query("dedup_embedding", DEDUP_EMBEDDING_SQL)

@@ -117,3 +117,34 @@ def test_stream_python_datasink_two_phase(spark):
     path = f"/root/repo/.scratch/{tag}/stream_python_datasink"
     assert os.path.exists(f"{path}/_MANIFEST.jsonl")
     assert not glob.glob(f"{path}/*.tmp"), "uncommitted task files leaked"
+
+
+def test_embedding_class_collapse_equivalence(spark):
+    """The adaptive collapse applied to embedding_pairs must produce
+    EXACTLY the direct pipeline's pairs on a duplicate-heavy corpus
+    (every vector duplicated once — identical (label, u) classes)."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.llm import dedup
+    from ls_hadoop_3_0_spark.llm.embeddings import normalized_embeddings
+    from ls_hadoop_3_0_spark.tables import load
+
+    base = load(spark, SF_DIR, "embeddings")
+    dup = base.unionAll(
+        base.select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            *[c for c in base.columns if c != "vec_id"],
+        )
+    )
+    e = normalized_embeddings(dup).localCheckpoint(eager=False)
+    direct = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dedup._verify_cosine(
+            e, dedup.embedding_candidates(e), dedup.EMB_COSINE_T
+        ).collect()
+    }
+    collapsed = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dedup.embedding_pairs(normalized_embeddings(dup)).collect()
+    }
+    assert collapsed == direct and len(direct) > 0
