@@ -50,6 +50,17 @@ MINHASH_JACCARD_T = 0.4
 NGRAM_JACCARD_T = 0.2
 EMB_COSINE_T = 0.4
 
+#: Integer-feasibility coefficients for the dedup_recall_v2 cap guard,
+#: DERIVED from MINHASH_JACCARD_T (ADVICE r10): with T = p/q,
+#: J ≥ T ⟺ ns/(np+nd-ns) ≥ p/q ⟺ (p+q)·ns ≥ p·(np+nd). At T = 2/5
+#: that is the 7·ns ≥ 2·(np+nd) form; changing the threshold constant
+#: now re-derives the guard instead of silently auditing against 0.4.
+from fractions import Fraction as _Fraction  # noqa: E402
+
+_JT_FRAC = _Fraction(MINHASH_JACCARD_T).limit_denominator(1000)
+CAP_GUARD_NS_COEF = _JT_FRAC.numerator + _JT_FRAC.denominator  # 7 at T=2/5
+CAP_GUARD_SZ_COEF = _JT_FRAC.numerator  # 2 at T=2/5
+
 
 @query(
     "dedup_exact",
@@ -701,7 +712,7 @@ DEDUP_RECALL_TOPK = 128
         SELECT r.p FROM shared_rk r
         JOIN sizes sp ON sp.doc_id = r.p
         WHERE r.rk = {DEDUP_RECALL_TOPK}
-          AND 7 * r.ns >= 2 * (sp.n
+          AND {CAP_GUARD_NS_COEF} * r.ns >= {CAP_GUARD_SZ_COEF} * (sp.n
               + GREATEST((SELECT MIN(len(shingles)) FROM sh), r.ns))
     ),
     truth AS (
@@ -826,18 +837,24 @@ def dedup_recall_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cap-binding guard (ADVICE r9): a panel doc whose rank-K shared
     # count could still clear the Jaccard threshold means truth may be
     # under-counted — surface it instead of passing as a valid audit.
-    # Feasibility is pure-integer (T = 2/5 ⇒ J ≥ T ⟺ 7·ns ≥ 2·(np+nd)),
+    # Feasibility is pure-integer with coefficients DERIVED from
+    # MINHASH_JACCARD_T (J ≥ p/q ⟺ (p+q)·ns ≥ p·(np+nd); 7/2 at T=2/5),
     # with nd bounded below by max(corpus-min size, ns) — f(ns') is
     # increasing in ns', so checking the rank-K row bounds every pair
-    # the cap hid. Rides the tagged union as a third arm (doc_b = -1
+    # the cap hid. Accepted conservatism (ADVICE r10): a panel doc with
+    # EXACTLY TOPK feasible partners and nothing hidden also trips the
+    # guard — a false positive mirrored in the oracle (parity holds);
+    # truth on such a corpus is still exact, the audit just declines to
+    # certify it. Preferable to the alternative (counting shared_all
+    # partners per p) which would re-aggregate the uncapped stream. Rides the tagged union as a third arm (doc_b = -1
     # cannot collide with real pairs) so the whole key stays ONE job
     # (trim #3: branch aggregates racing a lazy checkpoint recompute
     # full lineages).
     viol = scored.filter(
         (F.col("_rk") == DEDUP_RECALL_TOPK)
         & (
-            F.lit(7) * F.col("ns")
-            >= F.lit(2)
+            F.lit(CAP_GUARD_NS_COEF) * F.col("ns")
+            >= F.lit(CAP_GUARD_SZ_COEF)
             * (F.col("np") + F.greatest(F.lit(nd_min), F.col("ns")))
         )
     ).select(F.col("p").alias("doc_a"), F.lit(-1).alias("doc_b"))

@@ -1311,6 +1311,14 @@ def _pyds_pushdown_scan(spark: SparkSession):
         def reader(self, schema):
             return PushdownLogReader(self.options)
 
+    # DELIBERATELY session-wide and NOT restored (ADVICE r10): the
+    # returned DataFrame is lazy — pushFilters runs at plan time when a
+    # later action fires, so restoring the conf here would silently
+    # disable the pushdown this key exists to exercise. The conf is
+    # additive for any other reader (it only enables an API the reader
+    # must opt into by implementing pushFilters); a future
+    # pushFilters-implementing reader in this suite inherits it by
+    # design.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PushdownLogDataSource)
     return (

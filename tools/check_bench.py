@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from dump_baselines import governing_table  # noqa: E402
 
-ABS_FLOOR = 0.5  # seconds added to the threshold for tiny baselines
+ABS_FLOOR = 0.5  # absolute threshold floor, applied only when base < 0.5 s
 
 
 def main() -> int:
@@ -52,11 +52,12 @@ def main() -> int:
         if sec < 0 or key not in baselines:
             continue
         base, src = baselines[key]
-        if sec > 2.0 * base + ABS_FLOOR:
+        floor = ABS_FLOOR if base < ABS_FLOOR else 0.0
+        if sec > 2.0 * base + floor:
             print(f"GATE  {key}: {sec:.2f}s > 2x of {base:.2f}s ({src})")
             bad = True
             warned += 1
-        elif sec > 1.5 * base + ABS_FLOOR:
+        elif sec > 1.5 * base + floor:
             print(f"WARN  {key}: {sec:.2f}s > 1.5x of {base:.2f}s ({src})")
             warned += 1
     nb = sum(1 for k in timings if k in baselines)
