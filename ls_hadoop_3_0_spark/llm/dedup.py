@@ -237,7 +237,22 @@ _DUP_PROBE_CACHE: dict[int, bool] = {}
 def _probe_material(df: DataFrame, distinct_agg: F.Column) -> bool:
     """True when exact duplication (count vs ``distinct_agg``'s HLL
     estimate) is worth a class collapse. Cached per analyzed-plan
-    semanticHash — see _DUP_PROBE_CACHE."""
+    semanticHash — see _DUP_PROBE_CACHE; the cache-hit contract is
+    pinned by tests/test_r11_keys.py::test_probe_cache_hits_on_repeated_plan
+    so a PySpark private-API change fails a test instead of silently
+    degrading every probe to a re-scan.
+
+    NEGATIVE RESULT (r11, the r10-verdict sample-the-probe item): a
+    ~1.6% content-keyed sample (filter on xxhash64 of the same content
+    the HLL counts, with dead-band fallback to this exact scan) was
+    built and measured STRICTLY worse at the 100× replica — 0.58 s vs
+    0.43 s min-of-2. The sample predicate must still read and hash
+    every content value (id- or file-keyed sampling splits duplicate
+    classes and biases the ratio toward 1.0), so both paths are
+    scan-bound and sampling only adds a second hash plus a filter; the
+    exact probe is already ~2% of the 15-34 s jobs it gates. Reverted —
+    do not re-try (SCALE.md r11).
+    """
     try:
         key = df._jdf.queryExecution().analyzed().semanticHash()
         cached = _DUP_PROBE_CACHE.get(key)
@@ -263,7 +278,8 @@ def _dup_ratio_material(docs: DataFrame) -> bool:
     deterministic under any partitioning — the r9 mergeability gate).
     Text equality implies shingle-set equality, so this under-detects
     set-level duplication — conservative: the miss costs speed on an
-    exotic corpus, never correctness.
+    exotic corpus, never correctness. Sampling this probe is a measured
+    negative result — see _probe_material.
     """
     return _probe_material(docs, F.approx_count_distinct("text", 0.02))
 
