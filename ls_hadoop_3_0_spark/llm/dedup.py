@@ -1792,6 +1792,149 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.crossJoin(dg)
 
 
+def _cross_source_flow_from_classes(
+    member: DataFrame,
+    rep_pairs: DataFrame,
+    valid_reps: DataFrame,
+    src: DataFrame,
+) -> DataFrame:
+    """Cross-source flow matrix from CLASS-level statistics (r11).
+
+    On the collapsed path the expanded member-pair stream is a pure
+    function of per-(class, source) statistics, so the matrix never
+    needs it materialized:
+
+    - ``n_pairs``: inter-class pairs contribute cntA(s)·cntB(t) per
+      verified class pair, intra-class pairs cnt(s)·cnt(t) for s<t and
+      C(cnt,2) for s=t — integer products grouped by the canonical
+      source pair (`div` keeps C(n,2) integer, the float-parity rule).
+    - ``n_docs_touched`` = COUNT(DISTINCT doc_a) + COUNT(DISTINCT
+      doc_b): member x is a doc_a of group (s,t) iff SOME partner with
+      source t has an id above x — an existence test against the MAX
+      (resp. MIN for doc_b) partner id per (class, source), where
+      "partner" classes are the class itself (intra, valid classes
+      only) plus every class it shares a verified rep pair with.
+      Member-grain flags, max-reduced per (group, member), then summed.
+
+    Every frame here is class- or member-grain — the C(copies,2)
+    member-pair stream never exists. All sides grow with the corpus →
+    shuffle_hash hints (the r6 static-broadcast rule).
+    """
+    member_src = member.join(src.hint("shuffle_hash"), "doc_id").select(
+        "rep", "doc_id", "source"
+    )
+    cs = (
+        member_src.groupBy("rep", "source")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    csv = cs.join(valid_reps, "rep", "semi")
+
+    canon = [
+        F.least("s", "t").alias("source_x"),
+        F.greatest("s", "t").alias("source_y"),
+    ]
+    inter_np = (
+        rep_pairs.join(
+            cs.select(
+                F.col("rep").alias("doc_a"),
+                F.col("source").alias("s"),
+                F.col("cnt").alias("ca"),
+            ).hint("shuffle_hash"),
+            "doc_a",
+        )
+        .join(
+            cs.select(
+                F.col("rep").alias("doc_b"),
+                F.col("source").alias("t"),
+                F.col("cnt").alias("cb"),
+            ).hint("shuffle_hash"),
+            "doc_b",
+        )
+        .select(*canon, (F.col("ca") * F.col("cb")).alias("np"))
+    )
+    ca, cb = csv.alias("ca"), csv.alias("cb")
+    intra_np = (
+        ca.join(cb, "rep")
+        .filter(F.col("ca.source") <= F.col("cb.source"))
+        .select(
+            F.col("ca.source").alias("source_x"),
+            F.col("cb.source").alias("source_y"),
+            F.when(
+                F.col("ca.source") == F.col("cb.source"),
+                F.expr("`ca`.cnt * (`ca`.cnt - 1) div 2"),
+            )
+            .otherwise(F.col("ca.cnt") * F.col("cb.cnt"))
+            .alias("np"),
+        )
+        .filter(F.col("np") > 0)
+    )
+    # Partner id envelope per (class, source): the class itself (valid
+    # classes only — intra pairs need a non-empty shingle set) plus all
+    # rep-paired classes, max/min-reduced so the member flag test is
+    # one comparison per (member, partner source).
+    rp_bi = rep_pairs.select(
+        F.col("doc_a").alias("rep"), F.col("doc_b").alias("p")
+    ).unionAll(
+        rep_pairs.select(F.col("doc_b").alias("rep"), F.col("doc_a").alias("p"))
+    )
+    inter_stats = rp_bi.join(
+        cs.select(F.col("rep").alias("p"), "source", "mn", "mx").hint(
+            "shuffle_hash"
+        ),
+        "p",
+    ).select("rep", "source", "mn", "mx")
+    pstats = (
+        inter_stats.unionAll(csv.select("rep", "source", "mn", "mx"))
+        .groupBy("rep", F.col("source").alias("t"))
+        .agg(F.max("mx").alias("pmax"), F.min("mn").alias("pmin"))
+    )
+    flags = (
+        member_src.join(pstats.hint("shuffle_hash"), "rep")
+        .select(
+            F.least("source", "t").alias("source_x"),
+            F.greatest("source", "t").alias("source_y"),
+            "doc_id",
+            (F.col("pmax") > F.col("doc_id")).cast("int").alias("fa"),
+            (F.col("pmin") < F.col("doc_id")).cast("int").alias("fb"),
+        )
+        .groupBy("source_x", "source_y", "doc_id")
+        .agg(F.max("fa").alias("fa"), F.max("fb").alias("fb"))
+    )
+    zero = F.lit(0).cast("long")
+    tagged = (
+        inter_np.select(
+            "source_x", "source_y", F.col("np").cast("long"), zero.alias("fa"), zero.alias("fb")
+        )
+        .unionAll(
+            intra_np.select(
+                "source_x", "source_y", F.col("np").cast("long"), zero, zero
+            )
+        )
+        .unionAll(
+            flags.select(
+                "source_x",
+                "source_y",
+                zero.alias("np"),
+                F.col("fa").cast("long"),
+                F.col("fb").cast("long"),
+            )
+        )
+    )
+    return (
+        tagged.groupBy("source_x", "source_y")
+        .agg(
+            F.sum("np").cast("long").alias("n_pairs"),
+            (F.sum("fa") + F.sum("fb")).cast("long").alias("n_docs_touched"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
+
+
 @query(
     "dedup_cross_source",
     f"""
@@ -1820,17 +1963,33 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     content is mirrored elsewhere. Crawl curation uses exactly this to
     decide per-domain dedup priorities and licensing review.
 
-    Plan: reuses minhash_pairs (banded LSH candidates — bucketed, never
-    all-pairs) and joins the pair endpoints to their sources — the pair
-    stream is near-dup-sized (≪ corpus), so the endpoint joins are the
-    cheap side; the source matrix is (sources × sources)-bounded. The
-    source pair is canonicalized with least/greatest so the matrix is
-    triangular and engine-order-independent.
+    Plan: reuses the minhash structure (banded LSH candidates —
+    bucketed, never all-pairs). Direct path: joins the pair endpoints
+    to their sources — the pair stream is near-dup-sized (≪ corpus), so
+    the endpoint joins are the cheap side; the source matrix is
+    (sources × sources)-bounded. Collapsed path (r11 verdict item 3):
+    the matrix is derived from class-level counts and id envelopes
+    (_cross_source_flow_from_classes) WITHOUT materializing the
+    C(copies,2) expanded pair stream this key aggregated through r10
+    (34.3 s at the 100× replica). The source pair is canonicalized with
+    least/greatest so the matrix is triangular and
+    engine-order-independent; the full-formulation oracle is unchanged
+    and proves both paths.
     """
     prepare(spark)
     docs = spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet", min_rows_per_split=2_000)
-    pairs = minhash_pairs(docs)
+    member, rep_pairs, valid_reps = _minhash_structure(docs, MINHASH_JACCARD_T)
     src = docs.select("doc_id", "source")
+    if member is not None:
+        # Collapsed path (r11, verdict item 3): the flow matrix is a
+        # sum over CLASS pairs of member-count products — computable
+        # from per-(class, source) statistics without materializing the
+        # expanded member-pair stream this key used to aggregate
+        # (C(copies,2)-sized at the 100× replica; 34.3 s there in r10).
+        return _cross_source_flow_from_classes(
+            member, rep_pairs, valid_reps, src
+        )
+    pairs = rep_pairs  # direct path: rep_pairs IS the verified pair set
     lab = (
         pairs.join(
             src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(

@@ -46,6 +46,54 @@ def test_probe_cache_hits_on_repeated_plan(spark):
         sc.setJobGroup("", "")
 
 
+def test_cross_source_flow_class_derivation_equivalence(spark):
+    """r10 verdict item 3: the class-level flow matrix must equal the
+    r10 formulation (aggregate the EXPANDED minhash_pairs stream with
+    endpoint source joins) on a duplicate-heavy corpus where the
+    collapsed path fires — values identical, the expanded pair stream
+    just never materializes."""
+    base = load(spark, SF_DIR, "documents").select("doc_id", "text", "source")
+    docs = base.unionAll(
+        base.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "source")
+    )
+    dedup._DUP_PROBE_CACHE.clear()
+    member, rep_pairs, valid_reps = dedup._minhash_structure(
+        docs, dedup.MINHASH_JACCARD_T
+    )
+    assert member is not None, "probe must pick collapse on the dup corpus"
+    src = docs.select("doc_id", "source")
+    got = {
+        (r["source_x"], r["source_y"]): (r["n_pairs"], r["n_docs_touched"])
+        for r in dedup._cross_source_flow_from_classes(
+            member, rep_pairs, valid_reps, src
+        ).collect()
+    }
+
+    pairs = dedup.minhash_pairs(docs)  # expanded stream (cache makes it collapse)
+    lab = (
+        pairs.join(src.withColumnsRenamed({"doc_id": "doc_a", "source": "sa"}), "doc_a")
+        .join(src.withColumnsRenamed({"doc_id": "doc_b", "source": "sb"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+    )
+    want = {
+        (r["source_x"], r["source_y"]): (r["n_pairs"], r["n_docs_touched"])
+        for r in lab.groupBy("source_x", "source_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.count_distinct("doc_a") + F.count_distinct("doc_b")).alias(
+                "n_docs_touched"
+            ),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_cap_guard_coefficients_track_threshold():
     """ADVICE r10: the cap-guard integer coefficients are DERIVED from
     MINHASH_JACCARD_T (J >= p/q iff (p+q)*ns >= p*(np+nd)) — at the
