@@ -149,27 +149,36 @@ def _v2_sql() -> str:
     """
 
 
-@query("pipeline_curation_v2", _v2_sql())
-def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1-X9 composed, r6 stack: the full pre-training curation run.
+def _v2_manifest(spark: SparkSession, docs0: DataFrame, material: bool) -> DataFrame:
+    """pipeline_curation_v2's plan, parameterized by the collapse verdict.
 
-    quality gate (text_quality rules) → repetition gate
-    (quality_repetition flag) → benchmark decontamination (authored
-    EVAL_SET, contamination_check_v2 shape) → exact dedup (keep min
-    doc_id per content hash, over the surviving pool) → domain-mixture
-    sampling (mix_domains thresholds) → sequence-packing offsets
-    (doc_pack's distributed prefix sum). Output is the training-ready
-    corpus MANIFEST: one row per surviving doc with its source, token
-    count, global pack offset and content hash.
+    r11 restructure (the r10-verdict headline item), three moves:
 
-    ONE lazy Spark plan end-to-end (the reference would schedule six MR
-    jobs with HDFS materialization between each). Every gate reuses the
-    exact rule constants its stage key registers, and the oracle is
-    assembled from the same SQL snippets (_v2_sql) — the pipeline
-    cannot drift from its stages. Scale shape: all gates are map-side
-    or doc_id-keyed aggregations; the only broadcast is the authored
-    (design-bounded) eval-gram set; packing uses the two-level prefix
-    sum, never a single-partition window.
+    1. ONE tagged gram explode feeds BOTH the repetition gate and the
+       benchmark decontamination (the quality_repetition r6 pattern
+       applied across stage boundaries): CONTAM_GRAM (=3) coincides
+       with a repetition arm, so the contamination test is a broadcast
+       LEFT join of the shared stream against the authored bench grams
+       (matched on RAW grams — no md5 round-trip) with the hit flag
+       max-reduced through the same (doc_id, n, g) → doc_id aggregation
+       the repetition flag uses. Zero extra stream rows, one fewer
+       corpus scan, and the separate contam distinct+anti-join are gone.
+    2. content_hash is computed MAP-SIDE and `text` dropped before any
+       join (the v3 trick — pool shuffles carry a 32-char hash, not
+       documents); the quality metrics ride the same frame, so the pool
+       needs no third corpus scan.
+    3. When exact duplication is material (the r10 dedup probe —
+       text-derived gates are functions of text alone), all gates run
+       on ONE REPRESENTATIVE per distinct text and members join back by
+       content hash; only the per-doc sampling filter and the min-doc
+       keeper selection stay member-grain. On the 100× replica
+       (1% distinct) the gram explode and metric arithmetic shrink
+       ~100×; on dup-free fixtures the probe keeps the direct plan.
+
+    Both paths produce identical values (the probe only picks between
+    physically different, value-identical plans) — proven by the
+    unchanged full-formulation oracle at sf0.01/10× and the forced-path
+    equivalence test (tests/test_r11_keys.py).
     """
     from ls_hadoop_3_0_spark.llm.curation import (
         CONTAM_GRAM,
@@ -187,52 +196,98 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ls_hadoop_3_0_spark.operators.sort import global_prefix_sum
 
-    prepare(spark)
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
-    t = (
-        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
-        .select("doc_id", "source", "text", toks.alias("t"))
-        # Deliberately NOT checkpointed although 3 gate branches read it:
-        # re-scanning compressed parquet per branch beats materializing
-        # the tokenized corpus (measured: a wash at 10×, and a corpus-
-        # sized checkpoint is exactly what a 100 TB run cannot afford).
-    )
+    if material:
+        # Member frame (map-side: doc → class hash) + class-grain gate
+        # input (one rep text per distinct content). The rep join output
+        # is class-grain → localCheckpoint makes it compute-once across
+        # the metric and gram branches (the _minhash_structure rule);
+        # the probe already ran BEFORE this checkpoint.
+        keyed = docs0.select("doc_id", "source", F.md5("text").alias("h"))
+        reps = keyed.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+        gate_docs = (
+            docs0.select("doc_id", "text")
+            .join(
+                reps.select(F.col("rep_id").alias("doc_id"), "h").hint(
+                    "shuffle_hash"
+                ),
+                "doc_id",
+            )
+            .select("doc_id", "h", F.lit(None).cast("string").alias("source"), "text")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        keyed = None
+        gate_docs = docs0.select(
+            "doc_id", F.md5("text").alias("h"), "source", "text"
+        )
+    tg = gate_docs.select("doc_id", "h", "source", toks.alias("t"))
+
     tt, n = F.col("t"), F.size("t")
     nz = F.nullif(n, F.lit(0))
     stop_arr = F.array(*[F.lit(w) for w in _STOP])
-    m = t.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        (
-            F.aggregate(tt, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long"))
-            .cast("double")
-            / nz
-        ).alias("awl"),
-        (F.size(F.filter(tt, lambda x: F.array_contains(stop_arr, x))).cast("double") / nz).alias(
-            "stop_ratio"
-        ),
-        (F.size(F.array_distinct(tt)).cast("double") / nz).alias("ttr"),
+    qf = (
+        tg.select(
+            "doc_id",
+            "h",
+            "source",
+            n.alias("n_tokens"),
+            (
+                F.aggregate(
+                    tt, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+                ).cast("double")
+                / nz
+            ).alias("awl"),
+            (
+                F.size(F.filter(tt, lambda x: F.array_contains(stop_arr, x))).cast(
+                    "double"
+                )
+                / nz
+            ).alias("stop_ratio"),
+            (F.size(F.array_distinct(tt)).cast("double") / nz).alias("ttr"),
+        )
+        .filter(
+            (F.col("n_tokens") >= QMIN_TOKENS)
+            & (F.col("n_tokens") <= QMAX_TOKENS)
+            & (F.col("awl") >= QMIN_AVG_WORD_LEN)
+            & (F.col("awl") <= QMAX_AVG_WORD_LEN)
+            & (F.col("stop_ratio") >= QMIN_STOPWORD_RATIO)
+            & (F.col("ttr") >= QMIN_TTR)
+        )
+        .select("doc_id", "h", "source", "n_tokens")
     )
-    q = m.filter(
-        (F.col("n_tokens") >= QMIN_TOKENS)
-        & (F.col("n_tokens") <= QMAX_TOKENS)
-        & (F.col("awl") >= QMIN_AVG_WORD_LEN)
-        & (F.col("awl") <= QMAX_AVG_WORD_LEN)
-        & (F.col("stop_ratio") >= QMIN_STOPWORD_RATIO)
-        & (F.col("ttr") >= QMIN_TTR)
-    ).select("doc_id", "n_tokens")
+    gram_sizes = sorted({2, 3, 5} | {CONTAM_GRAM})
     arms = ", ".join(
         f"CASE WHEN size(t) >= {k} THEN"
         f" transform(sequence(1, size(t) - {k} + 1),"
         f"  i -> named_struct('n', {k}, 'g', array_join(slice(t, i, {k}), ' ')))"
         f" ELSE CAST(array() AS array<struct<n:int,g:string>>) END"
-        for k in (2, 3, 5)
+        for k in gram_sizes
+    )
+    stream = (
+        tg.select("doc_id", F.explode(F.expr(f"flatten(array({arms}))")).alias("s"))
+        .select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    )
+    bench_gram = (
+        f"transform(sequence(1, size(t) - {CONTAM_GRAM} + 1),"
+        f" i -> array_join(slice(t, i, {CONTAM_GRAM}), ' '))"
+    )
+    bench = (
+        spark.createDataFrame(list(EVAL_SET), "bench_id long, text string")
+        .select(toks.alias("t"))
+        .filter(F.size("t") >= CONTAM_GRAM)
+        .select(F.explode(F.expr(bench_gram)).alias("gram"))
+        .distinct()
     )
     per = (
-        t.select("doc_id", F.explode(F.expr(f"flatten(array({arms}))")).alias("s"))
-        .select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+        stream.join(
+            F.broadcast(bench),
+            (F.col("n") == F.lit(CONTAM_GRAM)) & (F.col("g") == F.col("gram")),
+            "left",
+        )
+        .select("doc_id", "n", "g", F.col("gram").isNotNull().alias("hit"))
         .groupBy("doc_id", "n", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c"), F.max("hit").alias("hit"))
     )
     nn, c = F.col("n"), F.col("c")
 
@@ -242,55 +297,84 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup5 = F.sum(F.when(nn == 5, F.when(c > 1, c).otherwise(0))).cast("double") / F.sum(
         F.when(nn == 5, c)
     )
-    rep = per.groupBy("doc_id").agg(
+    gates = per.groupBy("doc_id").agg(
         (
             (_top(2) > F.lit(REP_TOP2))
             | (_top(3) > F.lit(REP_TOP3))
             | (dup5 > F.lit(REP_DUP5))
-        ).alias("flag")
+        ).alias("flag"),
+        F.max("hit").alias("contam"),
     )
-    gram_expr = (
-        f"transform(sequence(1, size(t) - {CONTAM_GRAM - 1}),"
-        f" i -> md5(array_join(slice(t, i, {CONTAM_GRAM}), ' ')))"
-    )
-    bench = (
-        spark.createDataFrame(list(EVAL_SET), "bench_id long, text string")
-        .select(toks.alias("t"))
-        .filter(F.size("t") >= CONTAM_GRAM)
-        .select(F.explode(F.expr(gram_expr)).alias("gram"))
-        .distinct()
-    )
-    contam = (
-        t.filter(F.size("t") >= CONTAM_GRAM)
-        .select("doc_id", F.explode(F.expr(gram_expr)).alias("gram"))
-        .join(F.broadcast(bench), "gram")
-        .select("doc_id")
-        .distinct()
+    # NULL flag (a doc too short for some arm) must DROP the doc — the
+    # r6 semantics; three-valued AND keeps that on the fused filter.
+    text_pass = (
+        qf.join(gates.hint("merge"), "doc_id")
+        .filter(~F.col("flag") & ~F.col("contam"))
+        .select("doc_id", "h", "source", "n_tokens")
     )
     bucket = F.coalesce(F.expr("try_cast(substring(source, 4) AS BIGINT)") % 4, F.lit(3))
     thr = (
         F.when(bucket == 0, "1a").when(bucket == 1, "40").when(bucket == 2, "80").otherwise("zz")
     )
-    pool = (
-        t.join(q.hint("merge"), "doc_id")
-        .join(rep.hint("merge"), "doc_id")
-        .filter(~F.col("flag"))
-        .join(contam, "doc_id", "left_anti")
-        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thr)
-        .select("doc_id", "source", "text", "n_tokens")
-    )
-    keep = pool.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keeper"))
+    sampling = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thr
+    if material:
+        # Members inherit their class's text-gate verdict by hash; the
+        # per-doc sampling and keeper selection stay member-grain. The
+        # class side grows with distinct content → shuffle_hash.
+        pool = (
+            keyed.join(
+                text_pass.select("h", "n_tokens").hint("shuffle_hash"), "h"
+            )
+            .filter(sampling)
+            .select("doc_id", "source", "h", "n_tokens")
+        )
+    else:
+        pool = text_pass.filter(sampling).select("doc_id", "source", "h", "n_tokens")
+    keep = pool.groupBy("h").agg(F.min("doc_id").alias("keeper"))
     kept = pool.join(keep, pool.doc_id == keep.keeper, "left_semi")
     packed = global_prefix_sum(
-        kept.select("doc_id", "source", "text", "n_tokens"), "n_tokens", "doc_id"
+        kept.select("doc_id", "source", "h", "n_tokens"), "n_tokens", "doc_id"
     )
     return packed.select(
         "doc_id",
         "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("_psum").cast("long").alias("pack_start"),
-        F.md5("text").alias("content_hash"),
+        F.col("h").alias("content_hash"),
     )
+
+
+@query("pipeline_curation_v2", _v2_sql())
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1-X9 composed, r6 stack: the full pre-training curation run.
+
+    quality gate (text_quality rules) → repetition gate
+    (quality_repetition flag) → benchmark decontamination (authored
+    EVAL_SET, contamination_check_v2 shape) → exact dedup (keep min
+    doc_id per content hash, over the surviving pool) → domain-mixture
+    sampling (mix_domains thresholds) → sequence-packing offsets
+    (doc_pack's distributed prefix sum). Output is the training-ready
+    corpus MANIFEST: one row per surviving doc with its source, token
+    count, global pack offset and content hash.
+
+    ONE lazy Spark plan end-to-end (the reference would schedule six MR
+    jobs with HDFS materialization between each). Every gate reuses the
+    exact rule constants its stage key registers, and the oracle is
+    assembled from the same SQL snippets (_v2_sql) — the pipeline
+    cannot drift from its stages. Scale shape (r11, see _v2_manifest):
+    repetition + decontamination share ONE tagged gram explode; text
+    gates run per distinct-content class when the dedup probe fires;
+    the only broadcast is the authored (design-bounded) eval-gram set;
+    packing uses the two-level prefix sum, never a single-partition
+    window.
+    """
+    prepare(spark)
+    docs0 = spread(
+        load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    ).select("doc_id", "source", "text")
+    from ls_hadoop_3_0_spark.llm.dedup import _dup_ratio_material
+
+    return _v2_manifest(spark, docs0, _dup_ratio_material(docs0))
 
 
 @query("pipeline_curation", PIPELINE_SQL)

@@ -94,6 +94,25 @@ def test_cross_source_flow_class_derivation_equivalence(spark):
     assert got == want and len(got) > 0
 
 
+def test_v2_manifest_collapse_equivalence(spark):
+    """The class-collapsed v2 plan must produce EXACTLY the direct
+    plan's manifest on a duplicate-heavy corpus (every doc duplicated
+    once) — text gates are functions of text alone, so running them per
+    distinct-content class cannot change any value."""
+    from ls_hadoop_3_0_spark.llm.pipeline import _v2_manifest
+
+    base = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    docs = base.unionAll(
+        base.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "source", "text")
+    )
+    cols = ("doc_id", "source", "n_tokens", "pack_start", "content_hash")
+    direct = {tuple(r[c] for c in cols) for r in _v2_manifest(spark, docs, False).collect()}
+    collapsed = {
+        tuple(r[c] for c in cols) for r in _v2_manifest(spark, docs, True).collect()
+    }
+    assert collapsed == direct and len(direct) > 0
+
+
 def test_cap_guard_coefficients_track_threshold():
     """ADVICE r10: the cap-guard integer coefficients are DERIVED from
     MINHASH_JACCARD_T (J >= p/q iff (p+q)*ns >= p*(np+nd)) — at the
