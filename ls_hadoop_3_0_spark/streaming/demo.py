@@ -529,6 +529,98 @@ def stateful_user_totals_ttl_tws(events: DataFrame) -> DataFrame:
         )
 
 
+#: Event-time flush gap for the ET-timer demo (ms): a user's flush
+#: timer sits at its max event ts + GAP and fires only when the
+#: WATERMARK passes it — never on wall clock.
+ET_TIMER_GAP_MS = 60_000
+
+
+def stateful_user_totals_et_tws(stream: DataFrame, delay: str = "10 seconds") -> DataFrame:
+    """T6 with EVENT-TIME timers: watermark-driven flush (r10 verdict #4).
+
+    The last T6 rung after r10's executed ProcessingTime timers: real
+    sessionization expires state on EVENT time so late data can still
+    extend a session. The processor accumulates integer totals per user
+    and ``registerTimer``s at (max event ts in this batch + GAP) — an
+    EVENT-time stamp; ``timeMode="EventTime"`` makes expiry a function
+    of the WATERMARK (derived from ``withWatermark(ts, delay)``), not
+    wall clock. A timer fires only in a micro-batch whose watermark has
+    passed it, which a drained source alone never provides — the caller
+    advances the watermark with a far-future sentinel event whose own
+    timer stays beyond the final watermark (so it never flushes itself).
+    tests/test_streaming.py pins the semantics: zero flushes while wall
+    clock passes with a stalled watermark, then exactly the users whose
+    timers sit below each sentinel's watermark.
+
+    Flush-on-expiry clears state, so each event lands in exactly ONE
+    flush row and per-user SUMS over flushes are split-invariant —
+    oracle-exact despite nondeterministic batch boundaries (the TTL-key
+    rule). Integer-only state: pre-quantized ``sv`` longs and epoch-ms
+    ``tsm`` longs; no float crosses the python state boundary.
+
+    ``stream``: (user_id long, sv long, ts timestamp) — quantized by
+    the caller.
+    """
+    import pandas as pd
+
+    from ls_hadoop_3_0_spark import vendor
+
+    vendor.ensure_protobuf(stream.sparkSession)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EtFlush(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._totals = handle.getValueState("totals", "n BIGINT, sv BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, sv = self._totals.get() if self._totals.exists() else (0, 0)
+            mx = None
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    sv += int(pdf["sv"].sum())  # int64 sum — exact
+                    m = int(pdf["tsm"].max())
+                    mx = m if mx is None else max(mx, m)
+            self._totals.update((n, sv))
+            if mx is not None:
+                # EVENT-time stamp: fires when the watermark passes it.
+                self._handle.registerTimer(mx + ET_TIMER_GAP_MS)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # Flush exactly the unflushed events; absent state (already
+            # flushed by an earlier timer of this key) emits nothing —
+            # duplicate timers are harmless, every event lands in ONE
+            # flush.
+            if self._totals.exists():
+                n, sv = self._totals.get()
+                self._totals.clear()
+                yield pd.DataFrame({"user_id": [key[0]], "n": [n], "sv": [sv]})
+
+        def close(self) -> None:
+            pass
+
+    events = stream.sparkSession
+    events.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    wm = stream.withWatermark("ts", delay).select(
+        "user_id", "sv", "ts", F.unix_millis("ts").alias("tsm")
+    )
+    with vendor.tws_protobuf_shim():
+        return wm.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=EtFlush(),
+            outputStructType="user_id long, n BIGINT, sv BIGINT",
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DataFrame to completion into a memory sink.
 

@@ -755,3 +755,95 @@ def test_tws_list_and_map_state_exercise_full_protocol(spark, events_stream):
         .collect()
     }
     assert got == want
+
+
+def test_event_time_timers_follow_watermark_not_wallclock(spark):
+    """T6 event-time timers (r10 verdict #4 'Done' clause): expiry must
+    be driven by the WATERMARK, never wall clock. Three pins:
+
+    1. the zero-interval trigger spins no-data micro-batches for seconds
+       of wall time with a stalled watermark — ZERO flushes;
+    2. a sentinel advancing the watermark past HALF the users' timers
+       flushes exactly those users;
+    3. a far sentinel flushes the rest, with exact per-user totals
+       (split-invariant flush sums — each event in exactly one flush).
+    """
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    base = "/root/repo/.scratch/t6_et_timers"
+    stage, ckpt = f"{base}/src", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    t0 = 1704103200  # 2024-01-01T10:00:00Z
+
+    def write(rows):  # (user_id, sv, offset seconds)
+        spark.createDataFrame(
+            list(rows), "user_id long, sv long, off long"
+        ).select(
+            "user_id",
+            "sv",
+            F.timestamp_seconds(F.lit(t0) + F.col("off")).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(stage)
+
+    # Users 1..4 with max event times 0/100/1000/1100 s; the demo's gap
+    # is 60 s and the watermark delay 10 s → timers at 60/160/1060/1160.
+    write([(1, 10, 0), (2, 5, 90), (2, 20, 100), (3, 30, 1000), (4, 40, 1100)])
+
+    stream = spark.readStream.schema("user_id long, sv long, ts timestamp").parquet(
+        stage
+    )
+    name = "v_et_timer_pin"
+    q = (
+        demo.stateful_user_totals_et_tws(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def wait_for(pred, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    def flushed_users():
+        return {r["user_id"] for r in spark.table(name).collect()}
+
+    try:
+        # Pin 1: the data alone takes the watermark to 1100−10 = 1090 s,
+        # which passes users 1-3's timers (60/160/1060) but sits BELOW
+        # user 4's (1160). Wait for those three flushes, then let the
+        # zero-interval trigger spin no-data batches for seconds of wall
+        # time: user 4 must stay unflushed — its expiry needs the
+        # WATERMARK to move, and only new data can move it.
+        assert wait_for(lambda: flushed_users() >= {1, 2, 3})
+        time.sleep(4)  # many zero-interval no-data batches of wall time
+        assert flushed_users() == {1, 2, 3}, "user 4 must NOT flush on wall clock"
+
+        # Pin 2: sentinel at 1175 s → wm 1165 ≥ 1160 → user 4 flushes;
+        # the sentinel's own timer (1235) stays beyond the watermark.
+        write([(-1, 0, 1175)])
+        assert wait_for(lambda: 4 in flushed_users())
+        assert -1 not in flushed_users()
+
+        # Pin 3: far sentinel — exact per-user totals over all flushes.
+        write([(-1, 0, 5000)])
+        assert wait_for(lambda: {1, 2, 3, 4} <= flushed_users())
+        per = {}
+        for r in spark.table(name).collect():
+            n, sv = per.get(r["user_id"], (0, 0))
+            per[r["user_id"]] = (n + r["n"], sv + r["sv"])
+        assert per[1] == (1, 10)
+        assert per[2] == (2, 25)
+        assert per[3] == (1, 30)
+        assert per[4] == (1, 40)
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
