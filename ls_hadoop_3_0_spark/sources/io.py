@@ -1232,6 +1232,137 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Arrow-reader rung: RecordBatch size, deliberately NOT dividing
+#: _PYDS_ROWS (2000 = 3×512 + 464) so every partition ends in a ragged
+#: tail batch — the per-row `batch_rows` evidence column then takes two
+#: distinct values only a genuine batch construction produces.
+_PYDS_ARROW_BATCH = 512
+
+#: Per-row batch size the Arrow reader stamps, re-derived by the oracle
+#: from the row's index inside its partition (same ragged-tail formula).
+_PYDS_BATCH_ROWS_SQL = (
+    f"CASE WHEN CAST(floor((row_id % {_PYDS_ROWS}) / {_PYDS_ARROW_BATCH}.0)"
+    f" AS INT) = {_PYDS_ROWS // _PYDS_ARROW_BATCH} "
+    f"THEN {_PYDS_ROWS % _PYDS_ARROW_BATCH} ELSE {_PYDS_ARROW_BATCH} END"
+)
+
+
+@query(
+    "scan_python_datasource_arrow",
+    f"""
+    WITH ids AS (
+        SELECT unnest(generate_series(0, {_PYDS_PARTS * _PYDS_ROWS - 1}))
+            AS row_id
+    ),
+    r AS (
+        SELECT row_id,
+               CAST(floor(row_id / {_PYDS_ROWS}.0) AS INT) AS part,
+               md5(CAST(row_id AS VARCHAR)) AS payload,
+               {_PYDS_BATCH_ROWS_SQL} AS batch_rows
+        FROM ids
+    )
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(row_id) AS BIGINT) AS sum_ids,
+           CAST(SUM({_pyds_u24('payload')}) AS BIGINT) AS payload_u24,
+           CAST(SUM(batch_rows) AS BIGINT) AS batch_rows_sum,
+           CAST(MIN(batch_rows) AS INT) AS min_batch_rows,
+           CAST(MAX(batch_rows) AS INT) AS max_batch_rows
+    FROM r GROUP BY part
+    """,
+)
+def scan_python_datasource_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-EXT Arrow-NATIVE custom reader — the throughput rung of the
+    Python reader ladder (r10 verdict item 5 / "What's missing" #2).
+
+    `scan_python_datasource` yields python tuples row-at-a-time; this
+    twin's ``read()`` yields ``pyarrow.RecordBatch``es — columnar
+    batches on the python→JVM wire instead of pickled rows, the
+    difference between shipping rows and shipping columns at a real
+    federated source (the mirror of `sink_python_datasource_arrow`'s
+    writer rung). The digest columns (part, n_rows, sum_ids,
+    payload_u24) are IDENTICAL to the row sibling's — pinned by
+    tests/test_r11_keys.py — and the extra evidence columns are stamped
+    by the executing reader, not literals: every row carries the
+    num_rows of the batch it rode in, and the 512-row batch size
+    deliberately does not divide the 2000-row partitions, so a ragged
+    464-row tail batch must appear exactly once per partition
+    (min/max/sum re-derived independently by the oracle). A row-based
+    reader cannot produce those values without constructing the same
+    batches.
+
+    Classes defined in-function (cloudpickle by-value — the r8 foreign-
+    session lesson), generator logic inlined in ``read`` so the pickled
+    class references no repo import.
+    """
+    prepare(spark)
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    rows_per_part = _PYDS_ROWS
+    batch_rows = _PYDS_ARROW_BATCH
+
+    class SynthLogArrowReader(DataSourceReader):
+        def __init__(self, options):
+            self.parts = int(options.get("parts", str(_PYDS_PARTS)))
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(self.parts)]
+
+        def read(self, partition):
+            import hashlib
+
+            import pyarrow as pa
+
+            p = partition.value
+            base = p * rows_per_part
+            for off in range(0, rows_per_part, batch_rows):
+                n = min(batch_rows, rows_per_part - off)
+                ids = list(range(base + off, base + off + n))
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "row_id": pa.array(ids, pa.int64()),
+                        "part": pa.array([p] * n, pa.int32()),
+                        "payload": pa.array(
+                            [
+                                hashlib.md5(str(i).encode()).hexdigest()
+                                for i in ids
+                            ],
+                            pa.string(),
+                        ),
+                        "batch_rows": pa.array([n] * n, pa.int32()),
+                    }
+                )
+
+    class SynthLogArrowDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthlog_arrow"
+
+        def schema(self):
+            return "row_id bigint, part int, payload string, batch_rows int"
+
+        def reader(self, schema):
+            return SynthLogArrowReader(self.options)
+
+    spark.dataSource.register(SynthLogArrowDataSource)
+    df = (
+        spark.read.format("synthlog_arrow")
+        .option("parts", str(_PYDS_PARTS))
+        .load()
+    )
+    return df.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("row_id").alias("sum_ids"),
+        F.sum(F.expr(_pyds_u24("payload"))).alias("payload_u24"),
+        F.sum("batch_rows").alias("batch_rows_sum"),
+        F.min("batch_rows").alias("min_batch_rows"),
+        F.max("batch_rows").alias("max_batch_rows"),
+    )
+
+
 #: Pushdown demo predicate constants — shared by the Spark query, the
 #: oracle SQL, and the partition-prune test so they cannot drift apart.
 _PYDS_MIN_PART = 5

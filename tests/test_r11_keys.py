@@ -113,6 +113,58 @@ def test_v2_manifest_collapse_equivalence(spark):
     assert collapsed == direct and len(direct) > 0
 
 
+def test_arrow_reader_digest_identical_to_row_sibling(spark):
+    """r10 verdict item 5 'Done' clause: the Arrow-native reader must be
+    digest-identical to the row-based sibling on the shared columns, and
+    its batch-evidence columns must show the ragged tail only genuine
+    RecordBatch construction produces (3×512 + 464 per 2000-row
+    partition — a row-at-a-time reader has no batch boundary to stamp)."""
+    import ls_hadoop_3_0_spark as engine
+    from ls_hadoop_3_0_spark.sources.io import _PYDS_ARROW_BATCH, _PYDS_PARTS, _PYDS_ROWS
+
+    arrow = {
+        r["part"]: r
+        for r in engine.QUERIES["scan_python_datasource_arrow"](spark, SF_DIR).collect()
+    }
+    row = {
+        r["part"]: r
+        for r in engine.QUERIES["scan_python_datasource"](spark, SF_DIR).collect()
+    }
+    assert set(arrow) == set(row) == set(range(_PYDS_PARTS))
+    tail = _PYDS_ROWS % _PYDS_ARROW_BATCH
+    n_full = _PYDS_ROWS // _PYDS_ARROW_BATCH
+    for p in row:
+        for c in ("n_rows", "sum_ids", "payload_u24"):
+            assert arrow[p][c] == row[p][c], (p, c)
+        assert arrow[p]["min_batch_rows"] == tail
+        assert arrow[p]["max_batch_rows"] == _PYDS_ARROW_BATCH
+        assert (
+            arrow[p]["batch_rows_sum"]
+            == n_full * _PYDS_ARROW_BATCH**2 + tail**2
+        )
+
+
+def test_arrow_reader_is_partition_parallel(spark):
+    """The Arrow reader must plan one task per declared partition, like
+    its row sibling (the connector-parallelism contract)."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.sources.io import _PYDS_PARTS
+
+    import ls_hadoop_3_0_spark as engine
+
+    engine.QUERIES["scan_python_datasource_arrow"](spark, SF_DIR)  # registers
+    scan = (
+        spark.read.format("synthlog_arrow").option("parts", str(_PYDS_PARTS)).load()
+    )
+    assert scan.rdd.getNumPartitions() == _PYDS_PARTS
+    # Batch grain is visible per row: exactly two distinct batch sizes.
+    sizes = {
+        r["batch_rows"] for r in scan.select("batch_rows").distinct().collect()
+    }
+    assert sizes == {512, 464}
+
+
 def test_cap_guard_coefficients_track_threshold():
     """ADVICE r10: the cap-guard integer coefficients are DERIVED from
     MINHASH_JACCARD_T (J >= p/q iff (p+q)*ns >= p*(np+nd)) — at the
