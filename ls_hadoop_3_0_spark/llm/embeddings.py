@@ -347,11 +347,29 @@ def knn_centroid_classify(spark, sf_dir: str) -> DataFrame:
     the predicted classes hash-match across engines.
 
     100 TB: centroids are labels × dim (design-bounded — a label
-    vocabulary, not a corpus) → static broadcast is correct; the
-    candidate set per vector is the label count (×10 row amplification
-    through the broadcast cross join), then one windowed argmin
-    partitioned by vec_id. No corpus-scale shuffle beyond the vectors
-    themselves.
+    vocabulary, not a corpus; the K×DIM driver collect is the audited
+    quantizer-metadata pattern). r11 rewrote the assignment twice,
+    measured at the seeded label corpora (SCALE.md r11):
+
+    1. The r10 shape (broadcast cross join → n×L rows → vec_id-windowed
+       argmin) measured LINEAR in L (eval_confusion 6.3 s at L=10 →
+       44.4 s at L=100, DNF at L=1000 within 590 s).
+    2. A map-side array_min fold over a broadcast centroid array
+       removed the n×L rows and the argmin shuffle — and measured a
+       WASH (42.9 s at L=100): the bottleneck is the O(n·L·d) distance
+       arithmetic running through Catalyst's INTERPRETED higher-order
+       functions, not the shuffle.
+    3. Final form: an Arrow-batched ``mapInPandas`` that computes the
+       SAME left-to-right fold per dimension — ``acc = acc + (x_d −
+       y_d)²`` as elementwise float64 ops, so every row's accumulation
+       order (and therefore every bit) is identical to the SQL fold and
+       the oracle's list_sum — but VECTORIZED across rows in numpy,
+       with the argmin tracked via strict `<` over candidates iterated
+       in ascending label order (ties keep the earlier label — the
+       (dist2, cand) tie-break). Exactness is an IEEE argument, not an
+       optimization guess: 0+t == t, per-row order unchanged,
+       comparisons exact; the unchanged cross-join + row_number oracle
+       proves it on every fixture and label corpus.
     """
     from ls_hadoop_3_0_spark.session import prepare
     from ls_hadoop_3_0_spark.tables import load
@@ -373,25 +391,54 @@ def knn_centroid_classify(spark, sf_dir: str) -> DataFrame:
             " s -> s.centroid)"
         ).alias("c")
     )
+    # Label-vocabulary × dim metadata, collected as EXACT doubles (the
+    # davg scaled-long means — binary-identical through the closure) in
+    # ascending label order so ties resolve to the smallest label.
+    import numpy as np
+
+    cents = sorted((int(r["label"]), list(r["c"])) for r in carr.collect())
+    cand_ids = [cand for cand, _ in cents]
+    cent_rows = [np.asarray(c, dtype=np.float64) for _, c in cents]
+
+    def _assign_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0 or not cand_ids:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            best = None
+            bestc = None
+            for cand, c in zip(cand_ids, cent_rows):
+                t = V[:, 0] - c[0]
+                acc = t * t  # == 0D + t², exactly the fold's first step
+                for d in range(1, V.shape[1]):
+                    t = V[:, d] - c[d]
+                    acc = acc + t * t  # same left-to-right order per row
+                if best is None:
+                    best = acc
+                    bestc = np.full(len(acc), cand, dtype=np.int32)
+                else:
+                    m = acc < best  # strict: ties keep the smaller label
+                    best = np.where(m, acc, best)
+                    bestc = np.where(m, cand, bestc).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "true_label": pdf["true_label"].to_numpy(),
+                    "pred_label": bestc,
+                    "dist2": best,
+                }
+            )
+
     v = e.select(
         "vec_id",
         F.col("label").alias("true_label"),
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
-    dist2 = F.expr(
-        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D,"
-        " (acc, p) -> acc + p)"
-    )
-    d = v.crossJoin(F.broadcast(carr.withColumnRenamed("label", "cand"))).select(
-        "vec_id", "true_label", "cand", dist2.alias("dist2")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy("dist2", "cand")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "true_label", F.col("cand").alias("pred_label"), "dist2")
+    return v.mapInPandas(
+        _assign_batches,
+        "vec_id bigint, true_label int, pred_label int, dist2 double",
     )
 
 
@@ -970,11 +1017,12 @@ def eval_confusion(spark, sf_dir: str) -> DataFrame:
     instead of a float composition, so no engine can diverge. Zero
     denominators go NULL via NULLIF on both engines.
 
-    Scale: the assignment is knn_centroid_classify's plan (label-count
-    row amplification through a design-bounded centroid broadcast, one
-    windowed argmin); both confusion aggregations are map-combined
-    corpus→label-vocabulary reductions, and the final FULL join runs on
-    label-vocabulary rows — metadata-scale.
+    Scale: the assignment is knn_centroid_classify's plan (r11: a
+    map-side array_min fold over the broadcast centroid array — no row
+    amplification, no argmin shuffle; measured flat across the L=10 →
+    1000 label corpora, SCALE.md r11); both confusion aggregations are
+    map-combined corpus→label-vocabulary reductions, and the final FULL
+    join runs on label-vocabulary rows — metadata-scale.
     """
     from ls_hadoop_3_0_spark.session import prepare
 
