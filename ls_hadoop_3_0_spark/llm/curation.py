@@ -416,6 +416,47 @@ def _grams_sql(n: int) -> str:
     )
 
 
+def _text_class_structure(
+    docs: DataFrame,
+) -> tuple[DataFrame | None, DataFrame]:
+    """(member map, gate input) behind the text-gate class collapse (r11).
+
+    The r10 dedup-probe recipe generalized to PURE-TEXT-FUNCTION gates
+    (quality_repetition's metrics, quality_crossdup's class-grain
+    derivation): when exact duplication is material, gates run on ONE
+    representative per distinct text and members join back by content
+    hash. Direct path: ``(None, docs)`` — no class/expansion shuffles on
+    dup-free corpora (the probe only picks between value-identical
+    plans; each caller's forced-path equivalence test pins that).
+
+    Returns member map ``keyed`` = (doc_id, h) and class-grain
+    ``rep_docs`` = (doc_id=rep, h, m=class size, text), the latter
+    localCheckpointed (class-grain — the _minhash_structure rule; the
+    probe runs BEFORE the checkpoint so its plan-hash cache stays warm).
+
+    ``docs`` must carry (doc_id, text).
+    """
+    from ls_hadoop_3_0_spark.llm.dedup import _dup_ratio_material
+
+    if not _dup_ratio_material(docs):
+        return None, docs
+    keyed = docs.select("doc_id", F.md5("text").alias("h"))
+    reps = keyed.groupBy("h").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("m")
+    )
+    rep_docs = (
+        docs.select("doc_id", "text")
+        .join(
+            reps.select(F.col("rep_id").alias("doc_id"), "h", "m").hint(
+                "shuffle_hash"
+            ),
+            "doc_id",
+        )
+        .localCheckpoint(eager=False)
+    )
+    return keyed, rep_docs
+
+
 @query(
     "quality_repetition",
     f"""
@@ -470,8 +511,19 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact-integer divisions → bit-stable; a doc too short for gram
     size n gets NULL metrics for that n on both engines (3-valued OR
     keeps the verdict identical).
+
+    r11: every metric here is a pure function of the text, so the
+    _text_class_structure collapse applies — when the dedup probe fires
+    the gram pipeline runs per distinct-content class and members
+    inherit their class metrics by hash (33.9 → 9.5 s at the 100×
+    replica); dup-free corpora keep the direct plan. Oracle unchanged;
+    forced-path equivalence pinned in tests/test_r11_keys.py.
     """
     prepare(spark)
+    docs = spread(
+        load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    ).select("doc_id", "text")
+    keyed, gate_docs = _text_class_structure(docs)
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     arms = ", ".join(
         f"CASE WHEN size(t) >= {n} THEN"
@@ -481,8 +533,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n in (2, 3, 4, 5)
     )
     g = (
-        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
-        .select("doc_id", toks.alias("t"))
+        gate_docs.select("doc_id", toks.alias("t"))
         .select("doc_id", F.explode(F.expr(f"flatten(array({arms}))")).alias("s"))
         .select("doc_id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
     )
@@ -501,7 +552,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) / F.sum(F.when(n_ == n, c))
 
     top2, top3, dup5 = _top(2), _top(3), _dup(5)
-    return per.groupBy("doc_id").agg(
+    metrics = per.groupBy("doc_id").agg(
         top2.alias("top2_frac"),
         top3.alias("top3_frac"),
         _top(4).alias("top4_frac"),
@@ -512,6 +563,26 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (top3 > F.lit(REP_TOP3))
             | (dup5 > F.lit(REP_DUP5))
         ).alias("is_repetitive"),
+    )
+    if keyed is None:
+        return metrics
+    # Members inherit their class rep's metrics by content hash; docs
+    # whose class has no grams (<2 tokens) stay absent, as on the
+    # direct path (identical text ⇒ identical gram stream).
+    rep_h = gate_docs.select("doc_id", "h")
+    return (
+        metrics.join(rep_h, "doc_id")
+        .drop("doc_id")
+        .join(keyed.hint("shuffle_hash"), "h")
+        .select(
+            "doc_id",
+            "top2_frac",
+            "top3_frac",
+            "top4_frac",
+            "dup2_frac",
+            "dup5_frac",
+            "is_repetitive",
+        )
     )
 
 
@@ -804,22 +875,33 @@ def quality_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max/count is constant per-gram state, map-combined.
     Fractions are exact-int divisions, comparisons strict on identical
     doubles.
+
+    r11 class collapse: unlike the repetition metrics, exclusivity is
+    NOT a pure text function — but it IS a pure function of the class
+    structure: a gram is exclusive to a doc iff it occurs in exactly
+    ONE distinct-content class AND that class has ONE member (any
+    multi-member class shares every one of its grams among its copies,
+    and a gram spanning two classes is shared by construction). So when
+    the probe fires, the gram stream runs at class grain with
+    ``min(rep)=max(rep) AND m=1`` as the exclusivity test, and members
+    inherit (n_grams, n_excl) by hash — multi-member classes get
+    n_excl=0 without touching the gram stream. 43 → 11.6 s at the 100×
+    replica; oracle unchanged, forced-path equivalence pinned in
+    tests/test_r11_keys.py.
     """
     prepare(spark)
     n = CROSSDUP_N
+    docs = spread(
+        load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    ).select("doc_id", "text")
+    keyed, gate_docs = _text_class_structure(docs)
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     gram = (
         f"transform(sequence(1, size(t) - {n} + 1),"
         f" i -> array_join(slice(t, i, {n}), ' '))"
     )
-    t = (
-        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
-        .select("doc_id", toks.alias("t"))
-        .filter(F.size("t") >= n)
-    )
-    base = t.select(
-        "doc_id", (F.size("t") - n + 1).cast("long").alias("n_grams")
-    )
+    cols = ["doc_id"] if keyed is None else ["doc_id", "h", "m"]
+    t = gate_docs.select(*cols, toks.alias("t")).filter(F.size("t") >= n)
     g = t.select("doc_id", F.explode(F.expr(gram)).alias("g"))
     d = g.groupBy("g").agg(
         F.min("doc_id").alias("mn"),
@@ -831,9 +913,34 @@ def quality_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("mn").alias("doc_id"))
         .agg(F.sum("c").alias("n_excl"))
     )
-    n_shared = F.col("n_grams") - F.coalesce(F.col("n_excl"), F.lit(0))
+    if keyed is None:
+        base = t.select(
+            "doc_id", (F.size("t") - n + 1).cast("long").alias("n_grams")
+        )
+        n_shared = F.col("n_grams") - F.coalesce(F.col("n_excl"), F.lit(0))
+        frac = n_shared.cast("double") / F.col("n_grams")
+        return base.join(excl.hint("merge"), "doc_id", "left").select(
+            "doc_id",
+            "n_grams",
+            n_shared.alias("n_shared"),
+            frac.alias("shared_frac"),
+            (frac > F.lit(CROSSDUP_FLAG_FRAC)).alias("is_crossdup"),
+        )
+    base_rep = t.select(
+        "doc_id", "h", "m", (F.size("t") - n + 1).cast("long").alias("n_grams")
+    )
+    rep_gate = base_rep.join(excl.hint("merge"), "doc_id", "left").select(
+        "h",
+        "n_grams",
+        # A rep-exclusive gram is corpus-exclusive only for singleton
+        # classes; every gram of an m≥2 class is shared by its copies.
+        F.when(F.col("m") == 1, F.coalesce(F.col("n_excl"), F.lit(0)))
+        .otherwise(F.lit(0))
+        .alias("n_excl"),
+    )
+    n_shared = F.col("n_grams") - F.col("n_excl")
     frac = n_shared.cast("double") / F.col("n_grams")
-    return base.join(excl.hint("merge"), "doc_id", "left").select(
+    return keyed.join(rep_gate.hint("shuffle_hash"), "h").select(
         "doc_id",
         "n_grams",
         n_shared.alias("n_shared"),

@@ -165,6 +165,47 @@ def test_arrow_reader_is_partition_parallel(spark):
     assert sizes == {512, 464}
 
 
+def test_text_gate_collapse_oracle_parity_on_dup_fixture(spark, tmp_path):
+    """quality_repetition / quality_crossdup r11 class collapse: on a
+    duplicate-heavy fixture (every sf0.001 doc duplicated once) the
+    probe picks the collapsed path; the UNCHANGED full-formulation
+    DuckDB oracle must still hash-match — the strongest possible
+    equivalence pin (independent engine, independent formulation)."""
+    import duckdb
+
+    from ls_hadoop_3_0_spark.llm import dedup
+    from tests.compare import assert_equivalent
+
+    import ls_hadoop_3_0_spark as engine
+    from ls_hadoop_3_0_spark.registry import ORACLES
+
+    con = duckdb.connect()
+    dup_dir = str(tmp_path)
+    con.execute(
+        f"""
+        COPY (
+            SELECT doc_id, source, lang, text, n_chars
+            FROM read_parquet('{SF_DIR}/documents.parquet')
+            UNION ALL
+            SELECT doc_id + 10000000, source, lang, text, n_chars
+            FROM read_parquet('{SF_DIR}/documents.parquet')
+        ) TO '{dup_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{dup_dir}/documents.parquet')"
+    )
+    dedup._DUP_PROBE_CACHE.clear()
+    docs = load(spark, dup_dir, "documents").select("doc_id", "text")
+    assert dedup._dup_ratio_material(docs), "probe must fire on the dup fixture"
+    for key in ("quality_repetition", "quality_crossdup"):
+        spdf = engine.QUERIES[key](spark, dup_dir).toPandas()
+        odf = con.execute(ORACLES[key]).fetchdf()
+        assert_equivalent(spdf, odf, key)
+        assert len(spdf) > 0
+
+
 def test_cap_guard_coefficients_track_threshold():
     """ADVICE r10: the cap-guard integer coefficients are DERIVED from
     MINHASH_JACCARD_T (J >= p/q iff (p+q)*ns >= p*(np+nd)) — at the
