@@ -322,8 +322,10 @@ def minhash_pairs(docs: DataFrame, threshold: float = MINHASH_JACCARD_T) -> Data
     cut): docs with identical shingle SETS are interchangeable for
     every stage — signatures, band collisions, and Jaccard are
     set-determined — so when exact duplication is material the LSH +
-    verify pipeline runs on one REPRESENTATIVE per class (min doc_id
-    over md5(sorted shingle list)) and member pairs are EXPANDED
+    verify pipeline runs on one REPRESENTATIVE per class (r11: min
+    doc_id per md5(text) — text equality implies shingle-set equality,
+    and the map-side key spares the corpus-scale shingle explode the
+    r10 sorted-shingle key paid) and member pairs are EXPANDED
     afterward: intra-class pairs are J = 1.0 by identity (emitted by
     an output-bound member self-join, never verified per-pair),
     inter-class pairs inherit their class pair's verified jaccard
@@ -442,12 +444,18 @@ def _minhash_structure(
         sh_, cand = minhash_candidates(docs)
         return None, _verify_pairs(sh_, cand, threshold), None
 
-    sh = _shingled(docs).localCheckpoint(eager=False)
-    keyed = sh.select(
-        "doc_id",
-        F.md5(F.array_join(F.sort_array("shingles"), "\x1f")).alias("ck"),
-    )
-    # Class table: rep = min doc_id per distinct shingle set. member is
+    # r11: classes key on md5(text) — EXACTLY the signal the probe
+    # detects (text equality ⇒ shingle-set equality, so every collapse
+    # invariant holds on the finer partition) — which makes the member
+    # map MAP-SIDE and restricts the shingle explode to ONE REP PER
+    # CLASS. The r10 form keyed on md5(sorted shingles) and therefore
+    # shingled the WHOLE corpus just to build the class table — the
+    # dominant corpus-scale work of the structure. Set-identical-but-
+    # text-different docs no longer collapse; they were never what the
+    # text-based probe fired on, and both paths stay value-identical
+    # (unchanged oracle + forced-collapse equivalence test).
+    keyed = docs.select("doc_id", F.md5("text").alias("ck"))
+    # Class table: rep = min doc_id per distinct text. member is
     # corpus-scale (one row per doc) — never collected, never a
     # collect_list (a real corpus can hold million-member boilerplate
     # classes). All sides grow with the corpus → shuffle_hash hints
@@ -458,12 +466,14 @@ def _minhash_structure(
         .select("rep", "doc_id")
         .localCheckpoint(eager=False)
     )
-    sh_rep = sh.join(
-        member.filter(F.col("rep") == F.col("doc_id"))
-        .select("doc_id")
-        .hint("shuffle_hash"),
-        "doc_id",
-        "semi",
+    sh_rep = _shingled(
+        docs.join(
+            member.filter(F.col("rep") == F.col("doc_id"))
+            .select("doc_id")
+            .hint("shuffle_hash"),
+            "doc_id",
+            "semi",
+        )
     ).localCheckpoint(eager=False)
 
     _, cand = minhash_candidates(docs, sh=sh_rep)
