@@ -513,7 +513,40 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift from its stages). Scale shape: the gram stream and the token
     stream each shuffle once; the vocabulary joins are merge-hinted
     (Heaps-scale sides); the only driver scalars are two exact counts
-    (corpus max chars rides a 1-row cross join).
+    (corpus max chars rides a 1-row cross join). r11: when the dedup
+    probe fires, both statistical gates run at CLASS grain
+    (_v3_manifest collapsed path) — the 8-gram and token streams shrink
+    to one rep per distinct text, with corpus-exclusivity and
+    vocabulary counts derived exactly from class sizes.
+    """
+    prepare(spark)
+    from ls_hadoop_3_0_spark.llm.dedup import _dup_ratio_material
+
+    docs0 = spread(
+        load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    ).select("doc_id", "source", "text", "n_chars")
+    return _v3_manifest(spark, docs0, _dup_ratio_material(docs0))
+
+
+def _v3_manifest(spark: SparkSession, docs0: DataFrame, material: bool) -> DataFrame:
+    """pipeline_curation_v3's plan, parameterized by the collapse verdict.
+
+    Direct path: the r9 plan unchanged. Collapsed path (r11): both
+    statistical gates are exact functions of the CLASS structure —
+
+    - the crossdup gate reuses the quality_crossdup r11 derivation
+      (a gram is corpus-exclusive iff it occurs in exactly one class of
+      size one; m≥2 classes share every gram among their copies), so
+      the 8-gram stream runs over one rep per distinct text;
+    - the unigram-LM gate's corpus vocabulary counts are Σ(class size ×
+      rep count) — the token stream runs at rep grain with an m-weight,
+      and the integer counts (and therefore every quantized nllq) are
+      IDENTICAL to the member-grain scan's;
+
+    while the doc-keyed stages (u24 importance sampling on doc_id,
+    min-doc keeper selection) stay member-grain. Values identical on
+    both paths — proven by the unchanged _v3_sql oracle (sf0.01 direct,
+    10×/dup-fixture collapsed) and the forced-path equivalence test.
     """
     from ls_hadoop_3_0_spark.llm.curation import (
         CROSSDUP_FLAG_FRAC,
@@ -521,12 +554,105 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ls_hadoop_3_0_spark.operators.sort import _u24_expr
 
-    prepare(spark)
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    n = CROSSDUP_N
+    gram = (
+        f"transform(sequence(1, size(t) - {n} + 1),"
+        f" i -> array_join(slice(t, i, {n}), ' '))"
+    )
+    if material:
+        keyed = docs0.select(
+            "doc_id", "source", "n_chars", F.md5("text").alias("h")
+        )
+        reps = keyed.groupBy("h").agg(
+            F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("m")
+        )
+        tr = (
+            docs0.select("doc_id", "text")
+            .join(
+                reps.select(F.col("rep_id").alias("doc_id"), "h", "m").hint(
+                    "shuffle_hash"
+                ),
+                "doc_id",
+            )
+            .select("doc_id", "h", "m", toks.alias("t"))
+            .localCheckpoint(eager=False)
+        )
+        el = tr.filter(F.size("t") >= n)
+        g8 = el.select("doc_id", F.explode(F.expr(gram)).alias("g"))
+        d8 = g8.groupBy("g").agg(
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        excl = (
+            d8.filter(F.col("mn") == F.col("mx"))
+            .groupBy(F.col("mn").alias("doc_id"))
+            .agg(F.sum("c").alias("n_excl_raw"))
+        )
+        n_grams = (F.size("t") - n + 1).cast("long")
+        n_excl = F.when(
+            F.col("m") == 1, F.coalesce(F.col("n_excl_raw"), F.lit(0))
+        ).otherwise(F.lit(0))
+        frac = (n_grams - n_excl).cast("double") / n_grams
+        xdup = el.join(excl.hint("merge"), "doc_id", "left").select(
+            "h", (frac > F.lit(CROSSDUP_FLAG_FRAC)).alias("flagged")
+        )
+        tok = tr.select("h", "m", F.explode("t").alias("word"))
+        cnt = tok.groupBy("word").agg(F.sum("m").alias("c"))
+        # Exact integer scalar: Σ class-size × rep token count == the
+        # member-grain corpus token count.
+        total = int(
+            tok.agg(F.coalesce(F.sum("m"), F.lit(0))).collect()[0][0]
+        )
+        nllq = F.round(
+            -F.log(F.col("c").cast("double") / F.lit(total)) * 1_000_000
+        ).cast("long")
+        lm = (
+            tok.join(cnt.hint("merge"), "word")
+            .select("h", nllq.alias("nllq"))
+            .groupBy("h")
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                (
+                    F.sum("nllq").cast("double")
+                    / F.lit(1_000_000.0)
+                    / F.count(F.lit(1))
+                ).alias("avg_nll"),
+            )
+        )
+        mx = keyed.agg(F.max("n_chars").alias("m_chars"))
+        u24 = F.expr(_u24_expr("CAST(doc_id AS STRING)"))
+        thr = F.floor(
+            (F.col("n_chars").cast("double") / F.col("m_chars"))
+            * F.lit(16777216.0)
+        ).cast("long")
+        pool = (
+            keyed.join(lm.hint("shuffle_hash"), "h")
+            .join(xdup.hint("shuffle_hash"), "h", "left")
+            .crossJoin(F.broadcast(mx))
+            .filter(
+                ~F.coalesce(F.col("flagged"), F.lit(False))
+                & (F.col("avg_nll") <= F.lit(LM_MAX_AVG_NLL))
+                & (u24 < thr)
+            )
+            .select(
+                "doc_id",
+                "source",
+                F.col("h").alias("content_hash"),
+                "n_tokens",
+                "avg_nll",
+            )
+        )
+        keep = pool.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+        return pool.join(keep.select("doc_id").hint("merge"), "doc_id").select(
+            "doc_id", "source", "n_tokens", "avg_nll", "content_hash"
+        )
+
     # content_hash is computed MAP-SIDE here and `text` dropped before
     # any join: the pool's doc-keyed shuffles then carry a 32-char hash
     # instead of full documents (87.7 s -> 52.0 s at the 100x replica).
-    t = spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet").select(
+    t = docs0.select(
         "doc_id",
         "source",
         "text",
@@ -534,7 +660,6 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.alias("t"),
         F.md5("text").alias("content_hash"),
     )
-    n = CROSSDUP_N
     gram = (
         f"transform(sequence(1, size(t) - {n} + 1),"
         f" i -> array_join(slice(t, i, {n}), ' '))"

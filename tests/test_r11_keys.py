@@ -181,6 +181,9 @@ def test_text_gate_collapse_oracle_parity_on_dup_fixture(spark, tmp_path):
 
     con = duckdb.connect()
     dup_dir = str(tmp_path)
+    # HALF-duplicated (even doc_ids copied): the probe still fires
+    # (ratio 2/3) but singleton classes survive, so v3's crossdup gate
+    # doesn't trivially flag the whole corpus into an empty manifest.
     con.execute(
         f"""
         COPY (
@@ -189,6 +192,7 @@ def test_text_gate_collapse_oracle_parity_on_dup_fixture(spark, tmp_path):
             UNION ALL
             SELECT doc_id + 10000000, source, lang, text, n_chars
             FROM read_parquet('{SF_DIR}/documents.parquet')
+            WHERE doc_id % 2 = 0
         ) TO '{dup_dir}/documents.parquet' (FORMAT PARQUET)
         """
     )
@@ -199,11 +203,39 @@ def test_text_gate_collapse_oracle_parity_on_dup_fixture(spark, tmp_path):
     dedup._DUP_PROBE_CACHE.clear()
     docs = load(spark, dup_dir, "documents").select("doc_id", "text")
     assert dedup._dup_ratio_material(docs), "probe must fire on the dup fixture"
-    for key in ("quality_repetition", "quality_crossdup"):
+    for key in ("quality_repetition", "quality_crossdup", "pipeline_curation_v3"):
         spdf = engine.QUERIES[key](spark, dup_dir).toPandas()
         odf = con.execute(ORACLES[key]).fetchdf()
         assert_equivalent(spdf, odf, key)
         assert len(spdf) > 0
+
+
+def test_v3_manifest_collapse_equivalence(spark):
+    """The class-collapsed v3 plan must produce EXACTLY the direct
+    plan's manifest on a duplicate-heavy corpus — the crossdup gate's
+    class-structure exclusivity and the LM gate's m-weighted vocabulary
+    counts are exact integer identities, not approximations."""
+    from ls_hadoop_3_0_spark.llm.pipeline import _v3_manifest
+
+    base = load(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    # Half-duplicated: singleton classes must survive the crossdup gate
+    # or the manifest is trivially empty on both paths.
+    docs = base.unionAll(
+        base.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "source",
+            "text",
+            "n_chars",
+        )
+    )
+    cols = ("doc_id", "source", "n_tokens", "avg_nll", "content_hash")
+    direct = {tuple(r[c] for c in cols) for r in _v3_manifest(spark, docs, False).collect()}
+    collapsed = {
+        tuple(r[c] for c in cols) for r in _v3_manifest(spark, docs, True).collect()
+    }
+    assert collapsed == direct and len(direct) > 0
 
 
 def test_cap_guard_coefficients_track_threshold():
