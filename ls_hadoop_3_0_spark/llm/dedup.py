@@ -1629,15 +1629,40 @@ def embedding_pairs(e: DataFrame, threshold: float = EMB_COSINE_T) -> DataFrame:
     if not material:
         return _verify_cosine(e, embedding_candidates(e), threshold)
 
-    m = e.withColumn(
-        "rep", F.min("vec_id").over(Window.partitionBy("label", "u"))
+    # r11: the class table is built from a MAP-SIDE 128-bit key (md5 of
+    # the exact shortest-roundtrip string serialization of (label, u) —
+    # double→string is injective, so the key is exact up to md5
+    # collision, the same budget as every other class key in this
+    # repo). The r10 form used a Window over (label, u), which shuffled
+    # and sorted EVERY full vector with a 64-double partition key and
+    # cannot partial-aggregate; the groupBy/min over (ck, vec_id) pairs
+    # map-combines copies before the shuffle and ships 16-byte rows.
+    # Measured a WASH at the local 100× replica (37.4 vs 37.3 s, same
+    # host) — the key is OUTPUT-bound there (the expanded pair stream
+    # is ~25M rows; the class build is noise) — kept for the shape: on
+    # a memory-pressured cluster an un-combinable full-vector window
+    # sort is strictly heavier than a partial-aggregated pair shuffle.
+    ck = F.md5(
+        F.concat_ws(
+            ",",
+            F.col("label").cast("string"),
+            F.array_join(F.expr("transform(u, x -> cast(x as string))"), ","),
+        )
     )
-    member = m.select("rep", "vec_id").localCheckpoint(eager=False)
-    e_rep = (
-        m.filter(F.col("rep") == F.col("vec_id"))
-        .drop("rep")
+    keyed = e.select("vec_id", ck.alias("ck"))
+    reps = keyed.groupBy("ck").agg(F.min("vec_id").alias("rep"))
+    member = (
+        keyed.join(reps.hint("shuffle_hash"), "ck")
+        .select("rep", "vec_id")
         .localCheckpoint(eager=False)
     )
+    e_rep = e.join(
+        member.filter(F.col("rep") == F.col("vec_id"))
+        .select("vec_id")
+        .hint("shuffle_hash"),
+        "vec_id",
+        "semi",
+    ).localCheckpoint(eager=False)
     rep_pairs = _verify_cosine(e_rep, embedding_candidates(e_rep), threshold)
 
     self_cos = F.round(
