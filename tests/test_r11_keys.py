@@ -238,6 +238,54 @@ def test_v3_manifest_collapse_equivalence(spark):
     assert collapsed == direct and len(direct) > 0
 
 
+def test_numpy_fold_bit_identical_to_sql_fold(spark):
+    """The vectorized nearest-centroid assignment's exactness claim,
+    pinned adversarially: for random doubles (including near-tie
+    centroid pairs), the numpy per-dimension accumulation
+    ``acc = acc + (x_d−y_d)²`` must be BIT-identical to Spark's
+    sequential aggregate/zip_with fold — same accumulation order per
+    row, so IEEE guarantees equality, and this test fails the moment a
+    rewrite reassociates (e.g. np.sum's pairwise algorithm would)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, rows, cands = 17, 64, 5
+    V = rng.normal(0, 1, (rows, dim))
+    C = rng.normal(0, 1, (cands, dim))
+    C[1] = C[0] + rng.normal(0, 1e-13, dim)  # near-tie candidate pair
+
+    # numpy path: the exact loop knn_centroid_classify ships.
+    def np_fold(c):
+        t = V[:, 0] - c[0]
+        acc = t * t
+        for d in range(1, dim):
+            t = V[:, d] - c[d]
+            acc = acc + t * t
+        return acc
+
+    np_dists = np.stack([np_fold(c) for c in C])  # cands × rows
+
+    # SQL path: the same fold through Catalyst on the same bits.
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(rows)],
+        "i int, v array<double>",
+    )
+    for j in range(cands):
+        arr = "array(" + ",".join(repr(float(x)) + "D" for x in C[j]) + ")"
+        got = {
+            r["i"]: r["d2"]
+            for r in df.select(
+                "i",
+                F.expr(
+                    f"aggregate(zip_with(v, {arr}, (x, y) -> (x - y) * (x - y)),"
+                    " 0D, (acc, p) -> acc + p)"
+                ).alias("d2"),
+            ).collect()
+        }
+        for i in range(rows):
+            assert got[i] == np_dists[j][i], (j, i)
+
+
 def test_cap_guard_coefficients_track_threshold():
     """ADVICE r10: the cap-guard integer coefficients are DERIVED from
     MINHASH_JACCARD_T (J >= p/q iff (p+q)*ns >= p*(np+nd)) — at the
