@@ -1642,10 +1642,16 @@ def embedding_pairs(e: DataFrame, threshold: float = EMB_COSINE_T) -> DataFrame:
     # is ~25M rows; the class build is noise) — kept for the shape: on
     # a memory-pressured cluster an un-combinable full-vector window
     # sort is strictly heavier than a partial-aggregated pair shuffle.
+    # NULL label serialized explicitly (ADVICE r11): concat_ws SKIPS
+    # NULL args, so a bare cast would make (NULL, u) collide with a
+    # label-less prefix — injectivity must live in the key construction,
+    # not in the fixture's label happening to be a non-null int. The
+    # sentinel contains "," + a NUL byte, unreachable from any cast of a
+    # numeric/string label followed by the "," separator.
     ck = F.md5(
         F.concat_ws(
             ",",
-            F.col("label").cast("string"),
+            F.coalesce(F.col("label").cast("string"), F.lit(",\x00null")),
             F.array_join(F.expr("transform(u, x -> cast(x as string))"), ","),
         )
     )

@@ -203,7 +203,12 @@ def test_text_gate_collapse_oracle_parity_on_dup_fixture(spark, tmp_path):
     dedup._DUP_PROBE_CACHE.clear()
     docs = load(spark, dup_dir, "documents").select("doc_id", "text")
     assert dedup._dup_ratio_material(docs), "probe must fire on the dup fixture"
-    for key in ("quality_repetition", "quality_crossdup", "pipeline_curation_v3"):
+    for key in (
+        "quality_repetition",
+        "quality_crossdup",
+        "pipeline_curation_v2",
+        "pipeline_curation_v3",
+    ):
         spdf = engine.QUERIES[key](spark, dup_dir).toPandas()
         odf = con.execute(ORACLES[key]).fetchdf()
         assert_equivalent(spdf, odf, key)

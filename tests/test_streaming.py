@@ -770,10 +770,13 @@ def test_event_time_timers_follow_watermark_not_wallclock(spark):
     """
     import shutil
     import time
+    import uuid
 
     from pyspark.sql import functions as F
 
-    base = "/root/repo/.scratch/t6_et_timers"
+    # Per-run uuid path (r11 lesson): a concurrent session sharing a
+    # fixed staging dir produced r11's one flaky parity failure.
+    base = f"/root/repo/.scratch/t6_et_timers_{uuid.uuid4().hex}"
     stage, ckpt = f"{base}/src", f"{base}/ckpt"
     shutil.rmtree(base, ignore_errors=True)
     t0 = 1704103200  # 2024-01-01T10:00:00Z
