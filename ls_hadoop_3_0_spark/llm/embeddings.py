@@ -400,12 +400,31 @@ def knn_centroid_classify(spark, sf_dir: str) -> DataFrame:
     cand_ids = [cand for cand, _ in cents]
     cent_rows = [np.asarray(c, dtype=np.float64) for _, c in cents]
 
+    dim = len(cent_rows[0]) if cent_rows else 0
+
     def _assign_batches(it):
         import pandas as pd
 
         for pdf in it:
             if len(pdf) == 0 or not cand_ids:
                 continue
+            # A ragged or NULL embedding must degrade to a NULL
+            # pred/dist2 row — the same row the old SQL zip_with fold
+            # produced — never an np.stack task failure (ADVICE r11).
+            ok = pdf["v"].map(lambda x: x is not None and len(x) == dim)
+            bad = pdf[~ok.to_numpy()]
+            if len(bad):
+                yield pd.DataFrame(
+                    {
+                        "vec_id": bad["vec_id"].to_numpy(),
+                        "true_label": bad["true_label"].to_numpy(),
+                        "pred_label": pd.array([None] * len(bad), dtype="Int32"),
+                        "dist2": pd.array([None] * len(bad), dtype="Float64"),
+                    }
+                )
+                pdf = pdf[ok.to_numpy()]
+                if len(pdf) == 0:
+                    continue
             V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
             best = None
             bestc = None
