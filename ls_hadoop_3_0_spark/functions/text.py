@@ -1145,3 +1145,199 @@ def token_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative BPE merge learning — the driver-side loop token_bpe_pairs
+# documents, executed for real. State is INTEGER-ONLY (symbol strings +
+# bigint pair counts), so cross-engine parity is by construction: no
+# float ever enters the recurrence (contrast kmeans_lloyd/graph_pagerank,
+# which need the scaled-long lattice).
+
+#: Unrolled merge rounds (both the Spark loop and the oracle CTE chain).
+BPE_ROUNDS = 6
+
+#: Token-sequence serialization: every symbol is wrapped as ``|sym|`` and
+#: wrapped tokens concatenate WITHOUT sharing a separator, so replacing
+#: ``|l||r|`` → ``|lr|`` is (a) anchored — ``|`` never occurs inside a
+#: symbol (tokens match ``[a-z0-9]+``), a pair can never match across or
+#: inside symbols — and (b) exactly greedy left-to-right BPE: adjacent
+#: merge sites share NO characters (``|a||a||a||a|`` merges twice), and
+#: plain ``replace()`` is a left-to-right non-overlapping scan in Spark,
+#: DuckDB, and Python alike. A single shared separator would break (b):
+#: the second of two adjacent sites loses its leading char to the first
+#: match ("a a a a" merges once instead of twice).
+_BPE_WRAP_SPARK = "regexp_replace(word, '(.)', '|$1|')"
+_BPE_WRAP_DUCK = r"regexp_replace(word, '(.)', '|\1|', 'g')"
+
+_BPE_WORDS_SQL = """
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+"""
+
+
+def _bpe_chain_sql(rounds: int = BPE_ROUNDS) -> tuple[str, str]:
+    """DuckDB CTE chain for ``rounds`` unrolled BPE merges.
+
+    Returns ``(with_clause, last_vocab_cte_name)``; the per-round best
+    pair lives in CTEs ``b1..bN``. Mirrors the Spark loop exactly: count
+    adjacent symbol pairs weighted by word frequency, pick the
+    (count DESC, left ASC, right ASC) argmax, splice it into every
+    serialized sequence. An exhausted round (no pairs left) makes ``bN``
+    empty, every later vocab NULL-sequenced and every later ``bN`` empty
+    — the same "stop early" the Spark loop's break produces.
+
+    Every chained CTE is ``AS MATERIALIZED``: DuckDB inlines plain CTEs,
+    and with three ``(SELECT ... FROM bN)`` scalar refs per round the
+    inlined tree grows EXPONENTIALLY in rounds — the unmaterialized form
+    planned for minutes at 6 rounds on a 31-word vocabulary.
+    Materialization keeps the chain linear (each bN is one row, each vN
+    vocabulary-sized).
+    """
+    ctes = [
+        f"words AS MATERIALIZED ({_BPE_WORDS_SQL})",
+        f"v0 AS MATERIALIZED (SELECT {_BPE_WRAP_DUCK} AS seq, word, n"
+        " FROM words)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"v{i - 1}"
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT string_split(trim(seq, '|'), '||') AS t, n"
+            f" FROM {prev})"
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT unnest(t[1:len(t)-1]) AS l,"
+            f" unnest(t[2:len(t)]) AS r, n FROM t{i} WHERE len(t) >= 2)"
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT l, r, CAST(SUM(n) AS BIGINT) AS cnt"
+            f" FROM p{i} GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"v{i} AS MATERIALIZED (SELECT replace(seq,"
+            f" '|' || (SELECT l FROM b{i}) || '||' || (SELECT r FROM b{i}) || '|',"
+            f" '|' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || '|')"
+            f" AS seq, word, n FROM {prev})"
+        )
+    return "WITH " + ",\n    ".join(ctes), f"v{rounds}"
+
+
+_BPE_WITH, _BPE_VLAST = _bpe_chain_sql()
+
+
+def _bpe_learn_state(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS):
+    """Run ``rounds`` BPE merges; return (merge rows, final vocab DF).
+
+    One corpus-scale shuffle total: documents → (word, freq), then
+    ``localCheckpoint`` freezes that vocabulary (Heaps'-law sublinear ≪
+    corpus — the same collapse token_bpe_pairs documents) so each merge
+    round's argmax action re-executes only vocabulary-grain string ops,
+    never the corpus scan. The per-round collect is ONE row of exact
+    (string, string, bigint) — tokenizer metadata, not a data path.
+    """
+    prepare(spark)
+    words = (
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cur = words.select(
+        F.expr(_BPE_WRAP_SPARK).alias("seq"), "word", "n"
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for i in range(1, rounds + 1):
+        toks = cur.select(
+            F.expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')").alias("t"), "n"
+        ).filter(F.size("t") >= 2)
+        z = toks.withColumn("la", F.expr("slice(t, 1, size(t) - 1)")).withColumn(
+            "ra", F.expr("slice(t, 2, size(t) - 1)")
+        )
+        pairs = z.select(F.explode(F.arrays_zip("la", "ra")).alias("p"), "n").select(
+            F.col("p.la").alias("l"), F.col("p.ra").alias("r"), "n"
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((i, left, right, left + right, cnt))
+        cur = cur.withColumn(
+            "seq", F.expr(f"replace(seq, '|{left}||{right}|', '|{left}{right}|')")
+        )
+    return merges, cur
+
+
+@query(
+    "bpe_learn",
+    _BPE_WITH
+    + "\n    "
+    + " UNION ALL ".join(
+        f"SELECT {i} AS merge_round, l AS lft, r AS rgt, l || r AS merged,"
+        f" cnt AS pair_count FROM b{i}"
+        for i in range(1, BPE_ROUNDS + 1)
+    )
+    + " ORDER BY merge_round",
+)
+def bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 tokenizer TRAINING: the actual iterative BPE merge loop.
+
+    token_bpe_pairs is one counting round; this key runs the loop —
+    BPE_ROUNDS times: count adjacent symbol pairs weighted by word
+    frequency, merge the (count DESC, pair ASC) argmax into every
+    word's symbol sequence (greedy left-to-right, the sentencepiece /
+    GPT-2 semantics), emit the merge table. The oracle unrolls the same
+    recurrence as a CTE chain (the graph_pagerank discipline) — but the
+    state is all-integer, so parity needs no quantization lattice.
+
+    Scale — the standard BPE trick, measured rather than assumed: the
+    corpus contributes ONE map-combined wordcount shuffle; all ROUNDS
+    run on the localCheckpointed vocabulary (sublinear ≪ corpus), so
+    the marginal cost of a merge round is independent of corpus size.
+    Under corpus replication the word set is CONSTANT — rounds measure
+    flat by construction, only the first shuffle scales.
+    """
+    merges, _ = _bpe_learn_state(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, lft string, rgt string, merged string, pair_count long",
+    )
+
+
+@query(
+    "bpe_apply",
+    _BPE_WITH
+    + f"""
+    SELECT word, n,
+           array_to_string(string_split(trim(seq, '|'), '||'), ' ') AS seg,
+           CAST(len(string_split(trim(seq, '|'), '||')) AS INT) AS n_tokens
+    FROM {_BPE_VLAST}
+""",
+)
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 tokenizer APPLICATION: segment the vocabulary with the learned
+    merges.
+
+    The serving half of bpe_learn: after BPE_ROUNDS merges, emit every
+    word type with its corpus frequency, its space-joined segmentation,
+    and its token count — the lookup table a tokenizer ships (encoding
+    a corpus is then a broadcast join of this vocabulary-sized table
+    against the token stream). Same single corpus shuffle; the
+    segmentation itself is vocabulary-grain string work.
+    """
+    _, cur = _bpe_learn_state(spark, sf_dir)
+    toks = F.expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')")
+    return cur.select(
+        "word",
+        "n",
+        F.array_join(toks, " ").alias("seg"),
+        F.size(toks).cast("int").alias("n_tokens"),
+    )

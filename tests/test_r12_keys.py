@@ -70,3 +70,111 @@ def test_wellformed_rows_unchanged_by_degrade_guard(spark, malformed_dir):
     both_not1 = (c["pred_label"] != 1) & (d["pred_label"] != 1)
     assert both_not1.sum() > 0
     assert (c.loc[both_not1, "pred_label"] == d.loc[both_not1, "pred_label"]).all()
+
+
+# ---------------------------------------------------------------------------
+# bpe_learn / bpe_apply — iterative BPE merge learning
+
+
+def _ref_bpe(word_freq: dict[str, int], rounds: int):
+    """Independent pure-Python greedy BPE — the semantics both engines
+    must reproduce: count adjacent pairs (overlapping) weighted by word
+    frequency, merge the (count DESC, pair ASC) argmax greedily
+    left-to-right (non-overlapping, scanning per word), repeat."""
+    vocab = {w: [c for c in w] for w in word_freq}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, toks in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freq[w]
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rnd, left, right, left + right, cnt))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+@pytest.fixture(scope="module")
+def adversarial_bpe_dir(tmp_path_factory):
+    """Corpus stressing greedy-merge overlap: runs of a repeated char
+    ('aaaa' must merge to [aa, aa], 'aaa' to [aa, a]) and pairs that
+    tie on count (tie-break = lexicographic pair)."""
+    texts = [
+        "aaaa aaa baab aa",
+        "aaaa aaaa zz zz zz",
+        "abab baba aaaa",
+        "aaa zz baab abab",
+    ]
+    out = tmp_path_factory.mktemp("r12_bpe")
+    pa_tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["synthetic"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(pa_tbl, os.path.join(out, "documents.parquet"))
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            freq[w] = freq.get(w, 0) + 1
+    return str(out), freq
+
+
+def test_bpe_matches_reference_implementation(spark, adversarial_bpe_dir):
+    from ls_hadoop_3_0_spark.functions import text as T
+
+    d, freq = adversarial_bpe_dir
+    ref_merges, ref_vocab = _ref_bpe(freq, T.BPE_ROUNDS)
+
+    got = [
+        (r["merge_round"], r["lft"], r["rgt"], r["merged"], r["pair_count"])
+        for r in T.bpe_learn(spark, d).collect()
+    ]
+    assert got == ref_merges
+
+    seg = {r["word"]: (r["seg"], r["n_tokens"]) for r in T.bpe_apply(spark, d).collect()}
+    assert seg == {
+        w: (" ".join(toks), len(toks)) for w, toks in ref_vocab.items()
+    }
+    # The overlap cases specifically: after ONE round, greedy
+    # left-to-right (not replace-once, not exhaustive re-scan). The
+    # engines are pinned to the reference above, and the reference's
+    # greediness is pinned here — by round 6 'aaaa' legitimately becomes
+    # a single token via a later (aa, aa) merge.
+    _, vocab_r1 = _ref_bpe(freq, 1)
+    assert vocab_r1["aaaa"] == ["aa", "aa"]
+    assert vocab_r1["aaa"] == ["aa", "a"]
+
+
+def test_bpe_oracle_parity_on_adversarial_corpus(spark, adversarial_bpe_dir):
+    import duckdb
+
+    from ls_hadoop_3_0_spark.registry import ORACLES, QUERIES
+    from tests.compare import assert_equivalent
+
+    d, _ = adversarial_bpe_dir
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet')}')"
+    )
+    for key in ("bpe_learn", "bpe_apply"):
+        spdf = QUERIES[key](spark, d).toPandas()
+        odf = con.execute(ORACLES[key]).fetchdf()
+        assert_equivalent(spdf, odf, key)
