@@ -565,3 +565,418 @@ def knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force scan three times.
     """
     return _recall_summary(spark, sf_dir, panel=PANEL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) ANN — the third
+# ANN rung beside knn_lsh (hyperplane buckets) and knn_ivf (coarse
+# cells). Unlike those rows-only keys, EVERYTHING here is oracle-backed:
+# codebooks are k-means-TRAINED per subspace with the kmeans_lloyd
+# scaled-long re-quantization (state re-enters the 1e-6 lattice every
+# round, so both engines carry identical doubles), vectors are
+# NORMALIZED first (squared L2 on unit vectors is rank-equivalent to
+# cosine: d² = 2 − 2cos), encoding is a deterministic argmin over the
+# proven left-to-right fold, and ADC sums per-subspace lookups in fixed
+# subspace order. The driver hash-checks the full top-k result.
+
+PQ_M = 8  #: subspaces
+PQ_SUB = DIM // PQ_M  #: dims per subspace (8)
+PQ_K = 16  #: codes per subspace (4-bit) → code_word fits 32 bits
+PQ_TRAIN_ROUNDS = 2  #: Lloyd rounds per subspace (init: first PQ_K vectors)
+PQ_SCALE = 1_000_000  #: codebook state lattice (the kmeans_lloyd scale)
+
+
+def _pq_fold8_sql(vec: str, cv: str, base: str) -> str:
+    """8-dim squared-L2 fold: list_sum ∘ list_transform — the SQL twin
+    of the numpy elementwise accumulation (bit-identical per row)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {PQ_SUB}),"
+        f" i -> ({vec}[{base} + i] - {cv}[i])"
+        f" * ({vec}[{base} + i] - {cv}[i])))"
+    )
+
+
+def _pq_sql_with(rounds: int = PQ_TRAIN_ROUNDS) -> str:
+    """Shared DuckDB WITH-chain: normalize → quantized init codebook →
+    ``rounds`` unrolled Lloyd rounds per subspace → encoded corpus ``w``
+    (per (vec_id, m) the winning code + distance) + final codebook
+    ``cbF``. Codebook state lives as scaled longs (``cb{t}q``) exactly
+    like the Spark driver's collected ints; ``cv`` lists are derived
+    per round as q/1e6 doubles. Empty cells keep the previous round's
+    longs (the kmeans_lloyd fallback)."""
+    from ls_hadoop_3_0_spark.exprs import sql_davg
+
+    parts = [
+        f"e AS MATERIALIZED (SELECT vec_id, label, u AS v FROM ({NORM_EMB_SQL}))",
+        f"grid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)",
+        f"sd AS (SELECT unnest(generate_series(1, {PQ_SUB})) AS i)",
+        f"cb0q AS MATERIALIZED (SELECT grid.m, e.vec_id AS code, sd.i,"
+        f" CAST(round(e.v[grid.m * {PQ_SUB} + sd.i] * {PQ_SCALE}) AS BIGINT)"
+        f" AS q FROM e CROSS JOIN grid CROSS JOIN sd"
+        f" WHERE e.vec_id < {PQ_K})",
+    ]
+    fold = _pq_fold8_sql("e.v", "c.cv", f"c.m * {PQ_SUB}")
+    for t in range(1, rounds + 1):
+        prev = f"cb{t - 1}q"
+        parts.append(
+            f"cv{t - 1} AS (SELECT m, code,"
+            f" list(CAST(q AS DOUBLE) / {PQ_SCALE}.0 ORDER BY i) AS cv"
+            f" FROM {prev} GROUP BY m, code)"
+        )
+        parts.append(
+            f"s{t} AS (SELECT e.vec_id, c.m, c.code, {fold} AS d2"
+            f" FROM e CROSS JOIN cv{t - 1} c)"
+        )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT vec_id, m, code FROM"
+            f" (SELECT vec_id, m, code, row_number() OVER"
+            f" (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM s{t})"
+            f" WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT m, code, i,"
+            f" CAST(round(({sql_davg('x')}) * {PQ_SCALE}) AS BIGINT) AS q"
+            f" FROM (SELECT a.m, a.code, sd.i,"
+            f" e.v[a.m * {PQ_SUB} + sd.i] AS x"
+            f" FROM a{t} a JOIN e USING (vec_id) CROSS JOIN sd) t{t}x"
+            f" GROUP BY m, code, i)"
+        )
+        parts.append(
+            f"cb{t}q AS MATERIALIZED (SELECT m, code, i, q FROM m{t}"
+            f" UNION ALL SELECT p.m, p.code, p.i, p.q FROM {prev} p"
+            f" WHERE NOT EXISTS (SELECT 1 FROM m{t} mm WHERE mm.m = p.m AND mm.code = p.code))"
+        )
+    parts.append(
+        f"cbF AS MATERIALIZED (SELECT m, code,"
+        f" list(CAST(q AS DOUBLE) / {PQ_SCALE}.0 ORDER BY i) AS cv"
+        f" FROM cb{rounds}q GROUP BY m, code)"
+    )
+    parts.append(f"sub AS (SELECT e.vec_id, c.m, c.code, {fold} AS d2 FROM e CROSS JOIN cbF c)")
+    parts.append(
+        "w AS MATERIALIZED (SELECT vec_id, m, code, d2 FROM"
+        " (SELECT vec_id, m, code, d2, row_number() OVER"
+        " (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM sub)"
+        " WHERE rn = 1)"
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+_PQ_WITH = _pq_sql_with()
+
+
+def _pq_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return normalized_embeddings(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("u").alias("v")
+    )
+
+
+def _pq_subdists(V, cb, m: int, k: int):
+    """Squared L2 of batch rows' m-th subvector to codeword (m, k) —
+    the exact left-to-right fold, elementwise float64 across rows."""
+    off = m * PQ_SUB
+    t = V[:, off] - cb[m, k, 0]
+    acc = t * t  # == 0D + t², the fold's first step
+    for d in range(1, PQ_SUB):
+        t = V[:, off + d] - cb[m, k, d]
+        acc = acc + t * t  # same left-to-right order per row
+    return acc
+
+
+def _pq_assign(V, cb):
+    """(codes, rec_err) for a batch: per-subspace argmin over ascending
+    codes (strict <, ties keep the smaller code), rec_err accumulated
+    in m-ascending order (matches the oracle's list(d2 ORDER BY m))."""
+    import numpy as np
+
+    n = len(V)
+    codes = np.empty((n, PQ_M), dtype=np.int64)
+    rec = None
+    for m in range(PQ_M):
+        best, bestc = None, None
+        for k in range(PQ_K):
+            acc = _pq_subdists(V, cb, m, k)
+            if best is None:
+                best, bestc = acc, np.zeros(n, dtype=np.int64)
+            else:
+                lt = acc < best
+                best = np.where(lt, acc, best)
+                bestc = np.where(lt, k, bestc)
+        codes[:, m] = bestc
+        rec = best if rec is None else rec + best
+    return codes, rec
+
+
+def _pq_train(spark: SparkSession, sf_dir: str, rounds: int = PQ_TRAIN_ROUNDS):
+    """Train the PQ_M×PQ_K codebook: quantized sampled init (the first
+    PQ_K normalized vectors) + ``rounds`` Lloyd rounds per subspace.
+
+    State is collected as EXACT scaled longs every round (M×K×SUB ≤ 1 KB
+    of quantizer metadata — the kmeans_lloyd collect discipline) and
+    re-enters numpy as q/1e6, so the Spark codebook and the oracle's
+    cb{t}q lattice are the same doubles at every round.
+    """
+    import numpy as np
+
+    e = _pq_normalized(spark, sf_dir)
+    init = sorted(
+        (int(r["vec_id"]), list(r["q"]))
+        for r in e.filter(F.col("vec_id") < PQ_K)
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(v, x -> cast(round(x * {PQ_SCALE}) as long))"
+            ).alias("q"),
+        )
+        .collect()
+    )
+    assert len(init) == PQ_K, f"codebook init needs vec_id 0..{PQ_K - 1}"
+    qcb = {
+        (m, k): [init[k][1][m * PQ_SUB + d] for d in range(PQ_SUB)]
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    }
+
+    def _cb_np():
+        cb = np.empty((PQ_M, PQ_K, PQ_SUB), dtype=np.float64)
+        for (m, k), qs_ in qcb.items():
+            for d, q in enumerate(qs_):
+                cb[m, k, d] = q / PQ_SCALE
+        return cb
+
+    for _ in range(rounds):
+        cb = _cb_np()
+
+        def _emit(it, cb=cb):
+            import pandas as pd
+
+            for pdf in it:
+                pdf = pdf[
+                    pdf["v"].map(lambda x: x is not None and len(x) == DIM).to_numpy()
+                ]
+                if len(pdf) == 0:
+                    continue
+                V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+                codes, _ = _pq_assign(V, cb)
+                for m in range(PQ_M):
+                    yield pd.DataFrame(
+                        {
+                            "m": np.full(len(V), m, dtype=np.int32),
+                            "code": codes[:, m],
+                            "sub": list(V[:, m * PQ_SUB : (m + 1) * PQ_SUB]),
+                        }
+                    )
+
+        stats = (
+            e.mapInPandas(_emit, "m int, code bigint, sub array<double>")
+            .select("m", "code", F.posexplode("sub").alias("i", "x"))
+            .groupBy("m", "code", "i")
+            .agg(
+                F.round((dsum("x") / F.count("x")) * PQ_SCALE)
+                .cast("long")
+                .alias("q")
+            )
+            .collect()
+        )  # ≤ M×K×SUB rows of quantizer metadata, not a data path
+        for r in stats:
+            qcb[(int(r["m"]), int(r["code"]))][int(r["i"])] = int(r["q"])
+        # cells with no members keep their previous longs (the fallback)
+    return _cb_np()
+
+
+def _pq_encode_df(spark: SparkSession, sf_dir: str, cb=None) -> DataFrame:
+    """Corpus → (vec_id, label, codes, code_word, rec_err), map-only.
+
+    The argmin per subspace uses the eval_confusion numpy form: the SAME
+    left-to-right per-dimension fold as the SQL oracle, vectorized
+    across rows. Malformed (NULL/ragged) vectors degrade to NULL rows,
+    never a task failure (the r12 degrade rule).
+    """
+    import numpy as np
+
+    if cb is None:
+        cb = _pq_train(spark, sf_dir)
+
+    def _encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ok = pdf["v"].map(lambda x: x is not None and len(x) == DIM)
+            bad = pdf[~ok.to_numpy()]
+            if len(bad):
+                yield pd.DataFrame(
+                    {
+                        "vec_id": bad["vec_id"].to_numpy(),
+                        "label": bad["label"].to_numpy(),
+                        "codes": [None] * len(bad),
+                        "code_word": pd.array([None] * len(bad), dtype="Int64"),
+                        "rec_err": pd.array([None] * len(bad), dtype="Float64"),
+                    }
+                )
+                pdf = pdf[ok.to_numpy()]
+                if len(pdf) == 0:
+                    continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            codes, rec = _pq_assign(V, cb)
+            word = np.zeros(len(V), dtype=np.int64)
+            for m in range(PQ_M):
+                word += codes[:, m] * (PQ_K**m)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "codes": list(codes),
+                    "code_word": word,
+                    "rec_err": rec,
+                }
+            )
+
+    return _pq_normalized(spark, sf_dir).mapInPandas(
+        _encode,
+        "vec_id bigint, label int, codes array<bigint>, code_word bigint,"
+        " rec_err double",
+    )
+
+
+@query(
+    "embedding_pq_encode",
+    f"""
+    {_PQ_WITH},
+    agg AS (SELECT vec_id,
+                   CAST(SUM(code * CAST(power({PQ_K}, m) AS BIGINT))
+                        AS BIGINT) AS code_word,
+                   list_sum(list(d2 ORDER BY m)) AS rec_err
+            FROM w GROUP BY vec_id)
+    SELECT a.vec_id, e.label, a.code_word, a.rec_err
+    FROM agg a JOIN e USING (vec_id)
+    """,
+)
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 product quantization: encode every vector as PQ_M 4-bit codes.
+
+    The compression rung between embedding_quantize (scalar) and a full
+    ANN index (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", re-expressed Spark-first): normalize, split the 64-dim
+    space into PQ_M=8 subspaces, k-means each subspace (PQ_TRAIN_ROUNDS
+    Lloyd rounds, scaled-long state — the kmeans_lloyd recipe at
+    subspace grain), assign each subvector to its nearest codeword,
+    pack the 8 codes into one bigint word (256 B float32 → 4 B, 64×),
+    and emit the exact squared reconstruction error.
+
+    Scale: training is ROUNDS corpus passes with a (m, code, dim)-keyed
+    map-combined agg (≤1 KB collected per round); encoding is map-only
+    (scan → mapInPandas, no shuffle). The numpy/SQL fold identity keeps
+    every distance bit-identical to the DuckDB oracle, so the key is
+    fully hash-checked — approximation lives in the VALUES (quantized
+    codes), not in any nondeterminism.
+    """
+    return _pq_encode_df(spark, sf_dir).select(
+        "vec_id", "label", "code_word", "rec_err"
+    )
+
+
+@query(
+    "knn_pq",
+    f"""
+    {_PQ_WITH},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE {BOUNDED_PANEL_SQL}),
+    lut AS MATERIALIZED (
+        SELECT q.q_id, c.m, c.code,
+               {_pq_fold8_sql("q.qv", "c.cv", f"c.m * {PQ_SUB}")} AS part
+        FROM q CROSS JOIN cbF c),
+    scored AS (
+        SELECT l.q_id, w.vec_id AS n_id,
+               list_sum(list(l.part ORDER BY l.m)) AS adist
+        FROM w JOIN lut l ON l.m = w.m AND l.code = w.code
+        WHERE w.vec_id <> l.q_id
+        GROUP BY l.q_id, w.vec_id)
+    SELECT q_id, n_id, adist, rnk FROM (
+        SELECT q_id, n_id, adist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adist, n_id) AS rnk
+        FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 ANN serving via PQ codes + asymmetric distance (ADC).
+
+    For each panel query (the knn_recall_v2 BOUNDED fixed-id panel —
+    linear in corpus size at any replica), build the 8×16 lookup table
+    of subspace distances to every trained codeword, then score every
+    encoded corpus vector as the m-ascending sum of table lookups (the
+    ADC half of IVFADC) and emit the exact top-K per query. On unit
+    vectors adist ≈ 2 − 2cos, so the ranking approximates knn_cosine's
+    (recall floor pinned in tests/test_r12_keys.py).
+
+    Scale shape: the corpus side is the map-only encode stream; scoring
+    is a per-batch numpy gather (LUT[q, m, code]) — no row explosion,
+    no corpus×panel join. Each Arrow batch emits only a per-query TOP-K
+    SUPERSET (everything ≤ the batch's K-th smallest adist, so exact
+    ties survive batching), and one panel-small window pass picks the
+    global (adist, n_id)-ordered top-K — distributed top-k, exact by
+    construction and batch-layout-invariant (pinned in tests). Every
+    adist is bit-identical to the oracle: LUT entries ride the
+    left-to-right subspace fold, the m-sum is fixed-order, and the
+    codebook lattice is shared with the oracle's cb{t}q chain.
+    """
+    import numpy as np
+
+    cb = _pq_train(spark, sf_dir)
+    e = _pq_normalized(spark, sf_dir)
+    panel = sorted(
+        (int(r["vec_id"]), r["v"])
+        for r in e.filter(F.expr(BOUNDED_PANEL_SQL))
+        .select("vec_id", "v")
+        .collect()  # bounded eval set (fixed id range), never corpus-scale
+    )
+    qids = np.asarray([q for q, _ in panel], dtype=np.int64)
+    QV = np.asarray([v for _, v in panel], dtype=np.float64)
+    P = len(qids)
+    lut = np.empty((P, PQ_M, PQ_K), dtype=np.float64)
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            lut[:, m, k] = _pq_subdists(QV, cb, m, k)
+
+    def _score(it):
+        import pandas as pd
+
+        for pdf in it:
+            pdf = pdf[pdf["codes"].notna().to_numpy()]
+            n = len(pdf)
+            if n == 0 or P == 0:
+                continue
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            ids = pdf["vec_id"].to_numpy()
+            A = lut[:, 0, C[:, 0]]  # (P, n)
+            for m in range(1, PQ_M):
+                A = A + lut[:, m, C[:, m]]  # m-ascending, matches oracle
+            A = np.where(ids[None, :] == qids[:, None], np.inf, A)
+            kth = min(TOP_K - 1, n - 1)
+            th = np.partition(A, kth, axis=1)[:, kth]
+            keep = A <= th[:, None]  # superset: ALL ties at the kth value
+            qi, ni = np.nonzero(keep)
+            a = A[qi, ni]
+            fin = np.isfinite(a)  # drop self-pads when n < TOP_K
+            yield pd.DataFrame(
+                {
+                    "q_id": qids[qi[fin]],
+                    "n_id": ids[ni[fin]],
+                    "adist": a[fin],
+                }
+            )
+
+    local = (
+        _pq_encode_df(spark, sf_dir, cb=cb)
+        .select("vec_id", "codes")
+        .mapInPandas(_score, "q_id bigint, n_id bigint, adist double")
+    )
+    wnd = Window.partitionBy("q_id").orderBy("adist", "n_id")
+    return (
+        local.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "adist", "rnk")
+    )

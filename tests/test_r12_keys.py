@@ -178,3 +178,98 @@ def test_bpe_oracle_parity_on_adversarial_corpus(spark, adversarial_bpe_dir):
         spdf = QUERIES[key](spark, d).toPandas()
         odf = con.execute(ORACLES[key]).fetchdf()
         assert_equivalent(spdf, odf, key)
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_encode / knn_pq — trained product quantization + ADC
+
+
+def test_knn_pq_batch_layout_invariance(spark):
+    """The per-batch top-k SUPERSET emission must make the result
+    independent of Arrow batch boundaries (including batches smaller
+    than TOP_K, which exercise the kth-clamp and the inf-pad filter)."""
+    from ls_hadoop_3_0_spark.llm import similarity as S
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    base = {
+        (r["q_id"], r["n_id"], r["adist"], r["rnk"])
+        for r in S.knn_pq(spark, SF_DIR).collect()
+    }
+    try:
+        spark.conf.set(key, "7")
+        tiny = {
+            (r["q_id"], r["n_id"], r["adist"], r["rnk"])
+            for r in S.knn_pq(spark, SF_DIR).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert base == tiny
+    assert len(base) > 0
+
+
+@pytest.fixture(scope="module")
+def dup_vectors_dir(tmp_path_factory):
+    """sf0.001 embeddings + exact copies of vec_ids 20..29 under new ids
+    (not in the codebook range, not on the query panel) — every copy
+    ties its original's adist EXACTLY, stressing the (adist, n_id)
+    tie-break through both engines."""
+    base = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    import pyarrow.compute as pc
+
+    dup = base.filter(
+        pc.and_(pc.greater_equal(base["vec_id"], 20), pc.less(base["vec_id"], 30))
+    )
+    dup = dup.set_column(
+        0, "vec_id", pc.add(dup["vec_id"], pa.scalar(10_000, type=pa.int64()))
+    )
+    out = tmp_path_factory.mktemp("r12_pq_dup")
+    pq.write_table(
+        pa.concat_tables([base, dup]), os.path.join(out, "embeddings.parquet")
+    )
+    return str(out)
+
+
+def test_knn_pq_tie_break_oracle_parity_on_duplicates(spark, dup_vectors_dir):
+    import duckdb
+
+    from ls_hadoop_3_0_spark.registry import ORACLES, QUERIES
+    from tests.compare import assert_equivalent
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(dup_vectors_dir, 'embeddings.parquet')}')"
+    )
+    for key in ("embedding_pq_encode", "knn_pq"):
+        spdf = QUERIES[key](spark, dup_vectors_dir).toPandas()
+        odf = con.execute(ORACLES[key]).fetchdf()
+        assert_equivalent(spdf, odf, key)
+    # and the duplicates really did collide: every duplicated id carries
+    # the same code_word as its original.
+    enc = (
+        QUERIES["embedding_pq_encode"](spark, dup_vectors_dir)
+        .toPandas()
+        .set_index("vec_id")["code_word"]
+    )
+    for vid in range(20, 30):
+        assert enc[vid] == enc[vid + 10_000]
+
+
+def test_knn_pq_recall_floor(spark):
+    """ADC on unit vectors approximates cosine ranking: recall@10 vs the
+    exact knn_cosine baseline must clear the LSH rung's historical floor."""
+    from ls_hadoop_3_0_spark.llm import similarity as S
+
+    pq_pairs = {
+        (r["q_id"], r["n_id"]) for r in S.knn_pq(spark, SF_DIR).collect()
+    }
+    exact = {
+        (r["q_id"], r["n_id"]) for r in S.knn_cosine(spark, SF_DIR).collect()
+    }
+    assert len(exact) > 0
+    recall = len(pq_pairs & exact) / len(exact)
+    assert recall >= 0.15, recall
