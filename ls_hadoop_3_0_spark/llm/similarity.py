@@ -214,6 +214,12 @@ def train_centroids(e: DataFrame, k: int = IVF_K) -> list[list[float]]:
         .agg((dsum("x") / F.count("x")).alias("m"))
         .collect()
     )
+    return _refine_centroids(means, seeds)
+
+
+def _refine_centroids(means, seeds: list[list[float]]) -> list[list[float]]:
+    """Normalize the per-cell engine-exact means; empty cells keep their
+    seed vector (shared by the HOF and numpy training paths)."""
     cents = [list(row) for row in seeds]
     by_cell: dict[int, dict[int, float]] = {}
     for r in means:
@@ -1005,6 +1011,280 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_encode_df(spark, sf_dir, cb=cb)
         .select("vec_id", "codes")
         .mapInPandas(_score, "q_id bigint, n_id bigint, adist double")
+    )
+    wnd = Window.partitionBy("q_id").orderBy("adist", "n_id")
+    return (
+        local.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "adist", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVFADC — the full Jégou et al. pipeline: coarse IVF cells prune the
+# candidate set (sublinear probe fraction), PQ codes + ADC score what
+# survives. Composes the two trained quantizers above (train_centroids'
+# coarse cells, _pq_train's subspace codebooks), and — unlike knn_ivf,
+# which is rows-only — stays fully oracle-backed: every arm is the
+# proven fold arithmetic, so DuckDB re-derives cells, codes, probes and
+# ADC distances bit-for-bit.
+
+
+def _ivf_cells_sql(panel: str) -> str:
+    """DuckDB CTEs re-deriving the coarse quantizer against the PQ
+    chain's ``e(vec_id, label, v)`` naming: seeded centroids + one
+    scaled-long Lloyd step (the knn_recall_v2 mirror, retargeted from
+    ``u`` to ``v``), per-vector cell ``idxc`` and per-query probe set
+    ``qp``."""
+    from ls_hadoop_3_0_spark.exprs import sql_davg
+
+    return f"""
+    seedrows AS (
+        SELECT i - 1 AS cell, s[i] AS c
+        FROM (SELECT {ivf_seeds_sql()} AS s), generate_series(1, {IVF_K}) t(i)
+    ),
+    sampc AS (
+        SELECT vec_id, v,
+               CAST(list_position(dots, list_max(dots)) AS INT) - 1 AS cell
+        FROM (SELECT vec_id, v,
+                     list_transform({ivf_seeds_sql()},
+                                    c -> {_dot_sql('c', 'v')}) AS dots
+              FROM e WHERE vec_id % {IVF_TRAIN_MOD} = 1)
+    ),
+    cmeans AS (
+        SELECT cell, pos, {sql_davg('x')} AS m
+        FROM (SELECT cell, unnest(range(1, len(v) + 1)) AS pos,
+                     unnest(v) AS x
+              FROM sampc)
+        GROUP BY cell, pos
+    ),
+    refined AS (
+        SELECT cell, mlist,
+               sqrt(list_sum(list_transform(mlist, x -> x * x))) AS nrm
+        FROM (SELECT cell, list(m ORDER BY pos) AS mlist
+              FROM cmeans GROUP BY cell)
+    ),
+    ccents AS (
+        SELECT s.cell,
+               COALESCE(CASE WHEN r.nrm > 1e-9
+                             THEN list_transform(r.mlist, x -> x / r.nrm)
+                        END, s.c) AS c
+        FROM seedrows s LEFT JOIN refined r ON r.cell = s.cell
+    ),
+    carr AS (SELECT list(c ORDER BY cell) AS cl FROM ccents),
+    cidx AS MATERIALIZED (
+        SELECT vec_id, v,
+               list_transform(cl, c -> {_dot_sql('c', 'v')}) AS dots
+        FROM e, carr
+    ),
+    idxc AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(list_position(dots, list_max(dots)) AS INT) - 1 AS cell
+        FROM cidx
+    ),
+    qp AS (
+        SELECT q_id, cell FROM (
+            SELECT vec_id AS q_id,
+                   unnest(range(0, {IVF_K})) AS cell, unnest(dots) AS d
+            FROM cidx WHERE {panel}
+        ) qd
+        QUALIFY row_number() OVER (PARTITION BY q_id
+                                   ORDER BY d DESC, cell) <= {IVF_NPROBE}
+    )"""
+
+
+def _ivf_train_np(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """train_centroids with the sample ASSIGNMENT in numpy.
+
+    The HOF form pays Catalyst's interpreted fold for the 16×64 dot
+    table over the half-corpus sample (the dominant cost of knn_ivfadc's
+    first cut: 70.6 s at the 100× replica). The numpy fold is
+    bit-identical (the proven identity), the (cell, pos) scaled-long
+    mean agg stays ENGINE-side (no python rounding anywhere), and the
+    post-processing is the shared _refine_centroids — so the returned
+    centroids are IDENTICAL to train_centroids' (pinned in tests).
+    """
+    import numpy as np
+
+    seeds = _seed_centroids()
+    cs = np.asarray(seeds, dtype=np.float64)
+
+    def _assign(it):
+        import pandas as pd
+
+        for pdf in it:
+            pdf = pdf[
+                pdf["v"].map(lambda x: x is not None and len(x) == DIM).to_numpy()
+            ]
+            if len(pdf) == 0:
+                continue
+            U = _pq_unit(
+                np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            )
+            cell = np.zeros(len(U), dtype=np.int64)
+            best = None
+            for c in range(IVF_K):
+                acc = cs[c, 0] * U[:, 0]
+                for d in range(1, DIM):
+                    acc = acc + cs[c, d] * U[:, d]  # left-to-right fold
+                if best is None:
+                    best = acc
+                else:
+                    gt = acc > best  # strict: ties keep the earlier cell
+                    best = np.where(gt, acc, best)
+                    cell = np.where(gt, c, cell)
+            yield pd.DataFrame({"cell": cell.astype(np.int32), "u": list(U)})
+
+    assigned = (
+        _pq_raw(spark, sf_dir)
+        .filter((F.col("vec_id") % IVF_TRAIN_MOD) == 1)
+        .mapInPandas(_assign, "cell int, u array<double>")
+        .select("cell", F.posexplode("u").alias("pos", "x"))
+    )
+    means = (
+        assigned.groupBy("cell", "pos")
+        .agg((dsum("x") / F.count("x")).alias("m"))
+        .collect()
+    )
+    return _refine_centroids(means, seeds)
+
+
+@query(
+    "knn_ivfadc",
+    f"""
+    {_PQ_WITH},
+    {_ivf_cells_sql(BOUNDED_PANEL_SQL)},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE {BOUNDED_PANEL_SQL}),
+    lut AS MATERIALIZED (
+        SELECT q.q_id, c.m, c.code,
+               {_pq_fold8_sql("q.qv", "c.cv", f"c.m * {PQ_SUB}")} AS part
+        FROM q CROSS JOIN cbF c),
+    cand AS (
+        SELECT qp.q_id, idxc.vec_id AS n_id
+        FROM qp JOIN idxc ON qp.cell = idxc.cell
+        WHERE idxc.vec_id <> qp.q_id),
+    scored AS (
+        SELECT c.q_id, c.n_id,
+               list_sum(list(l.part ORDER BY l.m)) AS adist
+        FROM cand c
+        JOIN w ON w.vec_id = c.n_id
+        JOIN lut l ON l.q_id = c.q_id AND l.m = w.m AND l.code = w.code
+        GROUP BY c.q_id, c.n_id)
+    SELECT q_id, n_id, adist, rnk FROM (
+        SELECT q_id, n_id, adist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adist, n_id) AS rnk
+        FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 IVFADC: inverted-file cells + PQ/ADC scoring, oracle-backed.
+
+    The complete Jégou et al. serving pipeline: each query probes its
+    IVF_NPROBE nearest coarse cells and ADC-scores ONLY vectors living
+    in those cells — per-query scoring work drops to ~nprobe/IVF_K of
+    the corpus on top of PQ's 64× payload compression. knn_ivf scores
+    exact dots in probed cells (rows-only); this key scores PQ codes
+    and is fully hash-checked against a DuckDB oracle that re-derives
+    coarse cells (seeded + one scaled-long Lloyd step), PQ codebooks
+    (PQ_TRAIN_ROUNDS scaled-long rounds), codes, probe sets, and every
+    ADC distance bit-for-bit.
+
+    Scale shape: ONE corpus pass computes cell + codes together in the
+    pandas worker (numpy folds — no interpreted-HOF assignment, no
+    localCheckpoint barrier needed); scoring gathers LUT entries only
+    for rows whose cell is probed by each query (a (panel × IVF_K)
+    boolean table — non-candidates are masked to inf and never emitted),
+    and each batch emits a per-query top-k SUPERSET exactly as knn_pq.
+    At 100 TB the index build writes parquet PARTITIONED BY cell, so
+    probing prunes IO, not just compute — the knn_ivf layout note
+    applies unchanged.
+    """
+    import numpy as np
+
+    cb = _pq_train(spark, sf_dir)
+    cents = np.asarray(_ivf_train_np(spark, sf_dir), dtype=np.float64)
+    panel = sorted(
+        (int(r["vec_id"]), r["v"])
+        for r in _pq_normalized(spark, sf_dir)
+        .filter(F.expr(BOUNDED_PANEL_SQL))
+        .select("vec_id", "v")
+        .collect()  # bounded eval set
+    )
+    qids = np.asarray([q for q, _ in panel], dtype=np.int64)
+    QV = np.asarray([v for _, v in panel], dtype=np.float64)
+    P = len(qids)
+    lut = np.empty((P, PQ_M, PQ_K), dtype=np.float64)
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            lut[:, m, k] = _pq_subdists(QV, cb, m, k)
+
+    def _dots_np(U):
+        """(n, IVF_K) dot table, same left-to-right fold as _dot_sql."""
+        out = np.empty((len(U), IVF_K), dtype=np.float64)
+        for c in range(IVF_K):
+            acc = cents[c, 0] * U[:, 0]
+            for d in range(1, DIM):
+                acc = acc + cents[c, d] * U[:, d]
+            out[:, c] = acc
+        return out
+
+    # Per-query probe sets: top-IVF_NPROBE cells by (dot DESC, cell ASC)
+    # — the oracle's qp QUALIFY. Boolean table (P, IVF_K).
+    qdots = _dots_np(QV)
+    probe = np.zeros((P, IVF_K), dtype=bool)
+    for p in range(P):
+        order = sorted(range(IVF_K), key=lambda c: (-qdots[p, c], c))
+        probe[p, order[:IVF_NPROBE]] = True
+
+    def _local(it):
+        import pandas as pd
+
+        for pdf in it:
+            pdf = pdf[
+                pdf["v"].map(lambda x: x is not None and len(x) == DIM).to_numpy()
+            ]
+            n = len(pdf)
+            if n == 0 or P == 0:
+                continue
+            U = _pq_unit(
+                np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            )
+            ids = pdf["vec_id"].to_numpy()
+            # cell: FIRST argmax (strict > while scanning ascending) —
+            # the oracle's list_position(dots, list_max(dots)).
+            dots = _dots_np(U)
+            cell = np.zeros(n, dtype=np.int64)
+            best = dots[:, 0]
+            for c in range(1, IVF_K):
+                gt = dots[:, c] > best
+                best = np.where(gt, dots[:, c], best)
+                cell = np.where(gt, c, cell)
+            codes, _ = _pq_assign(U, cb)
+            A = lut[:, 0, codes[:, 0]]
+            for m in range(1, PQ_M):
+                A = A + lut[:, m, codes[:, m]]  # m-ascending, matches oracle
+            keepable = probe[:, cell]  # (P, n): row's cell probed by query
+            A = np.where(keepable, A, np.inf)
+            A = np.where(ids[None, :] == qids[:, None], np.inf, A)
+            kth = min(TOP_K - 1, n - 1)
+            th = np.partition(A, kth, axis=1)[:, kth]
+            keep = A <= th[:, None]
+            qi, ni = np.nonzero(keep)
+            a = A[qi, ni]
+            fin = np.isfinite(a)
+            yield pd.DataFrame(
+                {
+                    "q_id": qids[qi[fin]],
+                    "n_id": ids[ni[fin]],
+                    "adist": a[fin],
+                }
+            )
+
+    local = _pq_raw(spark, sf_dir).mapInPandas(
+        _local, "q_id bigint, n_id bigint, adist double"
     )
     wnd = Window.partitionBy("q_id").orderBy("adist", "n_id")
     return (

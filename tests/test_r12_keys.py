@@ -273,3 +273,59 @@ def test_knn_pq_recall_floor(spark):
     assert len(exact) > 0
     recall = len(pq_pairs & exact) / len(exact)
     assert recall >= 0.15, recall
+
+
+def test_knn_ivfadc_batch_layout_invariance_and_pq_consistency(spark):
+    """IVFADC must be batch-layout-invariant like knn_pq, and every
+    (q, n) pair it shares with knn_pq must carry the IDENTICAL adist
+    (same codes, same LUT — the cell filter only prunes candidates)."""
+    from ls_hadoop_3_0_spark.llm import similarity as S
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    base = {
+        (r["q_id"], r["n_id"]): (r["adist"], r["rnk"])
+        for r in S.knn_ivfadc(spark, SF_DIR).collect()
+    }
+    try:
+        spark.conf.set(key, "7")
+        tiny = {
+            (r["q_id"], r["n_id"]): (r["adist"], r["rnk"])
+            for r in S.knn_ivfadc(spark, SF_DIR).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert base == tiny
+    assert len(base) > 0
+
+    pq_res = {
+        (r["q_id"], r["n_id"]): r["adist"]
+        for r in S.knn_pq(spark, SF_DIR).collect()
+    }
+    shared = set(base) & set(pq_res)
+    assert shared, "probed cells should retain some of the PQ top-k"
+    for pair in shared:
+        assert base[pair][0] == pq_res[pair]
+
+
+def test_ivf_numpy_training_identical_to_hof_training(spark):
+    """_ivf_train_np must return the EXACT centroids train_centroids
+    returns (same sample, same engine-side scaled-long means, same
+    post-processing) — the assignment fold identity end-to-end."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.llm import similarity as S
+    from ls_hadoop_3_0_spark.llm.embeddings import normalized_embeddings
+    from ls_hadoop_3_0_spark.session import prepare
+    from ls_hadoop_3_0_spark.tables import load
+
+    prepare(spark)
+    e_u = normalized_embeddings(load(spark, SF_DIR, "embeddings")).select(
+        "vec_id", "u"
+    )
+    hof = S.train_centroids(e_u)
+    np_ = S._ivf_train_np(spark, SF_DIR)
+    assert hof == np_
