@@ -70,25 +70,111 @@ KNN_COSINE_SQL = f"""
     """
 
 
+def _dot_fold_np(QU, U, chunk: int = 512):
+    """(P, n) dot table via the exact left-to-right fold.
+
+    Per element the op sequence is q1*u1, then += qd*ud in ascending d —
+    bit-identical to aggregate(zip_with(...)) / list_sum. Columns are
+    processed in cache-sized chunks with preallocated buffers: the naive
+    whole-batch loop allocated two (P, n) float64 temporaries per
+    dimension (~20 GB of memory traffic per 10k-row batch at P=2000),
+    which dominated the 100× measurement; chunking is a layout change
+    only, never an arithmetic one.
+    """
+    import numpy as np
+
+    P, n = len(QU), len(U)
+    A = np.empty((P, n), dtype=np.float64)
+    tmp = np.empty((P, min(chunk, n)), dtype=np.float64)
+    for j in range(0, n, chunk):
+        uj = U[j : j + chunk]
+        c = len(uj)
+        Ab = A[:, j : j + c]
+        np.multiply(QU[:, 0:1], uj[:, 0][None, :], out=Ab)
+        t = tmp[:, :c]
+        for d in range(1, DIM):
+            np.multiply(QU[:, d : d + 1], uj[:, d][None, :], out=t)
+            Ab += t
+    return A
+
+
+
 @query("knn_cosine", KNN_COSINE_SQL)
 def knn_cosine(
     spark: SparkSession, sf_dir: str, panel: str = PANEL_SQL
 ) -> DataFrame:
     """X3 brute-force cosine top-k (queries: vec_id ≡ 0 mod 100).
 
-    The query side is tiny and broadcast; scoring is a broadcast nested
-    loop over the corpus — embarrassingly parallel, no shuffle until the
-    per-query top-k window (partitioned by q_id).
+    The query side is panel-in-memory (the exact baseline's declared
+    shape); scoring is a map-only numpy pass over the corpus — the same
+    left-to-right dot fold as the SQL oracle, vectorized across rows
+    (the r11 interpreted-HOF lesson: the broadcast-NL + HOF form DNF'd
+    (>590 s) at the 100× replica; this form is seconds). Each batch
+    emits a per-query top-k SUPERSET with a one-rounding-quantum margin
+    (2e-6) so post-round(·,6) ties survive batching; rounding itself
+    stays engine-side, and the only shuffle is the superset-small
+    top-k window.
     """
+    import numpy as np
+
     prepare(spark)
-    e = normalized_embeddings(load(spark, sf_dir, "embeddings")).select("vec_id", "u")
-    q = e.filter(F.expr(panel)).select(
-        F.col("vec_id").alias("q_id"), F.col("u").alias("qu")
+    panel_rows = sorted(
+        (int(r["vec_id"]), r["u"])
+        for r in normalized_embeddings(load(spark, sf_dir, "embeddings"))
+        .filter(F.expr(panel))
+        .select("vec_id", "u")
+        .collect()  # the exact arm's declared panel-in-memory shape
     )
-    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
-        "q_id",
-        F.col("vec_id").alias("n_id"),
-        F.round(F.expr(_DOT_SPARK.format(a="qu", b="u")), 6).alias("cosine"),
+    qids = np.asarray([q for q, _ in panel_rows], dtype=np.int64)
+    QU = np.asarray([u for _, u in panel_rows], dtype=np.float64)
+    P = len(qids)
+
+    def _score(it):
+        import pandas as pd
+
+        for pdf in it:
+            pdf = pdf[
+                pdf["v"].map(lambda x: x is not None and len(x) == DIM).to_numpy()
+            ]
+            n = len(pdf)
+            if n == 0 or P == 0:
+                continue
+            U = _pq_unit(
+                np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            )
+            ids = pdf["vec_id"].to_numpy()
+            A = _dot_fold_np(QU, U)  # (P, n), exact left-to-right fold
+            A = np.where(ids[None, :] == qids[:, None], -np.inf, A)
+            kth = n - TOP_K
+            if kth > 0:
+                th = np.partition(A, kth, axis=1)[:, kth]
+            else:
+                th = np.full(P, -np.inf)
+            # Superset margin: the compared cosine is round(·, 6), so a
+            # row up to one 1e-6 rounding quantum BELOW the batch's
+            # TOP_K-th raw value can still TIE it after rounding and win
+            # on n_id. Rounding is monotone, and two values > 2e-6 apart
+            # can never share a rounding bucket — so th − 2e-6 keeps
+            # every possible global winner (pinned by the batch-layout
+            # and duplicate-tie tests).
+            keep = A >= (th[:, None] - 2e-6)
+            qi, ni = np.nonzero(keep)
+            a = A[qi, ni]
+            fin = np.isfinite(a)
+            yield pd.DataFrame(
+                {
+                    "q_id": qids[qi[fin]],
+                    "n_id": ids[ni[fin]],
+                    "c_raw": a[fin],
+                }
+            )
+
+    local = _pq_raw(spark, sf_dir).select("vec_id", "v").mapInPandas(
+        _score, "q_id bigint, n_id bigint, c_raw double"
+    )
+    # Rounding stays ENGINE-side (never replicate round(x, d) in python).
+    scored = local.select(
+        "q_id", "n_id", F.round(F.col("c_raw"), 6).alias("cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
     return (
@@ -939,7 +1025,7 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rnk <= {TOP_K}
     """,
 )
-def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_pq(spark: SparkSession, sf_dir: str, cb=None) -> DataFrame:
     """X3 ANN serving via PQ codes + asymmetric distance (ADC).
 
     For each panel query (the knn_recall_v2 BOUNDED fixed-id panel —
@@ -1179,7 +1265,7 @@ def _ivf_train_np(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     WHERE rnk <= {TOP_K}
     """,
 )
-def knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_ivfadc(spark: SparkSession, sf_dir: str, cb=None) -> DataFrame:
     """X3 IVFADC: inverted-file cells + PQ/ADC scoring, oracle-backed.
 
     The complete Jégou et al. serving pipeline: each query probes its
@@ -1204,7 +1290,9 @@ def knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    cb = _pq_train(spark, sf_dir)
+    prepare(spark)
+    if cb is None:
+        cb = _pq_train(spark, sf_dir)
     cents = np.asarray(_ivf_train_np(spark, sf_dir), dtype=np.float64)
     panel = sorted(
         (int(r["vec_id"]), r["v"])
@@ -1291,4 +1379,121 @@ def knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         local.withColumn("rnk", F.row_number().over(wnd))
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "n_id", "adist", "rnk")
+    )
+
+
+def _knn_recall_pq_sql() -> str:
+    """Oracle for knn_recall_pq: re-derive the exact arm, the PQ arm and
+    the IVFADC arm end-to-end (PQ chain + coarse-cell chain + ADC) and
+    overlap-count them — the knn_recall_v2 audit shape extended to the
+    r12 rungs. Bounded panel → every arm LINEAR in corpus size."""
+    return f"""
+    {_PQ_WITH},
+    {_ivf_cells_sql(BOUNDED_PANEL_SQL)},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE {BOUNDED_PANEL_SQL}),
+    lut AS MATERIALIZED (
+        SELECT q.q_id, c.m, c.code,
+               {_pq_fold8_sql("q.qv", "c.cv", f"c.m * {PQ_SUB}")} AS part
+        FROM q CROSS JOIN cbF c),
+    pqsc AS (
+        SELECT l.q_id, w.vec_id AS n_id,
+               list_sum(list(l.part ORDER BY l.m)) AS adist
+        FROM w JOIN lut l ON l.m = w.m AND l.code = w.code
+        WHERE w.vec_id <> l.q_id
+        GROUP BY l.q_id, w.vec_id),
+    pqtop AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adist, n_id) AS rnk
+            FROM pqsc)
+        WHERE rnk <= {TOP_K}),
+    cand AS (
+        SELECT qp.q_id, idxc.vec_id AS n_id
+        FROM qp JOIN idxc ON qp.cell = idxc.cell
+        WHERE idxc.vec_id <> qp.q_id),
+    iadc AS (
+        SELECT c.q_id, c.n_id,
+               list_sum(list(l.part ORDER BY l.m)) AS adist
+        FROM cand c
+        JOIN w ON w.vec_id = c.n_id
+        JOIN lut l ON l.q_id = c.q_id AND l.m = w.m AND l.code = w.code
+        GROUP BY c.q_id, c.n_id),
+    iadctop AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adist, n_id) AS rnk
+            FROM iadc)
+        WHERE rnk <= {TOP_K}),
+    exsc AS (
+        SELECT q.q_id, e2.vec_id AS n_id,
+               round({_dot_sql('q.qv', 'e2.v')}, 6) AS cosine
+        FROM q JOIN e e2 ON e2.vec_id <> q.q_id),
+    ex AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rnk
+            FROM exsc)
+        WHERE rnk <= {TOP_K}),
+    exs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries
+            FROM ex),
+    hits AS (
+        SELECT 'pq' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM pqtop JOIN ex USING (q_id, n_id)
+        UNION ALL
+        SELECT 'ivfadc', CAST(COUNT(*) AS BIGINT)
+        FROM iadctop JOIN ex USING (q_id, n_id)
+    )
+    SELECT method, n_queries, n_exact, n_hits,
+           CAST(n_hits AS DOUBLE) / n_exact AS recall
+    FROM hits, exs
+    """
+
+
+@query("knn_recall_pq", _knn_recall_pq_sql())
+def knn_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 ANN quality gate for the r12 rungs: recall@k of knn_pq and
+    knn_ivfadc vs the exact bounded-panel knn_cosine baseline — the
+    knn_recall_v2 audit extended to the PQ family, so ADC quality is a
+    driver-stamped per-round measurement, not just a test floor.
+
+    Both compared arms are themselves oracle-backed, so unlike v2 this
+    audit guards QUALITY DRIFT only (codebook/training changes moving
+    recall), not correctness. Linear: the panel is the fixed-id-range
+    BOUNDED set, the exact arm is panel×corpus (the knn_recall_v2
+    lesson), and both approximate arms are the keys' own linear plans.
+    """
+    prepare(spark)
+    ex = (
+        knn_cosine(spark, sf_dir, panel=BOUNDED_PANEL_SQL)
+        .select("q_id", "n_id")
+        .localCheckpoint()
+    )
+    exs = ex.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct("q_id").alias("n_queries"),
+    )
+
+    def hits(approx: DataFrame, method: str) -> DataFrame:
+        return (
+            approx.select("q_id", "n_id")
+            .join(ex, ["q_id", "n_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(method).alias("method"), "n_hits")
+        )
+
+    cb = _pq_train(spark, sf_dir)  # train once, share across both arms
+    res = hits(knn_pq(spark, sf_dir, cb=cb), "pq").unionByName(
+        hits(knn_ivfadc(spark, sf_dir, cb=cb), "ivfadc")
+    )
+    return res.crossJoin(F.broadcast(exs)).select(
+        "method",
+        "n_queries",
+        "n_exact",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
     )

@@ -329,3 +329,43 @@ def test_ivf_numpy_training_identical_to_hof_training(spark):
     hof = S.train_centroids(e_u)
     np_ = S._ivf_train_np(spark, SF_DIR)
     assert hof == np_
+
+
+def test_knn_cosine_batch_layout_invariance_and_dup_ties(spark, dup_vectors_dir):
+    """The numpy-fold knn_cosine must be batch-layout-invariant (the
+    2e-6 superset margin keeps post-round ties across batch boundaries)
+    and tie-break duplicated vectors identically to the DuckDB oracle."""
+    import duckdb
+
+    from ls_hadoop_3_0_spark.llm import similarity as S
+    from ls_hadoop_3_0_spark.registry import ORACLES, QUERIES
+    from tests.compare import assert_equivalent
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    base = {
+        (r["q_id"], r["n_id"], r["cosine"], r["rnk"])
+        for r in S.knn_cosine(spark, SF_DIR).collect()
+    }
+    try:
+        spark.conf.set(key, "7")
+        tiny = {
+            (r["q_id"], r["n_id"], r["cosine"], r["rnk"])
+            for r in S.knn_cosine(spark, SF_DIR).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert base == tiny
+    assert len(base) > 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(dup_vectors_dir, 'embeddings.parquet')}')"
+    )
+    spdf = QUERIES["knn_cosine"](spark, dup_vectors_dir).toPandas()
+    odf = con.execute(ORACLES["knn_cosine"]).fetchdf()
+    assert_equivalent(spdf, odf, "knn_cosine")
