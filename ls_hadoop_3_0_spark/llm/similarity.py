@@ -203,35 +203,35 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_topk(
     spark: SparkSession, sf_dir: str, radius: int = 1, panel: str = PANEL_SQL
 ) -> DataFrame:
-    """knn_lsh body with the probe-radius and query-panel knobs exposed."""
-    prepare(spark)
-    e = lsh_bucketed(
-        normalized_embeddings(load(spark, sf_dir, "embeddings")).select("vec_id", "u")
-    )
-    # Probe signatures: the bucket itself + every ≤radius-bit flip.
-    probes = probe_signatures("bucket", N_PLANES, radius=radius)
-    q = (
-        e.filter(F.expr(panel))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("u").alias("qu"),
-            F.explode(probes).alias("bucket"),
-        )
-    )
-    scored = (
-        e.join(F.broadcast(q), ["bucket"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("n_id"),
-            F.round(F.expr(_DOT_SPARK.format(a="qu", b="u")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("q_id", "n_id", "cosine", "rnk")
+    """knn_lsh body with the probe-radius and query-panel knobs exposed.
+
+    Buckets/probes as integers (bijective with the '1'/'0' signature
+    strings, same exact fold dots; flips = single-bit XOR, radius 2 adds
+    bit-pair XORs) through the shared numpy grouped-top-k body — scoring
+    touches only (probing query × bucket member) pairs."""
+    import numpy as np
+
+    planes = hyperplanes()
+
+    def assign(U):
+        return _lsh_bucket_ints(U, planes)
+
+    def probes_of(QU, qids):
+        own = _lsh_bucket_ints(QU, planes)
+        probe = np.zeros((len(QU), 2**N_PLANES), dtype=bool)
+        probe[np.arange(len(QU)), own] = True
+        for i in range(N_PLANES):
+            probe[np.arange(len(QU)), own ^ (1 << i)] = True
+        if radius == 2:
+            for i in range(N_PLANES - 1):
+                for j in range(i + 1, N_PLANES):
+                    probe[
+                        np.arange(len(QU)), own ^ (1 << i) ^ (1 << j)
+                    ] = True
+        return probe
+
+    return _grouped_cosine_topk(
+        spark, sf_dir, panel, 2**N_PLANES, assign, probes_of
     )
 
 
@@ -335,57 +335,46 @@ def knn_ivf(
     Complements knn_lsh: data-adapted Voronoi cells (better recall on
     clustered corpora) vs data-oblivious hyperplanes.
 
-    The assigned index is materialized (``localCheckpoint``) before the
-    join — that IS the IVF design (build the index once, probe it per
-    query; at 100 TB the build step writes parquet partitioned by
-    ``cell`` instead). It also matters locally: without the barrier,
-    projection collapse inlines the argmax-dot expression into the
-    join's key and null-filter, and higher-order functions don't
-    codegen, so the interpreted assignment re-runs per reference
-    (measured 19 s → 2.5 s at sf0.1).
+    r12: assignment + scoring moved to the shared numpy grouped-top-k
+    body (the knn_cosine DNF lesson) — the interpreted-HOF assignment
+    and its localCheckpoint barrier are gone; scoring still touches only
+    probed-cell members. At 100 TB the index build writes parquet
+    PARTITIONED BY cell so probing prunes IO as well as compute.
     """
-    prepare(spark)
-    e = normalized_embeddings(load(spark, sf_dir, "embeddings")).select("vec_id", "u")
-    cents = _centroid_lit(train_centroids(e))
-    idx = (
-        e.withColumn("cents", cents)
-        .withColumn("dots", _dots())
-        .withColumn("cell", _cell())
-        .drop("cents", "dots")
-        .localCheckpoint()
-    )
-    # named_struct('nd', −dot, 'i', cell): array_sort orders by nd asc ⇒
-    # dot desc, ties to the lower cell id — deterministic probe order.
-    probe_cells = F.expr(
-        f"transform(slice(array_sort(zip_with(dots, sequence(0, {IVF_K} - 1),"
-        f" (d, i) -> named_struct('nd', -d, 'i', i))), 1, {IVF_NPROBE}), s -> s.i)"
-    )
-    q = (
-        e.filter(F.expr(panel))
-        .withColumn("cents", cents)
-        .withColumn("dots", _dots())
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("u").alias("qu"),
-            F.explode(probe_cells).alias("cell"),
-        )
-        .localCheckpoint()  # tiny query set; same interpreted-HOF barrier
-    )
-    scored = (
-        idx.join(F.broadcast(q), ["cell"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("n_id"),
-            F.round(F.expr(_DOT_SPARK.format(a="qu", b="u")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("q_id", "n_id", "cosine", "rnk")
-    )
+    import numpy as np
+
+    cents = np.asarray(_ivf_train_np(spark, sf_dir), dtype=np.float64)
+
+    def _cdots(U):
+        out = np.empty((len(U), IVF_K), dtype=np.float64)
+        for c in range(IVF_K):
+            acc = cents[c, 0] * U[:, 0]
+            for d in range(1, DIM):
+                acc = acc + cents[c, d] * U[:, d]
+            out[:, c] = acc
+        return out
+
+    def assign(U):
+        # FIRST argmax (strict > scanning ascending) — the
+        # array_position(dots, array_max(dots)) tie-break.
+        dots = _cdots(U)
+        cell = np.zeros(len(U), dtype=np.int64)
+        best = dots[:, 0]
+        for c in range(1, IVF_K):
+            gt = dots[:, c] > best
+            best = np.where(gt, dots[:, c], best)
+            cell = np.where(gt, c, cell)
+        return cell
+
+    def probes_of(QU, qids):
+        qdots = _cdots(QU)
+        probe = np.zeros((len(QU), IVF_K), dtype=bool)
+        for p in range(len(QU)):
+            order = sorted(range(IVF_K), key=lambda c: (-qdots[p, c], c))
+            probe[p, order[:IVF_NPROBE]] = True
+        return probe
+
+    return _grouped_cosine_topk(spark, sf_dir, panel, IVF_K, assign, probes_of)
 
 
 # --------------------------------------------------------------------------
@@ -1497,3 +1486,125 @@ def knn_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
     )
+
+
+def _grouped_cosine_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    panel: str,
+    n_groups: int,
+    assign_groups,
+    probe_builder,
+) -> DataFrame:
+    """Shared numpy body of knn_lsh / knn_ivf: bucket-pruned cosine top-k.
+
+    One map-only corpus pass: ``assign_groups(U) -> (n,)`` gives each
+    row its bucket/cell, ``probe_builder(QU, qids) -> bool (P, G)`` the
+    per-query probe set. Scoring touches ONLY (probing query × group
+    member) pairs — the pruned-compute contract these keys exist for —
+    via the exact left-to-right dot fold (_dot_fold_np), grouped by
+    sorting each batch on its group id. Each batch emits a per-query
+    top-k SUPERSET with the knn_cosine 2e-6 rounding-quantum margin;
+    round(·, 6) stays engine-side; one superset-small window closes it.
+    Replaces the interpreted-HOF assignment + broadcast-join scoring
+    (the knn_cosine DNF lesson applied to the pruned arms).
+    """
+    import numpy as np
+
+    prepare(spark)
+    panel_rows = sorted(
+        (int(r["vec_id"]), r["u"])
+        for r in normalized_embeddings(load(spark, sf_dir, "embeddings"))
+        .filter(F.expr(panel))
+        .select("vec_id", "u")
+        .collect()
+    )
+    qids = np.asarray([q for q, _ in panel_rows], dtype=np.int64)
+    QU = np.asarray([u for _, u in panel_rows], dtype=np.float64)
+    P = len(qids)
+    probe = probe_builder(QU, qids) if P else None  # (P, n_groups) bool
+
+    def _score(it):
+        import pandas as pd
+
+        for pdf in it:
+            pdf = pdf[
+                pdf["v"].map(lambda x: x is not None and len(x) == DIM).to_numpy()
+            ]
+            n = len(pdf)
+            if n == 0 or P == 0:
+                continue
+            U = _pq_unit(
+                np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            )
+            ids = pdf["vec_id"].to_numpy()
+            g = assign_groups(U)
+            order = np.argsort(g, kind="stable")
+            gs = g[order]
+            starts = np.searchsorted(gs, np.arange(n_groups))
+            ends = np.searchsorted(gs, np.arange(n_groups), side="right")
+            cq, ci, ca = [], [], []
+            for grp in np.unique(gs):
+                ridx = order[starts[grp] : ends[grp]]
+                qidx = np.nonzero(probe[:, grp])[0]
+                if len(qidx) == 0:
+                    continue
+                blk = _dot_fold_np(QU[qidx], U[ridx])
+                blk = np.where(
+                    ids[ridx][None, :] == qids[qidx][:, None], -np.inf, blk
+                )
+                cq.append(np.repeat(qidx, len(ridx)))
+                ci.append(np.tile(ridx, len(qidx)))
+                ca.append(blk.ravel())
+            if not cq:
+                continue
+            q_all = np.concatenate(cq)
+            i_all = np.concatenate(ci)
+            a_all = np.concatenate(ca)
+            srt = np.lexsort((-a_all, q_all))
+            q_s, i_s, a_s = q_all[srt], i_all[srt], a_all[srt]
+            bounds = np.searchsorted(q_s, np.arange(P + 1))
+            keep = np.zeros(len(q_s), dtype=bool)
+            for p in range(P):
+                s, e = bounds[p], bounds[p + 1]
+                if s == e:
+                    continue
+                th = a_s[s + TOP_K - 1] if e - s >= TOP_K else -np.inf
+                keep[s:e] = a_s[s:e] >= th - 2e-6  # superset incl. ties
+            fin = keep & np.isfinite(a_s)
+            yield pd.DataFrame(
+                {
+                    "q_id": qids[q_s[fin]],
+                    "n_id": ids[i_s[fin]],
+                    "c_raw": a_s[fin],
+                }
+            )
+
+    local = _pq_raw(spark, sf_dir).select("vec_id", "v").mapInPandas(
+        _score, "q_id bigint, n_id bigint, c_raw double"
+    )
+    scored = local.select(
+        "q_id", "n_id", F.round(F.col("c_raw"), 6).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "cosine", "rnk")
+    )
+
+
+def _lsh_bucket_ints(U, planes):
+    """Integer form of the sign-bit signature: bit p (MSB-first, the
+    string's first char) set iff dot(plane_p, u) > 0 — bijective with
+    lsh_bucketed's '1'/'0' string, same exact fold dots."""
+    import numpy as np
+
+    n = len(U)
+    out = np.zeros(n, dtype=np.int64)
+    for p_i, plane in enumerate(planes):
+        acc = plane[0] * U[:, 0]
+        for d in range(1, DIM):
+            acc = acc + plane[d] * U[:, d]
+        out |= (acc > 0).astype(np.int64) << (len(planes) - 1 - p_i)
+    return out
