@@ -745,6 +745,16 @@ def _pq_sql_with(rounds: int = PQ_TRAIN_ROUNDS) -> str:
 _PQ_WITH = _pq_sql_with()
 
 
+def _empty_topk(spark: SparkSession, sf_dir: str, dist_col: str) -> DataFrame:
+    """Zero-row (q_id, n_id, <dist>, rnk) frame with the right schema."""
+    return _pq_raw(spark, sf_dir).limit(0).selectExpr(
+        "vec_id as q_id",
+        "vec_id as n_id",
+        f"cast(null as double) as {dist_col}",
+        "cast(null as int) as rnk",
+    )
+
+
 def _pq_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit vectors via the SQL fold — used only for the BOUNDED panel
     and codebook-init collections (a handful of rows)."""
@@ -839,7 +849,12 @@ def _pq_train(spark: SparkSession, sf_dir: str, rounds: int = PQ_TRAIN_ROUNDS):
         )
         .collect()
     )
-    assert len(init) == PQ_K, f"codebook init needs vec_id 0..{PQ_K - 1}"
+    if len(init) < PQ_K:
+        # No full sampled codebook (empty/truncated corpus): the PQ
+        # family degrades to EMPTY results — the same rows the oracle
+        # chain yields when cb0q is empty. Fixture contract: vec_id
+        # 0..PQ_K-1 present.
+        return None
     qcb = {
         (m, k): [init[k][1][m * PQ_SUB + d] for d in range(PQ_SUB)]
         for m in range(PQ_M)
@@ -907,6 +922,14 @@ def _pq_encode_df(spark: SparkSession, sf_dir: str, cb=None) -> DataFrame:
 
     if cb is None:
         cb = _pq_train(spark, sf_dir)
+    if cb is None:  # empty corpus -> empty result, oracle-consistent
+        return _pq_raw(spark, sf_dir).limit(0).selectExpr(
+            "vec_id",
+            "cast(null as int) as label",
+            "cast(null as array<bigint>) as codes",
+            "cast(null as bigint) as code_word",
+            "cast(null as double) as rec_err",
+        )
 
     def _encode(it):
         import pandas as pd
@@ -1038,7 +1061,11 @@ def knn_pq(spark: SparkSession, sf_dir: str, cb=None) -> DataFrame:
     """
     import numpy as np
 
-    cb = _pq_train(spark, sf_dir)
+    prepare(spark)
+    if cb is None:
+        cb = _pq_train(spark, sf_dir)
+    if cb is None:  # no sampled codebook (empty corpus) -> empty result
+        return _empty_topk(spark, sf_dir, "adist")
     e = _pq_normalized(spark, sf_dir)
     panel = sorted(
         (int(r["vec_id"]), r["v"])
@@ -1282,6 +1309,8 @@ def knn_ivfadc(spark: SparkSession, sf_dir: str, cb=None) -> DataFrame:
     prepare(spark)
     if cb is None:
         cb = _pq_train(spark, sf_dir)
+    if cb is None:  # no sampled codebook (empty corpus) -> empty result
+        return _empty_topk(spark, sf_dir, "adist")
     cents = np.asarray(_ivf_train_np(spark, sf_dir), dtype=np.float64)
     panel = sorted(
         (int(r["vec_id"]), r["v"])
@@ -1476,6 +1505,14 @@ def knn_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cb = _pq_train(spark, sf_dir)  # train once, share across both arms
+    if cb is None:  # empty corpus -> no arms, no exact rows
+        return _empty_topk(spark, sf_dir, "adist").selectExpr(
+            "cast(null as string) as method",
+            "cast(null as bigint) as n_queries",
+            "cast(null as bigint) as n_exact",
+            "cast(null as bigint) as n_hits",
+            "cast(null as double) as recall",
+        )
     res = hits(knn_pq(spark, sf_dir, cb=cb), "pq").unionByName(
         hits(knn_ivfadc(spark, sf_dir, cb=cb), "ivfadc")
     )

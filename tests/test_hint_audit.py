@@ -71,7 +71,8 @@ HINT_ALLOWANCE: dict[str, tuple[int, str]] = {
     "knn_cosine": (1, "fixed-id query panel"),
     "knn_ivf": (1, "fixed-id query panel"),
     "knn_lsh": (1, "fixed-id query panel"),
-    "knn_recall_v2": (4, "fixed-id query panel across truth/subject branches"),
+    "knn_recall_v2": (1, "1-row exact-arm count scalars (panel broadcasts gone in the r12 numpy-arm rewrite)"),
+    "knn_recall_pq": (1, "1-row exact-arm count scalars (n_exact, n_queries)"),
     "mix_temperature": (1, "per-source temperature table (source vocabulary)"),
     "pipeline_curation_v2": (1, "benchmark eval-set grams"),
     "pipeline_curation_v3": (2, "benchmark grams + 1-row max"),
