@@ -1341,3 +1341,67 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(toks, " ").alias("seg"),
         F.size(toks).cast("int").alias("n_tokens"),
     )
+
+
+@query(
+    "bpe_compression",
+    _BPE_WITH
+    + f"""
+    ,
+    seg AS (SELECT word,
+                   CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT)
+                       AS n_tokens
+            FROM {_BPE_VLAST}),
+    ws AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+           WHERE word <> ''
+           GROUP BY source, word)
+    SELECT ws.source,
+           CAST(SUM(ws.n) AS BIGINT) AS n_words,
+           CAST(SUM(ws.n * seg.n_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(ws.n * length(ws.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(ws.n * length(ws.word)) AS DOUBLE)
+               / CAST(SUM(ws.n * seg.n_tokens) AS DOUBLE) AS chars_per_token
+    FROM ws JOIN seg USING (word)
+    GROUP BY ws.source
+    """,
+)
+def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 tokenizer SERVING: per-source compression under the learned
+    merges.
+
+    The number a tokenizer build actually reports: after BPE_ROUNDS
+    merges, how many tokens does each source's text cost, and how many
+    characters ride each token (the chars/token compression curve that
+    decides when to stop merging). Encoding a corpus with a learned BPE
+    vocab is word-lookup + segmentation — here expressed as one
+    corpus-scale (source, word) count shuffle joined against the
+    VOCABULARY-grain segmentation table (AQE picks the join strategy;
+    no static broadcast hint — a vocabulary is Heaps'-sublinear but
+    GROWS with the corpus, the r8 rule). All-integer sums; the single
+    double division is the same expression both engines.
+    """
+    merged_vocab = _bpe_learn_state(spark, sf_dir)[1]
+    toks = F.expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')")
+    seg = merged_vocab.select("word", F.size(toks).cast("long").alias("n_tokens"))
+    ws = (
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        ws.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_tokens")).alias("n_bpe_tokens"),
+            F.sum(F.col("n") * F.length("word")).alias("n_chars"),
+            (
+                F.sum(F.col("n") * F.length("word")).cast("double")
+                / F.sum(F.col("n") * F.col("n_tokens")).cast("double")
+            ).alias("chars_per_token"),
+        )
+    )
