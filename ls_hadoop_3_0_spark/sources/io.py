@@ -1524,6 +1524,192 @@ def scan_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Combined-rung oracle: batch_rows re-derived from the FILTER-BOUNDED
+#: per-partition range (row generation stops at the pushed row_id cap,
+#: so the ragged tail moves — part 6 ends in a 488-row batch where the
+#: unpruned sibling's tail is 464; only a reader that BOTH consumed the
+#: filters and built real batches produces those values).
+_PYDS_PD_ARROW_SQL = f"""
+    WITH ids AS (
+        SELECT unnest(generate_series(0, {_PYDS_PARTS * _PYDS_ROWS - 1}))
+            AS row_id
+    ),
+    r0 AS (
+        SELECT row_id,
+               CAST(floor(row_id / {_PYDS_ROWS}.0) AS INT) AS part,
+               md5(CAST(row_id AS VARCHAR)) AS payload
+        FROM ids
+    ),
+    f AS (
+        SELECT row_id, part, payload,
+               LEAST({_PYDS_ROWS}, {_PYDS_MAX_ROWID} - part * {_PYDS_ROWS})
+                   AS range_len,
+               row_id - part * {_PYDS_ROWS} AS idx
+        FROM r0
+        WHERE part >= {_PYDS_MIN_PART} AND row_id < {_PYDS_MAX_ROWID}
+          AND payload LIKE '%{_PYDS_NEEDLE}%'
+    ),
+    r AS (
+        SELECT row_id, part, payload,
+               CASE WHEN CAST(floor(idx / {_PYDS_ARROW_BATCH}.0) AS INT)
+                         = CAST(floor((range_len - 1)
+                                      / {_PYDS_ARROW_BATCH}.0) AS INT)
+                    THEN range_len
+                         - CAST(floor((range_len - 1)
+                                      / {_PYDS_ARROW_BATCH}.0) AS INT)
+                           * {_PYDS_ARROW_BATCH}
+                    ELSE {_PYDS_ARROW_BATCH} END AS batch_rows
+        FROM f
+    )
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(row_id) AS BIGINT) AS sum_ids,
+           CAST(SUM({_pyds_u24('payload')}) AS BIGINT) AS payload_u24,
+           CAST(2 AS BIGINT) AS filters_pushed,
+           CAST(SUM(batch_rows) AS BIGINT) AS batch_rows_sum,
+           CAST(MIN(batch_rows) AS INT) AS min_batch_rows,
+           CAST(MAX(batch_rows) AS INT) AS max_batch_rows
+    FROM r GROUP BY part
+    """
+
+
+def _pyds_pushdown_arrow_scan(spark: SparkSession):
+    """Build (and register) the pushdown + Arrow-batch synthlog scan.
+
+    Returns the FILTERED DataFrame so tests can assert the planned
+    partition count (2 of 8, as the row-based pushdown sibling).
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+    )
+
+    rows_per_part = _PYDS_ROWS
+    batch_cap = _PYDS_ARROW_BATCH
+
+    class PushdownArrowReader(DataSourceReader):
+        def __init__(self, options):
+            self.parts = int(options.get("parts", str(_PYDS_PARTS)))
+            self.min_part = 0
+            self.max_rowid = None
+            self.n_pushed = 0
+
+        def pushFilters(self, filters):
+            for f in filters:
+                if isinstance(f, GreaterThanOrEqual) and f.attribute == ("part",):
+                    self.min_part = max(self.min_part, int(f.value))
+                    self.n_pushed += 1
+                elif isinstance(f, LessThan) and f.attribute == ("row_id",):
+                    mr = int(f.value)
+                    self.max_rowid = (
+                        mr if self.max_rowid is None else min(self.max_rowid, mr)
+                    )
+                    self.n_pushed += 1
+                else:
+                    yield f
+
+        def partitions(self):
+            out = []
+            for p in range(self.min_part, self.parts):
+                if self.max_rowid is not None and p * rows_per_part >= self.max_rowid:
+                    continue
+                out.append(InputPartition(p))
+            return out
+
+        def read(self, partition):
+            import hashlib
+
+            import pyarrow as pa
+
+            p = partition.value
+            base = p * rows_per_part
+            hi = base + rows_per_part
+            if self.max_rowid is not None:
+                hi = min(hi, self.max_rowid)
+            span = hi - base
+            for off in range(0, span, batch_cap):
+                n = min(batch_cap, span - off)
+                ids = list(range(base + off, base + off + n))
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "row_id": pa.array(ids, pa.int64()),
+                        "part": pa.array([p] * n, pa.int32()),
+                        "payload": pa.array(
+                            [
+                                hashlib.md5(str(i).encode()).hexdigest()
+                                for i in ids
+                            ],
+                            pa.string(),
+                        ),
+                        "pushed": pa.array([self.n_pushed] * n, pa.int32()),
+                        "batch_rows": pa.array([n] * n, pa.int32()),
+                    }
+                )
+
+    class PushdownArrowDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthlog_pushdown_arrow"
+
+        def schema(self):
+            return (
+                "row_id bigint, part int, payload string, pushed int,"
+                " batch_rows int"
+            )
+
+        def reader(self, schema):
+            return PushdownArrowReader(self.options)
+
+    # Session-wide, deliberately not restored — the ADVICE r10 lazy-plan
+    # rationale on _pyds_pushdown_scan applies verbatim.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PushdownArrowDataSource)
+    return (
+        spark.read.format("synthlog_pushdown_arrow")
+        .option("parts", str(_PYDS_PARTS))
+        .load()
+        .filter(
+            (F.col("part") >= _PYDS_MIN_PART)
+            & (F.col("row_id") < _PYDS_MAX_ROWID)
+            & F.col("payload").contains(_PYDS_NEEDLE)
+        )
+    )
+
+
+@query("scan_python_pushdown_arrow", _PYDS_PD_ARROW_SQL)
+def scan_python_pushdown_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-EXT the connector matrix's last cell: pushFilters + Arrow
+    batches in ONE reader.
+
+    `scan_python_pushdown` proves predicate pushdown over pickled rows;
+    `scan_python_datasource_arrow` proves columnar batches without
+    pushdown. A real federated connector wants both at once — filters
+    bound what the remote produces AND the survivors ship as
+    RecordBatches. The composed evidence is in-data and oracle-derived:
+    every row carries the executing reader's consumed-filter count
+    (pushed=2) and the num_rows of the batch it rode in — and because
+    row generation stops at the pushed row_id cap, the ragged tail
+    MOVES (part 6 ends in a 488-row batch vs the unpruned sibling's
+    464). Only a reader that both consumed the filters and built real
+    batches produces that combination; the oracle re-derives it from
+    the filter-bounded range formula. Planned partitions: 2 of 8
+    (asserted in tests).
+    """
+    prepare(spark)
+    df = _pyds_pushdown_arrow_scan(spark)
+    return df.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("row_id").alias("sum_ids"),
+        F.sum(F.expr(_pyds_u24("payload"))).alias("payload_u24"),
+        F.max("pushed").cast("bigint").alias("filters_pushed"),
+        F.sum("batch_rows").alias("batch_rows_sum"),
+        F.min("batch_rows").alias("min_batch_rows"),
+        F.max("batch_rows").alias("max_batch_rows"),
+    )
+
+
 @query(
     "sink_python_datasource",
     f"""

@@ -369,3 +369,32 @@ def test_knn_cosine_batch_layout_invariance_and_dup_ties(spark, dup_vectors_dir)
     spdf = QUERIES["knn_cosine"](spark, dup_vectors_dir).toPandas()
     odf = con.execute(ORACLES["knn_cosine"]).fetchdf()
     assert_equivalent(spdf, odf, "knn_cosine")
+
+
+# ---------------------------------------------------------------------------
+# scan_python_pushdown_arrow — pushFilters + RecordBatch in one reader
+
+
+def test_pushdown_arrow_reader_prunes_and_batches(spark):
+    """2 of 8 partitions planned (filters consumed at plan time), and
+    the ragged tail MOVES with the pushed row_id cap: part 6 generates
+    only 1000 rows (12000..12999), so its final batch is 488 rows where
+    the unpruned Arrow sibling's is 464 — evidence that batching ran
+    over the filter-bounded range, not the full partition."""
+    from ls_hadoop_3_0_spark.sources.io import (
+        _pyds_pushdown_arrow_scan,
+        scan_python_pushdown_arrow,
+    )
+
+    scan = _pyds_pushdown_arrow_scan(spark)
+    assert scan.rdd.getNumPartitions() == 2
+
+    rows = {
+        r["part"]: r
+        for r in scan_python_pushdown_arrow(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {5, 6}
+    assert rows[5]["min_batch_rows"] == 464  # full 2000-row range tail
+    assert rows[6]["min_batch_rows"] == 488  # 1000-row BOUNDED range tail
+    assert rows[5]["max_batch_rows"] == rows[6]["max_batch_rows"] == 512
+    assert rows[5]["filters_pushed"] == rows[6]["filters_pushed"] == 2
