@@ -84,6 +84,7 @@ def _dot_fold_np(QU, U, chunk: int = 512):
     import numpy as np
 
     P, n = len(QU), len(U)
+    dim = U.shape[1]
     A = np.empty((P, n), dtype=np.float64)
     tmp = np.empty((P, min(chunk, n)), dtype=np.float64)
     for j in range(0, n, chunk):
@@ -92,7 +93,7 @@ def _dot_fold_np(QU, U, chunk: int = 512):
         Ab = A[:, j : j + c]
         np.multiply(QU[:, 0:1], uj[:, 0][None, :], out=Ab)
         t = tmp[:, :c]
-        for d in range(1, DIM):
+        for d in range(1, dim):
             np.multiply(QU[:, d : d + 1], uj[:, d][None, :], out=t)
             Ab += t
     return A

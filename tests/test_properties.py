@@ -244,3 +244,53 @@ def test_global_rank_is_partitioning_invariant(spark, vals, nparts):
         for rank, (i, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
     }
     assert ra == want
+
+
+vec_lists = st.lists(
+    st.floats(
+        min_value=-32.0,
+        max_value=32.0,
+        allow_nan=False,
+        allow_infinity=False,
+        width=64,
+    ),
+    min_size=6,
+    max_size=6,
+)
+
+
+@SMALL
+@given(st.lists(vec_lists, min_size=1, max_size=4), st.lists(vec_lists, min_size=1, max_size=3))
+def test_numpy_chunked_fold_matches_sql_fold_on_random_vectors(spark, us, qs):
+    """The r12 exactness keystone, as a PROPERTY: the chunked numpy dot
+    fold (_dot_fold_np) is bit-identical to Spark's aggregate(zip_with)
+    left fold on arbitrary float64 vectors — including negative zeros,
+    subnormal-ish magnitudes and sign mixes hypothesis generates. The
+    chunk boundary (chunk=2 over 4 rows) must be invisible."""
+    import numpy as np
+
+    from ls_hadoop_3_0_spark.llm.similarity import _dot_fold_np
+
+    dim = len(us[0])
+    U = np.asarray(us, dtype=np.float64)
+    QU = np.asarray(qs, dtype=np.float64)
+    got = _dot_fold_np(QU, U, chunk=2)
+
+    df = spark.createDataFrame(
+        [(i, list(u)) for i, u in enumerate(us)], "i int, u array<double>"
+    )
+    for qi, q in enumerate(qs):
+        arr = "array(" + ",".join(repr(float(x)) + "D" for x in q) + ")"
+        want = {
+            r["i"]: r["d"]
+            for r in df.select(
+                "i",
+                F.expr(
+                    f"aggregate(zip_with(u, {arr}, (x, y) -> x * y), 0D,"
+                    " (acc, p) -> acc + p)"
+                ).alias("d"),
+            ).collect()
+        }
+        for i in range(len(us)):
+            a, b = got[qi, i], want[i]
+            assert (a == b) or (a != a and b != b), (qi, i, a, b)
