@@ -621,6 +621,131 @@ def stateful_user_totals_et_tws(stream: DataFrame, delay: str = "10 seconds") ->
         )
 
 
+#: Session gap for the event-time sessionization rung: 6 h of event
+#: time — the sf0.01 fixture then yields ~5.7k sessions of which ~2.4k
+#: are multi-event (measured), so the gap rule is genuinely exercised.
+SESSION_ET_GAP_MS = 21_600_000
+
+
+def stateful_sessions_et_tws(
+    stream: DataFrame, gap_ms: int = SESSION_ET_GAP_MS, delay: str = "10 seconds"
+) -> DataFrame:
+    """T6 capstone: event-time SESSION-GAP windows in transformWithState.
+
+    True sessionization — the workload event-time timers exist for:
+    state per user is the raw (tsm, sv) list of NOT-YET-FLUSHED events
+    (ListState), sessionization itself is DEFERRED to flush time, which
+    is what makes emission split-invariant: whenever a timer fires, the
+    handler sorts the retained events, splits them into gap-islands
+    (successor gap >= gap_ms starts a new session — exactly Spark's
+    ``session_window`` rule), and emits ONLY the sessions whose end
+    (last event + gap) the WATERMARK has passed. No later event can
+    change an emitted session: extending it would need ts < end <= wm,
+    which the watermark filter already dropped. Sessions that are still
+    open stay in state; the user's LAST input-side timer (max batch ts
+    + gap) is >= every session end, so the far-future sentinel's final
+    watermark flushes everything real — no timer re-registration needed
+    in the expiry handler.
+
+    Integer-only state (epoch-ms + pre-quantized sv longs); every sink
+    row is produced by the timer path; per-session rows each appear
+    exactly once, so the digest over them is batch-split-invariant and
+    oracle-exact (gaps-and-islands in DuckDB, ``session_window`` as the
+    in-session batch twin).
+
+    ``stream``: (user_id long, sv long, ts timestamp).
+    """
+    import pandas as pd
+
+    from ls_hadoop_3_0_spark import vendor
+
+    vendor.ensure_protobuf(stream.sparkSession)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EtSessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._evts = handle.getListState("evts", "tsm BIGINT, sv BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            buf = []
+            for pdf in rows:
+                for tsm, sv in zip(pdf["tsm"], pdf["sv"]):
+                    buf.append((int(tsm), int(sv)))
+            if buf:
+                self._evts.appendList(buf)
+                # EVENT-time stamp >= every current session's end for
+                # this key; fires once the watermark passes it.
+                self._handle.registerTimer(max(t for t, _ in buf) + gap_ms)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            wm = timerValues.getCurrentWatermarkInMs()
+            evts = sorted((int(t), int(v)) for (t, v) in self._evts.get())
+            if not evts:
+                return
+            sessions, cur = [], [evts[0]]
+            for t, v in evts[1:]:
+                if t - cur[-1][0] >= gap_ms:
+                    sessions.append(cur)
+                    cur = [(t, v)]
+                else:
+                    cur.append((t, v))
+            sessions.append(cur)
+            emit, retain = [], []
+            for sess in sessions:
+                last = sess[-1][0]
+                if last + gap_ms <= wm:
+                    emit.append(
+                        (
+                            key[0],
+                            sess[0][0],
+                            last + gap_ms,
+                            len(sess),
+                            sum(v for _, v in sess),
+                        )
+                    )
+                else:
+                    retain.extend(sess)
+            self._evts.clear()
+            if retain:
+                self._evts.put(retain)
+            if emit:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [e[0] for e in emit],
+                        "start_ms": [e[1] for e in emit],
+                        "end_ms": [e[2] for e in emit],
+                        "n": [e[3] for e in emit],
+                        "sv": [e[4] for e in emit],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    wm = stream.withWatermark("ts", delay).select(
+        "user_id", "sv", F.unix_millis("ts").alias("tsm"), "ts"
+    )
+    with vendor.tws_protobuf_shim():
+        return wm.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=EtSessions(),
+            outputStructType=(
+                "user_id long, start_ms BIGINT, end_ms BIGINT,"
+                " n BIGINT, sv BIGINT"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DataFrame to completion into a memory sink.
 

@@ -886,6 +886,201 @@ def stream_batch_equiv_stateful_et(
     return out
 
 
+_SESSION_ROW_SQL = (
+    "concat(cast(user_id as string), '|', cast(start_ms as string),"
+    " '|', cast(end_ms as string), '|', cast(n as string),"
+    " '|', cast(sv as string))"
+)
+
+
+def _session_digest(sessions: DataFrame) -> DataFrame:
+    """(user_id, start_ms, end_ms, n, sv) sessions → one digest row.
+
+    Session sets are corpus-scale (users × sessions), so the r7 digest
+    rule applies: count + exact BIGINT sums + Σu24(md5(row)), never a
+    collected list."""
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.sum((F.col("n") > 1).cast("long")).alias("multi_sessions"),
+        (F.sum("sv").cast("double") / F.lit(float(SCALE))).alias(
+            "sum_value_total"
+        ),
+        F.sum(F.expr(_u24_expr(_SESSION_ROW_SQL))).alias("sess_u24"),
+    )
+
+
+def _session_et_oracle_sql() -> str:
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    gap = demo.SESSION_ET_GAP_MS
+    return f"""
+    WITH e AS (
+        SELECT user_id, CAST(round(value * {SCALE}) AS BIGINT) AS sv,
+               epoch_ms(ts) AS ms
+        FROM {EVENTS_SQL} e0
+    ),
+    m AS (
+        SELECT user_id, sv, ms,
+               CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id
+                                            ORDER BY ms) >= {gap}
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+    ),
+    i AS (
+        SELECT user_id, sv, ms,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+                              ROWS UNBOUNDED PRECEDING) AS isl
+        FROM m
+    ),
+    s AS (
+        SELECT user_id, CAST(MIN(ms) AS BIGINT) AS start_ms,
+               CAST(MAX(ms) + {gap} AS BIGINT) AS end_ms,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(sv) AS BIGINT) AS sv
+        FROM i GROUP BY user_id, isl
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS multi_sessions,
+           CAST(SUM(sv) AS DOUBLE) / {SCALE}.0 AS sum_value_total,
+           CAST(SUM({_u24_expr(_SESSION_ROW_SQL)}) AS BIGINT) AS sess_u24,
+           TRUE AS timers_fired,
+           TRUE AS matches_batch
+    FROM s
+    """
+
+
+@query("stream_batch_equiv_session_et", _session_et_oracle_sql())
+def stream_batch_equiv_session_et(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T6 capstone: event-time SESSION-GAP windows via TWS vs THREE
+    independent derivations.
+
+    The canonical sessionization workload, run four ways and pinned to
+    one digest: (1) the REAL streaming path — transformWithStateInPandas
+    with ListState of raw unflushed events, gap-islands computed at
+    flush time, watermark-driven event-time timers (every sink row from
+    the timer path), (2) Spark's built-in ``session_window`` batch agg
+    (the in-session twin behind ``matches_batch``), (3) the DuckDB
+    gaps-and-islands oracle the driver hash-checks, and (4) the
+    fixture's exact event totals (the stop condition). Both engines
+    sessionize on ms-floored event time (the batch twin session_windows
+    over ``timestamp_millis(unix_millis(ts))``) so the stream's BIGINT
+    epoch-ms islands and the µs-native window rule can never 1-sub-ms
+    diverge at a gap boundary.
+
+    Staging per the r10-r12 rules: per-run uuid scratch dir (checkpoint
+    dies with it), zero-interval processing-time trigger, far-future
+    sentinel whose own timer outlives the final watermark, stop at
+    Σ flushed n == fixture event count. Split-invariance is by DESIGN
+    here, not just by summation: sessionization is deferred to flush
+    time over the retained raw events, so batch boundaries cannot
+    change WHAT is emitted, only when.
+    """
+    import os
+    import shutil
+    import time
+
+    prepare(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    base = f"/root/repo/.scratch/{tag}/stream_sess_et_{uuid.uuid4().hex[:12]}"
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir, chk = f"{base}/data", f"{base}/chk"
+
+    gap_ms = demo.SESSION_ET_GAP_MS
+    ev = _batch_events(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * F.lit(SCALE)).cast("long").alias("sv"),
+        # ms-floored event time on BOTH arms (see docstring).
+        F.timestamp_millis(F.unix_millis(F.col("ts").cast("timestamp"))).alias(
+            "ts"
+        ),
+    )
+    batch = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{gap_ms // 1000} seconds")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("sv").alias("sv"))
+        .select(
+            "user_id",
+            F.unix_millis("session_window.start").alias("start_ms"),
+            F.unix_millis("session_window.end").alias("end_ms"),
+            "n",
+            "sv",
+        )
+    )
+    total_events = int(
+        ev.agg(F.coalesce(F.count(F.lit(1)), F.lit(0))).collect()[0][0]
+    )
+    max_ms = ev.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
+    ev.write.mode("overwrite").parquet(data_dir)
+    if max_ms is not None:
+        sentinel_ms = int(max_ms) + gap_ms + 10_000 + 5_000
+        spark.createDataFrame(
+            [(-1, 0)], "user_id long, sv long"
+        ).select(
+            "user_id",
+            "sv",
+            F.timestamp_millis(F.lit(sentinel_ms)).alias("ts"),
+        ).write.mode("append").parquet(data_dir)
+
+    stream = spark.readStream.schema(
+        "user_id long, sv long, ts timestamp"
+    ).parquet(data_dir)
+    name = f"sbese_{uuid.uuid4().hex[:12]}"
+    q = (
+        demo.stateful_sessions_et_tws(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            flushed = spark.table(name).agg(
+                F.coalesce(F.sum("n"), F.lit(0))
+            ).collect()[0][0]
+            if flushed >= total_events:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+
+    stream_sessions = spark.table(name).select(
+        "user_id", "start_ms", "end_ms", "n", "sv"
+    )
+    s_dig = _session_digest(stream_sessions)
+    b_dig = _session_digest(batch).select(
+        F.col("n_sessions").alias("b_ns"),
+        F.col("n_events").alias("b_ne"),
+        F.col("multi_sessions").alias("b_ms"),
+        F.col("sess_u24").alias("b_u24"),
+    )
+    return s_dig.crossJoin(b_dig).select(
+        "n_sessions",
+        "n_events",
+        "multi_sessions",
+        "sum_value_total",
+        "sess_u24",
+        (F.col("n_sessions") > 0).alias("timers_fired"),
+        (
+            (F.col("n_sessions") == F.col("b_ns"))
+            & (F.col("n_events") == F.col("b_ne"))
+            & (F.col("multi_sessions") == F.col("b_ms"))
+            & (F.col("sess_u24") == F.col("b_u24"))
+        ).alias("matches_batch"),
+    )
+
+
 # -- T3 sampled audit ---------------------------------------------------
 
 #: Deterministic user-panel predicate for the sampled session audit:

@@ -850,3 +850,101 @@ def test_event_time_timers_follow_watermark_not_wallclock(spark):
     finally:
         q.stop()
         shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.streaming
+def test_session_gap_tws_watermark_merge_and_split(spark):
+    """T6 session-gap pins (r12): (1) nothing flushes on wall clock with
+    a stalled watermark; (2) an out-of-order event above the watermark
+    MERGES into its open session; (3) the gap rule SPLITS sessions and
+    each closes exactly when the watermark passes its end (last + gap).
+    gap=60 s, watermark delay 10 s."""
+    import shutil
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    base = f"/root/repo/.scratch/t6_sess_et_{uuid.uuid4().hex}"
+    stage, ckpt = f"{base}/src", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    t0 = 1704103200  # 2024-01-01T10:00:00Z
+
+    def write(rows):  # (user_id, sv, offset seconds)
+        spark.createDataFrame(
+            list(rows), "user_id long, sv long, off long"
+        ).select(
+            "user_id",
+            "sv",
+            F.timestamp_seconds(F.lit(t0) + F.col("off")).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(stage)
+
+    write([(1, 10, 0), (1, 11, 2), (2, 20, 0)])
+
+    stream = spark.readStream.schema(
+        "user_id long, sv long, ts timestamp"
+    ).parquet(stage)
+    name = f"v_sess_et_{uuid.uuid4().hex[:8]}"
+    q = (
+        demo.stateful_sessions_et_tws(stream, gap_ms=60_000)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def wait_for(pred, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    def sessions():
+        return {
+            (r["user_id"], r["start_ms"], r["end_ms"], r["n"], r["sv"])
+            for r in spark.table(name).collect()
+        }
+
+    ms = lambda off: (t0 + off) * 1000  # noqa: E731
+
+    try:
+        # Pin 1: watermark stalled at 2−10 s → no session may close,
+        # however much wall time the zero-interval trigger burns.
+        time.sleep(4)
+        assert sessions() == set()
+
+        # Pin 2+3: u2's off-1 event is OUT OF ORDER but above the
+        # watermark — it must MERGE into u2's open (0) session; the
+        # off-300 events open new sessions. Watermark → 290: sessions
+        # ending at 62 (u1: 0,2) / 61 (u2: 0,1) close; off-300 stays
+        # open (end 360 > 290).
+        write([(2, 21, 1), (2, 22, 300), (1, 12, 300)])
+        assert wait_for(
+            lambda: sessions()
+            == {
+                (1, ms(0), ms(2) + 60_000, 2, 21),
+                (2, ms(0), ms(1) + 60_000, 2, 41),
+            }
+        )
+
+        # Pin 3b: sentinel → watermark 990 passes the off-300 sessions'
+        # ends (360); they flush as singletons; the sentinel (its own
+        # timer at 1060) never flushes itself.
+        write([(-1, 0, 1000)])
+        assert wait_for(
+            lambda: sessions()
+            == {
+                (1, ms(0), ms(2) + 60_000, 2, 21),
+                (2, ms(0), ms(1) + 60_000, 2, 41),
+                (1, ms(300), ms(300) + 60_000, 1, 12),
+                (2, ms(300), ms(300) + 60_000, 1, 22),
+            }
+        )
+        assert all(u != -1 for (u, *_rest) in sessions())
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
