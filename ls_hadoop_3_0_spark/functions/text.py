@@ -1170,10 +1170,17 @@ BPE_ROUNDS = 6
 _BPE_WRAP_SPARK = "regexp_replace(word, '(.)', '|$1|')"
 _BPE_WRAP_DUCK = r"regexp_replace(word, '(.)', '|\1|', 'g')"
 
-_BPE_WORDS_SQL = """
+#: The serialization's anchoring contract (``|`` never inside a symbol)
+#: is ENFORCED, not assumed: the vocabulary admits only the documented
+#: symbol alphabet on BOTH engines, so a drifted fixture containing
+#: quotes/backslashes/pipes degrades to a smaller vocabulary instead of
+#: silently breaking the ``|l||r|`` invariant (ADVICE r12).
+_BPE_ALPHABET = "^[a-z0-9]+$"
+
+_BPE_WORDS_SQL = f"""
         SELECT word, CAST(COUNT(*) AS BIGINT) AS n
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        WHERE word <> ''
+        WHERE word <> '' AND regexp_matches(word, '{_BPE_ALPHABET}')
         GROUP BY word
 """
 
@@ -1186,8 +1193,9 @@ def _bpe_chain_sql(rounds: int = BPE_ROUNDS) -> tuple[str, str]:
     adjacent symbol pairs weighted by word frequency, pick the
     (count DESC, left ASC, right ASC) argmax, splice it into every
     serialized sequence. An exhausted round (no pairs left) makes ``bN``
-    empty, every later vocab NULL-sequenced and every later ``bN`` empty
-    — the same "stop early" the Spark loop's break produces.
+    empty and every later ``v``/``b`` a guarded no-op (the CASE below),
+    so the chain KEEPS the last real vocabulary — the same "stop early"
+    the Spark loop's break produces.
 
     Every chained CTE is ``AS MATERIALIZED``: DuckDB inlines plain CTEs,
     and with three ``(SELECT ... FROM bN)`` scalar refs per round the
@@ -1216,10 +1224,17 @@ def _bpe_chain_sql(rounds: int = BPE_ROUNDS) -> tuple[str, str]:
             f" FROM p{i} GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1)"
         )
         ctes.append(
-            f"v{i} AS MATERIALIZED (SELECT replace(seq,"
+            # CASE guard (ADVICE r12): an exhausted round leaves b{i}
+            # empty, and the bare scalar subqueries would then NULL out
+            # replace()'s arguments and NULL-propagate every later seq —
+            # while the Spark loop breaks and KEEPS the last vocabulary.
+            # With the guard an empty b{i} is a no-op round both sides.
+            f"v{i} AS MATERIALIZED (SELECT CASE"
+            f" WHEN (SELECT COUNT(*) FROM b{i}) = 0 THEN seq"
+            f" ELSE replace(seq,"
             f" '|' || (SELECT l FROM b{i}) || '||' || (SELECT r FROM b{i}) || '|',"
             f" '|' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || '|')"
-            f" AS seq, word, n FROM {prev})"
+            f" END AS seq, word, n FROM {prev})"
         )
     return "WITH " + ",\n    ".join(ctes), f"v{rounds}"
 
@@ -1241,7 +1256,7 @@ def _bpe_learn_state(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS)
     words = (
         spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
+        .filter((F.col("word") != "") & F.col("word").rlike(_BPE_ALPHABET))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1270,8 +1285,18 @@ def _bpe_learn_state(spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS)
             break
         left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         merges.append((i, left, right, left + right, cnt))
+        # Column/literal APIs, never f-string-spliced SQL text: the merge
+        # symbols are corpus-derived strings, and F.lit keeps a stray
+        # quote/backslash a plain character instead of a parser break
+        # (ADVICE r12; the alphabet filter above makes such symbols
+        # impossible anyway — defense in depth).
         cur = cur.withColumn(
-            "seq", F.expr(f"replace(seq, '|{left}||{right}|', '|{left}{right}|')")
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"|{left}||{right}|"),
+                F.lit(f"|{left}{right}|"),
+            ),
         )
     return merges, cur
 

@@ -2057,3 +2057,201 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_touched"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Substring-grain dedup (r13, VERDICT r12 item 2) — the Lee et al.
+# "Deduplicating Training Data Makes Language Models Better" transform:
+# the doc-grain family above DECIDES which documents are duplicates;
+# this operator marks repeated ≥K-token SPANS inside every document
+# (boilerplate headers, licence blocks, templated fragments) and emits
+# the per-doc retained/dropped accounting a curation pipeline applies.
+
+SUBSTR_K = 8  #: span grain in tokens (the quality_crossdup 8-gram grain)
+
+#: Per-(pos, token) digest term — the dialect-neutral md5-uniform
+#: (operators/sort._u24_expr); retained_sig sums it over RETAINED
+#: positions as total − covered (u24 sums are additive integers, so no
+#: anti-join or ordered string assembly is ever needed).
+def _substr_u24(cast_type: str) -> str:
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    return _u24_expr(f"concat(CAST(pos AS {cast_type}), ':', tok)")
+
+
+def _dedup_substrings_sql(k: int = SUBSTR_K) -> str:
+    """Naive doc-grain DuckDB mirror: gram totals (within-doc repeats
+    count), duplicated starts, gaps-and-islands spans (merge when the
+    next start is ≤ K after the previous — overlap or exact adjacency),
+    DISTINCT covered positions, and the additive u24 signatures."""
+    u24 = _substr_u24("VARCHAR")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+    gp AS (SELECT doc_id, t,
+                  unnest(generate_series(1, len(t) - {k} + 1)) AS p
+           FROM toks WHERE len(t) >= {k}),
+    g AS (SELECT doc_id, p,
+                 md5(array_to_string(t[p:p + {k} - 1], ' ')) AS gh
+          FROM gp),
+    tot AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS total FROM g GROUP BY gh),
+    dup AS (SELECT g.doc_id, g.p FROM g JOIN tot USING (gh)
+            WHERE total >= 2),
+    brk AS (SELECT doc_id, p,
+                   CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                              ORDER BY p) <= {k}
+                        THEN 0 ELSE 1 END AS b
+            FROM dup),
+    spans AS (SELECT doc_id, CAST(SUM(b) AS BIGINT) AS n_spans
+              FROM brk GROUP BY doc_id),
+    cov AS (SELECT DISTINCT doc_id, pos FROM
+            (SELECT doc_id, unnest(generate_series(p, p + {k} - 1)) AS pos
+             FROM dup) c0),
+    tp AS (SELECT doc_id, unnest(t) AS tok,
+                  unnest(generate_series(1, len(t))) AS pos
+           FROM toks),
+    tpu AS (SELECT doc_id, pos, {u24} AS u24 FROM tp),
+    tsig AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                    CAST(SUM(u24) AS BIGINT) AS total_sig
+             FROM tpu GROUP BY doc_id),
+    csig AS (SELECT tpu.doc_id, CAST(COUNT(*) AS BIGINT) AS dropped_tokens,
+                    CAST(SUM(u24) AS BIGINT) AS cov_sig
+             FROM cov JOIN tpu USING (doc_id, pos) GROUP BY tpu.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(tsig.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(spans.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(csig.dropped_tokens, 0) AS BIGINT) AS dropped_tokens,
+           CAST(COALESCE(tsig.n_tokens, 0)
+                - COALESCE(csig.dropped_tokens, 0) AS BIGINT)
+               AS retained_tokens,
+           CAST(COALESCE(tsig.total_sig, 0)
+                - COALESCE(csig.cov_sig, 0) AS BIGINT) AS retained_sig
+    FROM documents d
+    LEFT JOIN tsig USING (doc_id)
+    LEFT JOIN spans USING (doc_id)
+    LEFT JOIN csig USING (doc_id)
+    """
+
+
+@query("dedup_substrings", _dedup_substrings_sql())
+def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X7 substring-grain dedup (Lee et al. 2022, re-expressed
+    Spark-first): mark every duplicated ≥SUBSTR_K-token span and emit
+    per-doc retained/dropped accounting.
+
+    Semantics: an 8-gram is DUPLICATED iff its corpus-wide occurrence
+    count is ≥ 2 (cross-doc copies AND within-doc repeats — the Lee
+    et al. rule). Duplicated gram starts merge into SPANS by
+    gaps-and-islands (next start ≤ K after the previous ⇒ overlapping
+    or touching coverage — the scd2_history island trick applied to
+    token offsets); dropped = DISTINCT covered positions. The retained
+    text rides an ADDITIVE digest: retained_sig = Σ u24(md5(pos:tok))
+    over retained positions, computed as total − covered (u24 sums are
+    integers, so subtraction replaces span assembly — the r7 associative
+    digest rule; full-text equality is pinned against a pure-python
+    reference in tests/test_r13_keys.py).
+
+    Plan/scale: the gram stream shuffles ONCE (window-sum totals on the
+    gram hash — the quality_crossdup lesson: never join a per-gram flag
+    back); islands/coverage run on the DUPLICATED subset; the token
+    stream shuffles once for the covered-signature join. Under the r11
+    class collapse (probe-gated) every stream runs at content-class
+    grain weighted by class size — gram totals are Σ class_size ×
+    rep-occurrences, an exact integer identity — and members inherit by
+    content hash (retained stats are pure text functions given the
+    totals).
+    """
+    prepare(spark)
+    from ls_hadoop_3_0_spark.llm.curation import _text_class_structure
+
+    k = SUBSTR_K
+    docs = spread(
+        load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    ).select("doc_id", "text")
+    keyed, gate_docs = _text_class_structure(docs)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    cols = ["doc_id"] if keyed is None else ["doc_id", "h", "m"]
+    wcol = (F.col("m") if keyed is not None else F.lit(1)).cast("long")
+    t = gate_docs.select(*cols, toks.alias("t"))
+    g = (
+        t.filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            wcol.alias("w"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k} + 1),"
+                    f" p -> named_struct('p', p,"
+                    f" 'gh', md5(array_join(slice(t, p, {k}), ' '))))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "w", F.col("s.p").alias("p"), F.col("s.gh").alias("gh"))
+    )
+    # ONE gram-stream shuffle: window-sum of class-weighted occurrences.
+    dup = (
+        g.withColumn("total", F.sum("w").over(Window.partitionBy("gh")))
+        .filter(F.col("total") >= 2)
+        .select("doc_id", "p")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    isl = dup.withColumn(
+        "b",
+        F.when(F.col("p") - F.lag("p").over(wd) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    spans = isl.groupBy("doc_id").agg(F.sum("b").cast("long").alias("n_spans"))
+    cov = dup.select(
+        "doc_id", F.explode(F.expr(f"sequence(p, p + {k} - 1)")).alias("pos")
+    ).distinct()
+    tp = t.select("doc_id", F.posexplode("t").alias("pos0", "tok")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    tpu = tp.select(
+        "doc_id", "pos", F.expr(_substr_u24("STRING")).alias("u24")
+    )
+    tsig = tpu.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("u24").alias("total_sig")
+    )
+    csig = (
+        cov.join(tpu.hint("shuffle_hash"), ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dropped_tokens"),
+            F.sum("u24").alias("cov_sig"),
+        )
+    )
+    stats = (
+        gate_docs.select(*cols)
+        .join(tsig.hint("shuffle_hash"), "doc_id", "left")
+        .join(spans.hint("shuffle_hash"), "doc_id", "left")
+        .join(csig.hint("shuffle_hash"), "doc_id", "left")
+    )
+    n_tokens = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+    dropped = F.coalesce(F.col("dropped_tokens"), F.lit(0)).cast("long")
+    out = [
+        n_tokens.alias("n_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        dropped.alias("dropped_tokens"),
+        (n_tokens - dropped).alias("retained_tokens"),
+        (
+            F.coalesce(F.col("total_sig"), F.lit(0))
+            - F.coalesce(F.col("cov_sig"), F.lit(0))
+        ).cast("long").alias("retained_sig"),
+    ]
+    if keyed is None:
+        return stats.select("doc_id", *out)
+    # class expansion: retained stats are pure text functions given the
+    # class-weighted totals — members inherit by content hash.
+    return keyed.join(
+        stats.select("h", *out).hint("shuffle_hash"), "h"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "dropped_tokens",
+        "retained_tokens",
+        "retained_sig",
+    )

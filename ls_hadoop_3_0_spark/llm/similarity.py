@@ -51,10 +51,15 @@ BOUNDED_PANEL_SQL = "vec_id % 100 = 0 AND vec_id < 10000000"
 _DOT_SPARK = DOT_SPARK
 
 #: Exact brute-force top-k as a reusable oracle CTE body (also the
-#: ground-truth arm of the knn_recall oracle below).
+#: ground-truth arm of the knn_recall oracle below). r13: the REGISTERED
+#: key serves the BOUNDED panel (VERDICT r12 item 4) — the driver-side
+#: panel collect is corpus-independent at any scale; the unbounded
+#: corpus-proportional panel stays available via the ``panel`` kwarg for
+#: ≤10× release audits (knn_recall v1). On the fixtures the two coincide
+#: (every vec_id < 10M), so the flip changes no compared value.
 KNN_COSINE_SQL = f"""
     WITH e AS ({NORM_EMB_SQL}),
-    q AS (SELECT vec_id AS q_id, u AS qu FROM e WHERE vec_id % 100 = 0),
+    q AS (SELECT vec_id AS q_id, u AS qu FROM e WHERE {BOUNDED_PANEL_SQL}),
     scored AS (
         SELECT q.q_id, e.vec_id AS n_id,
                round(list_sum(list_transform(generate_series(1, {DIM}),
@@ -68,6 +73,14 @@ KNN_COSINE_SQL = f"""
         FROM scored)
     WHERE rnk <= {TOP_K}
     """
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB sequential-fold dot product (bit-twin of DOT_SPARK)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {DIM}),"
+        f" i -> {a}[i] * {b}[i]))"
+    )
 
 
 def _dot_fold_np(QU, U, chunk: int = 512):
@@ -102,9 +115,11 @@ def _dot_fold_np(QU, U, chunk: int = 512):
 
 @query("knn_cosine", KNN_COSINE_SQL)
 def knn_cosine(
-    spark: SparkSession, sf_dir: str, panel: str = PANEL_SQL
+    spark: SparkSession, sf_dir: str, panel: str = BOUNDED_PANEL_SQL
 ) -> DataFrame:
-    """X3 brute-force cosine top-k (queries: vec_id ≡ 0 mod 100).
+    """X3 brute-force cosine top-k (queries: the BOUNDED fixed-id panel —
+    the registered serving/audit form since r13; pass ``panel=PANEL_SQL``
+    for the corpus-proportional ≤10× release-audit arm).
 
     The query side is panel-in-memory (the exact baseline's declared
     shape); scoring is a map-only numpy pass over the corpus — the same
@@ -185,7 +200,39 @@ def knn_cosine(
     )
 
 
-@query("knn_lsh", None)  # ANN: approximate by design → rows-only check
+def _knn_lsh_sql() -> str:
+    """Full DuckDB mirror of the LSH serving path (r13 graduation,
+    VERDICT r12 item 3): md5-derived hyperplane sign-bit signatures,
+    the 7-probe set (own bucket + every 1-bit flip), in-bucket exact
+    cosine, (cosine DESC, n_id) top-k — the same CTEs the knn_recall_v2
+    oracle has hash-verified since r7, now emitting the key's own
+    (q_id, n_id, cosine, rnk) result."""
+    from ls_hadoop_3_0_spark.llm.embeddings import (
+        lsh_bucket_sql,
+        probe_signatures_sql,
+    )
+
+    return f"""
+    WITH e AS ({NORM_EMB_SQL}),
+    bk AS (SELECT vec_id, u, {lsh_bucket_sql()} AS bucket FROM e),
+    lpr AS (SELECT vec_id AS q_id, u AS qu,
+                   unnest({probe_signatures_sql('bucket')}) AS sig
+            FROM bk WHERE {BOUNDED_PANEL_SQL}),
+    lsc AS (
+        SELECT lpr.q_id, bk.vec_id AS n_id,
+               round({_dot_sql('lpr.qu', 'bk.u')}, 6) AS cosine
+        FROM lpr JOIN bk ON lpr.sig = bk.bucket AND bk.vec_id <> lpr.q_id
+    )
+    SELECT q_id, n_id, cosine, rnk FROM (
+        SELECT q_id, n_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, n_id) AS rnk
+        FROM lsc)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@query("knn_lsh", _knn_lsh_sql())  # graduated to oracle-backed in r13
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: multi-probe random-hyperplane LSH + in-bucket top-k.
 
@@ -197,8 +244,14 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``radius=2`` widens to bit-pair flips (22 probes) when recall
     matters more than probe fan-out. Recall vs knn_cosine asserted in
     tests/test_knn.py (including radius-2 > radius-1).
+
+    r13: GRADUATED from rows-only to fully oracle-backed — the
+    hyperplanes are md5-derived constants and every dot rides the
+    proven fold, so DuckDB re-derives buckets, probe sets and in-bucket
+    top-k bit-for-bit (the knn_recall_v2 lsh arm, promoted to the key's
+    own oracle). Panel = the BOUNDED fixed-id set (linear at any scale).
     """
-    return lsh_topk(spark, sf_dir, radius=1)
+    return lsh_topk(spark, sf_dir, radius=1, panel=BOUNDED_PANEL_SQL)
 
 
 def lsh_topk(
@@ -255,6 +308,23 @@ def _seed_centroids(k: int = IVF_K, dim: int = DIM) -> list[list[float]]:
         nrm = math.sqrt(sum(x * x for x in row))
         cents.append([x / nrm for x in row])
     return cents
+
+
+def ivf_seeds_sql() -> str:
+    """The md5-seeded IVF quantizer seeds as a DuckDB list-of-lists literal.
+
+    Same repr round-trip argument as embeddings.planes_sql: shortest
+    round-tripping decimal + correctly-rounded literal parsers ⇒ the
+    oracle's seed doubles are bit-identical to Spark's ``F.lit`` values.
+    """
+    return (
+        "["
+        + ",".join(
+            "[" + ",".join(repr(x) for x in row) + "]"
+            for row in _seed_centroids()
+        )
+        + "]"
+    )
 
 
 def _centroid_lit(cents: list[list[float]]) -> F.Column:
@@ -319,9 +389,85 @@ def _refine_centroids(means, seeds: list[list[float]]) -> list[list[float]]:
     return cents
 
 
-@query("knn_ivf", None)  # ANN: approximate by design → rows-only check
+def _knn_ivf_sql() -> str:
+    """Full DuckDB mirror of the IVF serving path (r13 graduation):
+    seeded centroids + one scaled-long Lloyd step, map-side cell
+    assignment, nprobe-cell probe set, in-cell exact cosine top-k —
+    the knn_recall_v2 ivf arm promoted to the key's own oracle."""
+    from ls_hadoop_3_0_spark.exprs import sql_davg
+
+    return f"""
+    WITH e AS ({NORM_EMB_SQL}),
+    seedrows AS (
+        SELECT i - 1 AS cell, s[i] AS c
+        FROM (SELECT {ivf_seeds_sql()} AS s), generate_series(1, {IVF_K}) t(i)
+    ),
+    sampc AS (
+        SELECT vec_id, u,
+               CAST(list_position(dots, list_max(dots)) AS INT) - 1 AS cell
+        FROM (SELECT vec_id, u,
+                     list_transform({ivf_seeds_sql()},
+                                    c -> {_dot_sql('c', 'u')}) AS dots
+              FROM e WHERE vec_id % {IVF_TRAIN_MOD} = 1)
+    ),
+    means AS (
+        SELECT cell, pos, {sql_davg('x')} AS m
+        FROM (SELECT cell, unnest(range(1, len(u) + 1)) AS pos,
+                     unnest(u) AS x
+              FROM sampc)
+        GROUP BY cell, pos
+    ),
+    refined AS (
+        SELECT cell, mlist,
+               sqrt(list_sum(list_transform(mlist, x -> x * x))) AS nrm
+        FROM (SELECT cell, list(m ORDER BY pos) AS mlist
+              FROM means GROUP BY cell)
+    ),
+    cents AS (
+        SELECT s.cell,
+               COALESCE(CASE WHEN r.nrm > 1e-9
+                             THEN list_transform(r.mlist, x -> x / r.nrm)
+                        END, s.c) AS c
+        FROM seedrows s LEFT JOIN refined r ON r.cell = s.cell
+    ),
+    carr AS (SELECT list(c ORDER BY cell) AS cl FROM cents),
+    idx AS (
+        SELECT vec_id, u,
+               list_transform(cl, c -> {_dot_sql('c', 'u')}) AS dots
+        FROM e, carr
+    ),
+    idxc AS MATERIALIZED (
+        SELECT vec_id, u,
+               CAST(list_position(dots, list_max(dots)) AS INT) - 1 AS cell
+        FROM idx
+    ),
+    qp AS (
+        SELECT q_id, qu, cell FROM (
+            SELECT vec_id AS q_id, u AS qu,
+                   unnest(range(0, {IVF_K})) AS cell, unnest(dots) AS d
+            FROM idx WHERE {BOUNDED_PANEL_SQL}
+        ) qd
+        QUALIFY row_number() OVER (PARTITION BY q_id
+                                   ORDER BY d DESC, cell) <= {IVF_NPROBE}
+    ),
+    isc AS (
+        SELECT qp.q_id, idxc.vec_id AS n_id,
+               round({_dot_sql('qp.qu', 'idxc.u')}, 6) AS cosine
+        FROM qp JOIN idxc
+          ON qp.cell = idxc.cell AND idxc.vec_id <> qp.q_id
+    )
+    SELECT q_id, n_id, cosine, rnk FROM (
+        SELECT q_id, n_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, n_id) AS rnk
+        FROM isc)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@query("knn_ivf", _knn_ivf_sql())  # graduated to oracle-backed in r13
 def knn_ivf(
-    spark: SparkSession, sf_dir: str, panel: str = PANEL_SQL
+    spark: SparkSession, sf_dir: str, panel: str = BOUNDED_PANEL_SQL
 ) -> DataFrame:
     """X3 IVF-style ANN: coarse quantizer cells + nprobe cell scoring
     (the inverted-file scheme of Sivic & Zisserman's Video Google and
@@ -341,6 +487,12 @@ def knn_ivf(
     and its localCheckpoint barrier are gone; scoring still touches only
     probed-cell members. At 100 TB the index build writes parquet
     PARTITIONED BY cell so probing prunes IO as well as compute.
+
+    r13: GRADUATED from rows-only to fully oracle-backed — seeds,
+    the scaled-long Lloyd step, cells, probes and every dot are the
+    proven deterministic arithmetic the knn_recall_v2 ivf arm has
+    hash-verified since r7; the key now carries that chain as its own
+    oracle. Panel = the BOUNDED fixed-id set.
     """
     import numpy as np
 
@@ -383,29 +535,6 @@ def knn_ivf(
 # approximate paths vs the exact baseline, recomputed end-to-end in SQL.
 
 
-def ivf_seeds_sql() -> str:
-    """The md5-seeded IVF quantizer seeds as a DuckDB list-of-lists literal.
-
-    Same repr round-trip argument as embeddings.planes_sql: shortest
-    round-tripping decimal + correctly-rounded literal parsers ⇒ the
-    oracle's seed doubles are bit-identical to Spark's ``F.lit`` values.
-    """
-    return (
-        "["
-        + ",".join(
-            "[" + ",".join(repr(x) for x in row) + "]"
-            for row in _seed_centroids()
-        )
-        + "]"
-    )
-
-
-def _dot_sql(a: str, b: str) -> str:
-    """DuckDB sequential-fold dot product (bit-twin of DOT_SPARK)."""
-    return (
-        f"list_sum(list_transform(generate_series(1, {DIM}),"
-        f" i -> {a}[i] * {b}[i]))"
-    )
 
 
 def _knn_recall_sql(panel: str = PANEL_SQL) -> str:
@@ -692,10 +821,17 @@ def _pq_sql_with(rounds: int = PQ_TRAIN_ROUNDS) -> str:
         f"e AS MATERIALIZED (SELECT vec_id, label, u AS v FROM ({NORM_EMB_SQL}))",
         f"grid AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)",
         f"sd AS (SELECT unnest(generate_series(1, {PQ_SUB})) AS i)",
+        # The trailing scalar guard mirrors _pq_train's len(init) < PQ_K
+        # degrade EXACTLY: with fewer than PQ_K init vectors present the
+        # Spark side returns None (empty results), so cb0q must be empty
+        # too — an empty cb0q propagates an empty chain (cv/s/a/m/cbF/w)
+        # and every PQ-family oracle yields zero rows, never a partial
+        # codebook (ADVICE r12, medium).
         f"cb0q AS MATERIALIZED (SELECT grid.m, e.vec_id AS code, sd.i,"
         f" CAST(round(e.v[grid.m * {PQ_SUB} + sd.i] * {PQ_SCALE}) AS BIGINT)"
         f" AS q FROM e CROSS JOIN grid CROSS JOIN sd"
-        f" WHERE e.vec_id < {PQ_K})",
+        f" WHERE e.vec_id < {PQ_K}"
+        f" AND (SELECT COUNT(*) FROM e WHERE vec_id < {PQ_K}) = {PQ_K})",
     ]
     fold = _pq_fold8_sql("e.v", "c.cv", f"c.m * {PQ_SUB}")
     for t in range(1, rounds + 1):
@@ -1133,12 +1269,12 @@ def knn_pq(spark: SparkSession, sf_dir: str, cb=None) -> DataFrame:
 # ADC distances bit-for-bit.
 
 
-def _ivf_cells_sql(panel: str) -> str:
+def _ivf_cells_sql(panel: str, nprobe: int = IVF_NPROBE) -> str:
     """DuckDB CTEs re-deriving the coarse quantizer against the PQ
     chain's ``e(vec_id, label, v)`` naming: seeded centroids + one
     scaled-long Lloyd step (the knn_recall_v2 mirror, retargeted from
     ``u`` to ``v``), per-vector cell ``idxc`` and per-query probe set
-    ``qp``."""
+    ``qp`` (top-``nprobe`` cells per query)."""
     from ls_hadoop_3_0_spark.exprs import sql_davg
 
     return f"""
@@ -1192,7 +1328,7 @@ def _ivf_cells_sql(panel: str) -> str:
             FROM cidx WHERE {panel}
         ) qd
         QUALIFY row_number() OVER (PARTITION BY q_id
-                                   ORDER BY d DESC, cell) <= {IVF_NPROBE}
+                                   ORDER BY d DESC, cell) <= {nprobe}
     )"""
 
 
@@ -1470,6 +1606,11 @@ def _knn_recall_pq_sql() -> str:
     SELECT method, n_queries, n_exact, n_hits,
            CAST(n_hits AS DOUBLE) / n_exact AS recall
     FROM hits, exs
+    -- hits/exs are COUNT aggregates (always 1 row each), so the
+    -- empty/truncated-corpus degrade needs an explicit gate: Spark
+    -- returns an EMPTY frame when _pq_train yields no full codebook,
+    -- and this WHERE makes the oracle do the same (ADVICE r12).
+    WHERE (SELECT COUNT(*) FROM cbF) = {PQ_M * PQ_K}
     """
 
 
@@ -1646,3 +1787,335 @@ def _lsh_bucket_ints(U, planes):
             acc = acc + plane[d] * U[:, d]
         out |= (acc > 0).astype(np.int64) << (len(planes) - 1 - p_i)
     return out
+
+
+# --------------------------------------------------------------------------
+# ADC shortlist + exact re-rank (r13, VERDICT r12 item 1) — the refinement
+# step every production IVFADC deployment serves with: the ADC rungs stop
+# at quantized distances (measured recall@10 at sf0.01: 0.28 pq / 0.16
+# ivfadc — correct per contract, not servable retrieval), so these keys
+# take a top-R ADC SHORTLIST as a candidate superset and re-rank it with
+# EXACT dot products (the proven numpy left-fold), emitting cosine top-K.
+# Measured candidate recall at sf0.01 (DuckDB, r13): ADC top-128 → 0.92;
+# probed-cells(12/16) ∩ top-256 → 0.92 — and re-rank recall ≡ candidate
+# recall (an exact-top-K member in the shortlist can only be outranked by
+# other exact-top-K members).
+
+RERANK_R = 128  #: ADC shortlist size per query (knn_pq_rerank)
+RERANK_NPROBE = 12  #: coarse cells probed by knn_ivfadc_rerank
+RERANK_R_IVF = 256  #: shortlist size within probed cells
+
+
+def _rerank_sql(R: int, nprobe: int | None = None) -> str:
+    """Oracle for the re-rank keys: the knn_pq/knn_ivfadc chain, cut at
+    rnk_adc ≤ R, then re-scored with the exact unit-vector dot fold and
+    re-ranked (cosine DESC, n_id) — every stage the proven arithmetic."""
+    cells = "" if nprobe is None else (
+        _ivf_cells_sql(BOUNDED_PANEL_SQL, nprobe=nprobe) + ","
+    )
+    cand = (
+        "cand AS (SELECT l.q_id, w.vec_id AS n_id, w.m, w.code, l.part"
+        " FROM w JOIN lut l ON l.m = w.m AND l.code = w.code"
+        " WHERE w.vec_id <> l.q_id)"
+        if nprobe is None
+        else (
+            "cand AS (SELECT l.q_id, w.vec_id AS n_id, w.m, w.code, l.part"
+            " FROM w JOIN idxc ON idxc.vec_id = w.vec_id"
+            " JOIN qp ON qp.cell = idxc.cell"
+            " JOIN lut l ON l.q_id = qp.q_id AND l.m = w.m AND l.code = w.code"
+            " WHERE w.vec_id <> l.q_id)"
+        )
+    )
+    return f"""
+    {_PQ_WITH},
+    {cells}
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE {BOUNDED_PANEL_SQL}),
+    lut AS MATERIALIZED (
+        SELECT q.q_id, c.m, c.code,
+               {_pq_fold8_sql("q.qv", "c.cv", f"c.m * {PQ_SUB}")} AS part
+        FROM q CROSS JOIN cbF c),
+    {cand},
+    scored AS (
+        SELECT q_id, n_id, list_sum(list(part ORDER BY m)) AS adist
+        FROM cand GROUP BY q_id, n_id),
+    short AS MATERIALIZED (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adist, n_id) AS rnk_adc
+            FROM scored)
+        WHERE rnk_adc <= {R}),
+    rr AS (
+        SELECT s.q_id, s.n_id,
+               round({_dot_sql('q.qv', 'e2.v')}, 6) AS cosine
+        FROM short s
+        JOIN q ON q.q_id = s.q_id
+        JOIN e e2 ON e2.vec_id = s.n_id)
+    SELECT q_id, n_id, cosine, rnk FROM (
+        SELECT q_id, n_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, n_id) AS rnk
+        FROM rr)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+def _adc_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    cb,
+    R: int,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Shared Spark body of knn_pq_rerank / knn_ivfadc_rerank.
+
+    ONE corpus pass (the knn_ivfadc shape): per Arrow batch compute PQ
+    codes (+ coarse cell when ``nprobe``), ADC distances from the
+    panel×M×K LUT, keep a per-query top-R SUPERSET by exact adist ties
+    (batch-layout-invariant — the knn_pq discipline at R grain), and
+    compute the EXACT unit-vector dot only for kept pairs (≤ P·R-ish
+    per batch — the fold runs pairwise, never the (P, n) table, so the
+    re-rank adds O(P·R·d) work per batch, not a second knn_cosine).
+    Two panel-small windows close it: (adist, n_id) → shortlist ≤ R,
+    then (cosine DESC, n_id) → top-K. Both folds are the bit-exact
+    left-to-right arithmetic the oracle re-derives.
+    """
+    import numpy as np
+
+    prepare(spark)
+    if cb is None:
+        cb = _pq_train(spark, sf_dir)
+    if cb is None:  # no full sampled codebook -> empty, oracle-consistent
+        return _empty_topk(spark, sf_dir, "cosine")
+    panel = sorted(
+        (int(r["vec_id"]), r["v"])
+        for r in _pq_normalized(spark, sf_dir)
+        .filter(F.expr(BOUNDED_PANEL_SQL))
+        .select("vec_id", "v")
+        .collect()  # bounded eval set (fixed id range), never corpus-scale
+    )
+    qids = np.asarray([q for q, _ in panel], dtype=np.int64)
+    QV = np.asarray([v for _, v in panel], dtype=np.float64)
+    P = len(qids)
+    lut = np.empty((P, PQ_M, PQ_K), dtype=np.float64)
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            lut[:, m, k] = _pq_subdists(QV, cb, m, k)
+
+    probe = None
+    cents = None
+    if nprobe is not None:
+        cents = np.asarray(_ivf_train_np(spark, sf_dir), dtype=np.float64)
+        qdots = np.empty((P, IVF_K), dtype=np.float64)
+        for c in range(IVF_K):
+            acc = cents[c, 0] * QV[:, 0]
+            for d in range(1, DIM):
+                acc = acc + cents[c, d] * QV[:, d]
+            qdots[:, c] = acc
+        probe = np.zeros((P, IVF_K), dtype=bool)
+        for p in range(P):
+            order = sorted(range(IVF_K), key=lambda c: (-qdots[p, c], c))
+            probe[p, order[:nprobe]] = True
+
+    def _pass(it):
+        import pandas as pd
+
+        for pdf in it:
+            pdf = pdf[
+                pdf["v"].map(lambda x: x is not None and len(x) == DIM).to_numpy()
+            ]
+            n = len(pdf)
+            if n == 0 or P == 0:
+                continue
+            U = _pq_unit(
+                np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            )
+            ids = pdf["vec_id"].to_numpy()
+            codes, _ = _pq_assign(U, cb)
+            A = lut[:, 0, codes[:, 0]]
+            for m in range(1, PQ_M):
+                A = A + lut[:, m, codes[:, m]]  # m-ascending, matches oracle
+            if probe is not None:
+                # FIRST argmax cell (strict > scanning ascending) — the
+                # oracle's list_position(dots, list_max(dots)).
+                dots = np.empty((n, IVF_K), dtype=np.float64)
+                for c in range(IVF_K):
+                    acc = cents[c, 0] * U[:, 0]
+                    for d in range(1, DIM):
+                        acc = acc + cents[c, d] * U[:, d]
+                    dots[:, c] = acc
+                cell = np.zeros(n, dtype=np.int64)
+                best = dots[:, 0]
+                for c in range(1, IVF_K):
+                    gt = dots[:, c] > best
+                    best = np.where(gt, dots[:, c], best)
+                    cell = np.where(gt, c, cell)
+                A = np.where(probe[:, cell], A, np.inf)
+            A = np.where(ids[None, :] == qids[:, None], np.inf, A)
+            kth = min(R - 1, n - 1)
+            th = np.partition(A, kth, axis=1)[:, kth]
+            keep = A <= th[:, None]  # superset: ALL ties at the kth adist
+            qi, ni = np.nonzero(keep)
+            a = A[qi, ni]
+            fin = np.isfinite(a)
+            qi, ni, a = qi[fin], ni[fin], a[fin]
+            if len(qi) == 0:
+                continue
+            # Exact cosine ONLY for kept pairs — per-pair left-to-right
+            # fold (bit-identical to _dot_sql), vectorized across pairs.
+            Rq = QV[qi]
+            Ru = U[ni]
+            acc = Rq[:, 0] * Ru[:, 0]
+            for d in range(1, DIM):
+                acc = acc + Rq[:, d] * Ru[:, d]
+            yield pd.DataFrame(
+                {
+                    "q_id": qids[qi],
+                    "n_id": ids[ni],
+                    "adist": a,
+                    "c_raw": acc,
+                }
+            )
+
+    local = _pq_raw(spark, sf_dir).mapInPandas(
+        _pass, "q_id bigint, n_id bigint, adist double, c_raw double"
+    )
+    wa = Window.partitionBy("q_id").orderBy("adist", "n_id")
+    short = (
+        local.withColumn("rnk_adc", F.row_number().over(wa))
+        .filter(F.col("rnk_adc") <= R)
+        .select("q_id", "n_id", F.round(F.col("c_raw"), 6).alias("cosine"))
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    return (
+        short.withColumn("rnk", F.row_number().over(wc))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "cosine", "rnk")
+    )
+
+
+@query("knn_pq_rerank", _rerank_sql(RERANK_R))
+def knn_pq_rerank(spark: SparkSession, sf_dir: str, cb=None) -> DataFrame:
+    """X3 SERVABLE ANN: ADC top-R shortlist + exact re-rank (oracle-backed).
+
+    knn_pq's ADC scores are quantized (recall@10 0.28 at sf0.01); this
+    key re-ranks the ADC top-RERANK_R superset with exact unit-vector
+    dots and emits cosine top-K — measured recall@10 at sf0.01: 0.92
+    (pinned per-round by knn_recall_rerank). The production PQ serving
+    recipe (shortlist-then-refine) with every stage hash-checked.
+
+    Scale: one corpus pass (encode + ADC + pairwise exact fold on the
+    kept superset only), two panel-small windows. The re-rank adds
+    O(P·R·d) arithmetic per batch on top of knn_pq — corpus-linear,
+    panel-bounded, no (P, n) table, no second corpus scan.
+    """
+    return _adc_rerank(spark, sf_dir, cb, RERANK_R)
+
+
+@query("knn_ivfadc_rerank", _rerank_sql(RERANK_R_IVF, nprobe=RERANK_NPROBE))
+def knn_ivfadc_rerank(spark: SparkSession, sf_dir: str, cb=None) -> DataFrame:
+    """X3 SERVABLE ANN: IVF cell pruning + ADC shortlist + exact re-rank.
+
+    The full production IVFADC serving path: probe the RERANK_NPROBE
+    nearest coarse cells, ADC-score only their members, keep the top
+    RERANK_R_IVF shortlist, re-rank with exact dots. Measured recall@10
+    at sf0.01: 0.92 (vs 0.16 for raw knn_ivfadc) — the probe/recall
+    trade is explicit: 12/16 cells probed; a production deployment
+    raises IVF_K so the same recall costs a smaller probe fraction
+    (nprobe/IVF_K is the knob, the plan shape is unchanged).
+    """
+    return _adc_rerank(
+        spark, sf_dir, cb, RERANK_R_IVF, nprobe=RERANK_NPROBE
+    )
+
+
+def _knn_recall_rerank_sql() -> str:
+    """Oracle for knn_recall_rerank: re-derive BOTH re-ranked arms and
+    the exact arm end-to-end, overlap-count them (the knn_recall_pq
+    audit shape at the re-rank rungs). Bounded panel → linear."""
+    pq_arm = _rerank_sql(RERANK_R)
+    ivf_arm = _rerank_sql(RERANK_R_IVF, nprobe=RERANK_NPROBE)
+    return f"""
+    WITH pqr AS MATERIALIZED ({pq_arm}),
+    ivfr AS MATERIALIZED ({ivf_arm}),
+    e AS ({NORM_EMB_SQL}),
+    q AS (SELECT vec_id AS q_id, u AS qu FROM e
+          WHERE {BOUNDED_PANEL_SQL}),
+    exsc AS (
+        SELECT q.q_id, e2.vec_id AS n_id,
+               round({_dot_sql('q.qu', 'e2.u')}, 6) AS cosine
+        FROM q JOIN e e2 ON e2.vec_id <> q.q_id),
+    ex AS MATERIALIZED (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rnk
+            FROM exsc)
+        WHERE rnk <= {TOP_K}),
+    exs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries
+            FROM ex),
+    hits AS (
+        SELECT 'pq_rerank' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM pqr JOIN ex USING (q_id, n_id)
+        UNION ALL
+        SELECT 'ivfadc_rerank', CAST(COUNT(*) AS BIGINT)
+        FROM ivfr JOIN ex USING (q_id, n_id)
+    )
+    SELECT method, n_queries, n_exact, n_hits,
+           CAST(n_hits AS DOUBLE) / n_exact AS recall
+    FROM hits, exs
+    -- empty/truncated-corpus degrade: Spark returns an EMPTY frame when
+    -- no full codebook exists; mirror it (the knn_recall_pq gate).
+    WHERE (SELECT COUNT(*) FROM pqr) + (SELECT COUNT(*) FROM ivfr) > 0
+    """
+
+
+@query("knn_recall_rerank", _knn_recall_rerank_sql())
+def knn_recall_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 quality gate for the r13 re-rank rungs: recall@k of
+    knn_pq_rerank / knn_ivfadc_rerank vs the exact bounded-panel
+    baseline — the knn_recall_pq audit extended up the ladder, so the
+    SERVABLE recall (≥0.9 by design) is a per-round driver-stamped
+    measurement. Linear: bounded panel, both arms are the keys' own
+    corpus-linear plans, exact arm is panel×corpus.
+    """
+    prepare(spark)
+    ex = (
+        knn_cosine(spark, sf_dir, panel=BOUNDED_PANEL_SQL)
+        .select("q_id", "n_id")
+        .localCheckpoint()
+    )
+    exs = ex.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct("q_id").alias("n_queries"),
+    )
+
+    def hits(approx: DataFrame, method: str) -> DataFrame:
+        return (
+            approx.select("q_id", "n_id")
+            .join(ex, ["q_id", "n_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(method).alias("method"), "n_hits")
+        )
+
+    cb = _pq_train(spark, sf_dir)  # train once, share across both arms
+    if cb is None:  # empty/truncated corpus -> no arms, empty frame
+        return _empty_topk(spark, sf_dir, "adist").selectExpr(
+            "cast(null as string) as method",
+            "cast(null as bigint) as n_queries",
+            "cast(null as bigint) as n_exact",
+            "cast(null as bigint) as n_hits",
+            "cast(null as double) as recall",
+        )
+    res = hits(knn_pq_rerank(spark, sf_dir, cb=cb), "pq_rerank").unionByName(
+        hits(knn_ivfadc_rerank(spark, sf_dir, cb=cb), "ivfadc_rerank")
+    )
+    return res.crossJoin(F.broadcast(exs)).select(
+        "method",
+        "n_queries",
+        "n_exact",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
+    )

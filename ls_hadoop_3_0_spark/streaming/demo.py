@@ -633,11 +633,14 @@ def stateful_sessions_et_tws(
     """T6 capstone: event-time SESSION-GAP windows in transformWithState.
 
     True sessionization — the workload event-time timers exist for:
-    state per user is the raw (tsm, sv) list of NOT-YET-FLUSHED events
-    (ListState), sessionization itself is DEFERRED to flush time, which
-    is what makes emission split-invariant: whenever a timer fires, the
-    handler sorts the retained events, splits them into gap-islands
-    (successor gap >= gap_ms starts a new session — exactly Spark's
+    state per user is the list of NOT-YET-FLUSHED gap-ISLANDS
+    (ListState of (s, l, n, sv) — r13: each micro-batch's events are
+    pre-sessionized locally before entering state, so state-server
+    writes scale with islands, not events; the extent-merge equivalence
+    proof lives on the processor class). Sessionization is DEFERRED to
+    flush time, which is what makes emission split-invariant: whenever
+    a timer fires, the handler merges the retained islands (successor
+    gap >= gap_ms starts a new session — exactly Spark's
     ``session_window`` rule), and emits ONLY the sessions whose end
     (last event + gap) the WATERMARK has passed. No later event can
     change an emitted session: extending it would need ts < end <= wm,
@@ -666,53 +669,70 @@ def stateful_sessions_et_tws(
     )
 
     class EtSessions(StatefulProcessor):
+        # r13 (VERDICT r12 item 5): state rows are PRE-SESSIONIZED
+        # intra-batch ISLANDS (s, l, n, sv) = (first event ts, last
+        # event ts, count, value sum), not raw events — the input path
+        # closes each micro-batch's gap-islands locally and appendList's
+        # only those, cutting state-server writes from n_events to
+        # n_islands with NO reads added on the input path. Extent-merge
+        # at flush is EXACTLY event-grain sessionization: islands are
+        # internally valid (every adjacent gap < gap_ms), island minima/
+        # maxima are real events, and for start-sorted islands A, B
+        # either B.s − A.l < gap_ms (two real events < gap apart ⇒ the
+        # union is one island — an event landing INSIDE an island splits
+        # an adjacent pair ti, ti+1 whose gap t−ti, ti+1−t both stay
+        # < gap_ms) or B.s − A.l ≥ gap_ms (no event lies between A.l
+        # and B.s, so the gap is real). Split-invariance is unchanged:
+        # emission stays timer-path-only under the watermark rule.
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
-            self._evts = handle.getListState("evts", "tsm BIGINT, sv BIGINT")
+            self._isl = handle.getListState(
+                "isl", "s BIGINT, l BIGINT, n BIGINT, sv BIGINT"
+            )
+
+        @staticmethod
+        def _merge(islands):
+            """Start-sorted extent merge: B joins A iff B.s − A.l < gap."""
+            islands.sort()
+            merged = []
+            for s, l, n, v in islands:
+                if merged and s - merged[-1][1] < gap_ms:
+                    ms, ml, mn, mv = merged[-1]
+                    merged[-1] = (ms, max(ml, l), mn + n, mv + v)
+                else:
+                    merged.append((s, l, n, v))
+            return merged
 
         def handleInputRows(self, key, rows, timerValues):
-            buf = []
+            evs = []
             for pdf in rows:
                 for tsm, sv in zip(pdf["tsm"], pdf["sv"]):
-                    buf.append((int(tsm), int(sv)))
-            if buf:
-                self._evts.appendList(buf)
+                    evs.append((int(tsm), int(sv)))
+            if evs:
+                batch_isl = self._merge([(t, t, 1, v) for t, v in evs])
+                self._isl.appendList(batch_isl)
                 # EVENT-time stamp >= every current session's end for
                 # this key; fires once the watermark passes it.
-                self._handle.registerTimer(max(t for t, _ in buf) + gap_ms)
+                self._handle.registerTimer(batch_isl[-1][1] + gap_ms)
             return iter(())
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             wm = timerValues.getCurrentWatermarkInMs()
-            evts = sorted((int(t), int(v)) for (t, v) in self._evts.get())
-            if not evts:
+            islands = [
+                (int(s), int(l), int(n), int(v))
+                for (s, l, n, v) in self._isl.get()
+            ]
+            if not islands:
                 return
-            sessions, cur = [], [evts[0]]
-            for t, v in evts[1:]:
-                if t - cur[-1][0] >= gap_ms:
-                    sessions.append(cur)
-                    cur = [(t, v)]
-                else:
-                    cur.append((t, v))
-            sessions.append(cur)
             emit, retain = [], []
-            for sess in sessions:
-                last = sess[-1][0]
-                if last + gap_ms <= wm:
-                    emit.append(
-                        (
-                            key[0],
-                            sess[0][0],
-                            last + gap_ms,
-                            len(sess),
-                            sum(v for _, v in sess),
-                        )
-                    )
+            for s, l, n, v in self._merge(islands):
+                if l + gap_ms <= wm:
+                    emit.append((key[0], s, l + gap_ms, n, v))
                 else:
-                    retain.extend(sess)
-            self._evts.clear()
+                    retain.append((s, l, n, v))
+            self._isl.clear()
             if retain:
-                self._evts.put(retain)
+                self._isl.put(retain)
             if emit:
                 yield pd.DataFrame(
                     {

@@ -963,9 +963,10 @@ def stream_batch_equiv_session_et(
 
     The canonical sessionization workload, run four ways and pinned to
     one digest: (1) the REAL streaming path — transformWithStateInPandas
-    with ListState of raw unflushed events, gap-islands computed at
-    flush time, watermark-driven event-time timers (every sink row from
-    the timer path), (2) Spark's built-in ``session_window`` batch agg
+    with ListState of unflushed gap-islands (r13: intra-batch
+    pre-sessionization, extent-merged at flush — see
+    demo.stateful_sessions_et_tws), watermark-driven event-time timers
+    (every sink row from the timer path), (2) Spark's built-in ``session_window`` batch agg
     (the in-session twin behind ``matches_batch``), (3) the DuckDB
     gaps-and-islands oracle the driver hash-checks, and (4) the
     fixture's exact event totals (the stop condition). Both engines

@@ -67,10 +67,11 @@ HINT_ALLOWANCE: dict[str, tuple[int, str]] = {
     "eval_confusion": (2, "k centroids + label stats (label vocabulary)"),
     "join_broadcast": (1, "nation dim (supplier is AQE-planned)"),
     "join_range": (1, "4-row literal band table"),
+    # knn_cosine / knn_lsh / knn_ivf carry NO allowance: their r12 numpy
+    # rewrite removed the panel broadcast hints entirely (panels are
+    # driver-collected), so a reappearing hint must fail this audit
+    # until re-audited (ADVICE r12).
     "knn_centroid_classify": (1, "k centroids"),
-    "knn_cosine": (1, "fixed-id query panel"),
-    "knn_ivf": (1, "fixed-id query panel"),
-    "knn_lsh": (1, "fixed-id query panel"),
     "knn_recall_v2": (1, "1-row exact-arm count scalars (panel broadcasts gone in the r12 numpy-arm rewrite)"),
     "knn_recall_pq": (1, "1-row exact-arm count scalars (n_exact, n_queries)"),
     "mix_temperature": (1, "per-source temperature table (source vocabulary)"),

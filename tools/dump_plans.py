@@ -28,11 +28,11 @@ HEADLINERS = [
     ("topk", "TakeOrderedAndProject — per-partition heaps, no global sort"),
     ("analytics_regional_revenue", "6-way star join: 3 broadcast dims + shuffled fact joins + partial/final agg"),
     ("dedup_minhash", "exploded shingles → 12 partial-min aggregates (map-side combine) → band equi-join"),
-    ("knn_cosine", "broadcast query side; BNLJ scoring; single window shuffle for per-query top-k"),
+    ("knn_cosine", "driver-collected bounded panel; map-only mapInPandas numpy-fold scoring emitting per-batch top-k supersets; ONE superset-small window shuffle (r12 rewrite — the BNLJ/HOF form DNF'd at 100×)"),
     ("stream_tumbling", "window() generation + partial/final agg — the plan Structured Streaming incrementalizes"),
     ("pipeline_curation", "filters → exact-dedup semi-join → minhash band join → anti-join, ONE lazy plan (the reference's 4-5-job DAG)"),
     ("jdbc_roundtrip", "JDBCRelation scan with 4 key-range partitions (DataDrivenDBInputFormat's split strategy)"),
-    ("knn_ivf", "materialized cell-assigned index (scan over checkpoint, no re-derivation) + broadcast probe join + per-query top-k window"),
+    ("knn_ivf", "map-only numpy cell assignment + in-batch probed-cell-only scoring (no checkpoint barrier, no broadcast join since r12); ONE superset-small top-k window"),
     ("stream_interval_join", "ONE equi-join on user_id (BHJ at this scale, SMJ on a cluster) with the 1h band as join-condition residual — no BNLJ/cartesian anywhere"),
     ("sink_upsert", "full-outer SMJ on the key over base + read-back changeset — the copy-on-write MERGE shape"),
     ("analytics_bracket_revenue", "OR-hull PushedFilters on l_quantity; residual bracket OR post-join; part join left to AQE (scaling dim)"),
@@ -58,6 +58,8 @@ HEADLINERS = [
     ("vocab_oov_rate", "TakeOrderedAndProject heap top-K vocab → K-bounded broadcast probe (design-constant side) → source-keyed reduce"),
     ("udf_cogrouped", "FlatMapCoGroupsInPandas: both sides exchanged once on user_id, merged in Arrow batches per key"),
     ("attribution_last_touch", "banded LEFT join keyed on user_id (band as residual), MAX-per-purchase collapse — no per-row ORDER BY/LIMIT subplans"),
+    ("knn_pq_rerank", "ONE corpus pass (encode + ADC + pairwise exact fold on the kept top-R superset only — never a (P,n) dot table); two panel-small windows (adist shortlist, cosine re-rank)"),
+    ("dedup_substrings", "gram stream shuffled ONCE (window-sum totals on gram hash — no flag join-back); islands/coverage on the duplicated subset; additive u24 digest makes retained text total−covered, no span assembly"),
     ("analytics_supplier_diversity", "map-side partial distinct over (partkey, suppkey) BEFORE the shuffle; blacklist anti-join + pushed brand/size part filters; two-phase COUNT(DISTINCT) — no static broadcast (both join sides grow with SF)"),
     ("analytics_excess_inventory", "Q20 nested-agg threshold from ONE fact shuffle: conditional (1996) and total quantity dsums in the same (part,supp) groupBy, compared without a second pass; dim joins on the aggregate, AQE-planned"),
     ("analytics_revenue_forecast", "the pushdown/codegen probe: all three predicates as PushedFilters, 2-column ReadSchema, one WholeStageCodegen span into partial+final agg"),
