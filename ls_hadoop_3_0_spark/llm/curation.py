@@ -1017,3 +1017,141 @@ def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         wt.alias("weight_t2"),
         (wt / F.col("share")).alias("boost"),
     )
+
+
+# --------------------------------------------------------------------------
+# r13 quality audits (VERDICT r12 item 7): the lang_id_confusion pattern
+# applied to decontamination and domain mixing — cheap oracle-backed
+# source-grain digests that make silent drift (eval-set edits, source
+# renaming, threshold changes) a per-round driver-stamped measurement.
+
+
+def _contamination_by_source_sql() -> str:
+    """Wrap the contamination_check_v2 oracle as a CTE and reduce it to
+    source grain (contaminated docs, shared-gram mass, exact-int rate)."""
+    from ls_hadoop_3_0_spark.registry import ORACLES
+
+    return f"""
+    WITH hits AS ({ORACLES["contamination_check_v2"]}),
+    ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+    hs AS (SELECT d.source,
+                  CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+                  CAST(SUM(h.n_shared_grams) AS BIGINT) AS n_shared_grams
+           FROM hits h JOIN documents d USING (doc_id)
+           GROUP BY d.source)
+    SELECT ns.source, ns.n_docs,
+           CAST(COALESCE(hs.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(hs.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+           CAST(COALESCE(hs.n_contaminated, 0) AS DOUBLE) / ns.n_docs
+               AS contamination_rate
+    FROM ns LEFT JOIN hs USING (source)
+    """
+
+
+@query("contamination_by_source", _contamination_by_source_sql())
+def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X7 decontamination AUDIT at source grain: which domains leak
+    the authored eval set, and how badly.
+
+    A contaminated-doc list (contamination_check_v2) answers "which
+    docs"; the number a curation run reports is per-SOURCE: docs
+    screened, docs contaminated, total shared-gram mass, and the exact
+    integer-ratio contamination rate — the drift gauge that catches an
+    eval-set edit or a source pipeline regression the doc-grain key
+    would bury in row noise.
+
+    Scale: per-source doc counts are one map-combined source-grain
+    aggregation (never a doc_id shuffle); the contaminated side is the
+    v2 hit stream (bounded by actual contamination) joined to doc
+    sources with AQE free to broadcast whichever side is small — no
+    static hint (contaminated mass is data-dependent, not
+    design-bounded). Rates are exact int→double divisions.
+    """
+    prepare(spark)
+    hits = contamination_check_v2(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    ns = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    hs = (
+        docs.join(hits, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.sum("n_shared_grams").alias("n_shared_grams"),
+        )
+    )
+    return ns.join(hs, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_contaminated"), F.lit(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.coalesce(F.col("n_shared_grams"), F.lit(0))
+        .cast("long")
+        .alias("n_shared_grams"),
+        (
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+            / F.col("n_docs")
+        ).alias("contamination_rate"),
+    )
+
+
+def _mix_weights_audit_sql() -> str:
+    """Wrap the mix_domains oracle as a CTE and audit realized keep
+    fractions against the authored rates with a 3σ binomial band —
+    the SAME arithmetic expression on both engines (constants cast to
+    DOUBLE per the DuckDB-DECIMAL rule)."""
+    from ls_hadoop_3_0_spark.registry import ORACLES
+
+    return f"""
+    WITH m AS ({ORACLES["mix_domains"]})
+    SELECT source, rate, n_docs, n_kept,
+           CAST(n_kept AS DOUBLE) / n_docs AS realized_rate,
+           ABS(CAST(n_kept AS DOUBLE) / n_docs - rate) AS abs_dev,
+           CAST(3 AS DOUBLE)
+               * sqrt(rate * (CAST(1 AS DOUBLE) - rate) / n_docs) AS tol3,
+           ABS(CAST(n_kept AS DOUBLE) / n_docs - rate)
+               <= CAST(3 AS DOUBLE)
+                  * sqrt(rate * (CAST(1 AS DOUBLE) - rate) / n_docs)
+               AS within_tol
+    FROM m
+    """
+
+
+@query("mix_weights_audit", _mix_weights_audit_sql())
+def mix_weights_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X7 domain-mixture DRIFT AUDIT: realized keep fraction per
+    source vs its authored rate, flagged against a 3σ binomial band.
+
+    mix_domains' md5-prefix sampling is deterministic, so its realized
+    fraction is a constant of the fixture — but a threshold edit, a
+    source renaming (the try_cast degrade silently re-bucketing a
+    domain to keep-all), or a fixture regeneration all move it. This
+    audit makes that a per-round stamped number: |realized − rate| must
+    sit inside 3·sqrt(rate·(1−rate)/n) — the tolerance an md5-uniform
+    sample satisfies w.h.p., and a re-bucketed source violates
+    immediately (its realized rate jumps to a different authored rate).
+
+    Determinism: realized/rate are exact ratios; dev/tol are the SAME
+    left-to-right expression on both engines (sqrt of identical doubles
+    — bit-equal, so the boolean comparison can never straddle). Scale:
+    source-grain post-processing of mix_domains' one map-combined
+    aggregation; nothing beyond the source vocabulary after the scan.
+    """
+    prepare(spark)
+    m = mix_domains(spark, sf_dir)
+    realized = F.col("n_kept").cast("double") / F.col("n_docs")
+    dev = F.abs(realized - F.col("rate"))
+    tol = F.lit(3.0) * F.sqrt(
+        F.col("rate") * (F.lit(1.0) - F.col("rate")) / F.col("n_docs")
+    )
+    return m.select(
+        "source",
+        "rate",
+        "n_docs",
+        "n_kept",
+        realized.alias("realized_rate"),
+        dev.alias("abs_dev"),
+        tol.alias("tol3"),
+        (dev <= tol).alias("within_tol"),
+    )
