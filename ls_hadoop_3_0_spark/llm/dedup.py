@@ -35,7 +35,8 @@ from ls_hadoop_3_0_spark.llm.embeddings import (
     N_PLANES,
     lsh_bucket_sql,
     lsh_bucketed,
-    normalized_embeddings,
+    normalized_embeddings,  # noqa: F401  (re-export: tests + callers)
+    normalized_embeddings_np,
     probe_signatures,
     probe_signatures_sql,
 )
@@ -1600,6 +1601,24 @@ def _verify_cosine(e: DataFrame, cand: DataFrame, threshold: float) -> DataFrame
     )
 
 
+def _embedding_class_parts(e: DataFrame, threshold: float):
+    """(checkpointed e, parts) behind embedding_pairs' class collapse.
+
+    ``parts`` is None on the direct (dup-free) path; else the tuple
+    (member, rep_pairs, reps_ok) — the class map, the verified
+    rep-level pair set, and the self-cosine-valid classes — from which
+    BOTH the expanded pair stream (embedding_pairs) and the class-level
+    summary (dedup_embedding_stats, r13) are pure derivations.
+    """
+    material = _probe_material(
+        e, F.approx_count_distinct(F.xxhash64("label", "u"), 0.02)
+    )
+    e = e.localCheckpoint(eager=False)
+    if not material:
+        return e, None
+    return e, _embedding_class_build(e, threshold)
+
+
 def embedding_pairs(e: DataFrame, threshold: float = EMB_COSINE_T) -> DataFrame:
     """Cosine-verified near-dup pairs from LSH-bucketed candidates.
 
@@ -1619,16 +1638,48 @@ def embedding_pairs(e: DataFrame, threshold: float = EMB_COSINE_T) -> DataFrame:
     only which identical-result plan runs) keeps the dup-free fixture
     path unchanged.
     """
-    # Probe BEFORE the checkpoint: a localCheckpoint mints a fresh plan
-    # id per call, which would defeat the semanticHash probe cache.
-    material = _probe_material(
-        e, F.approx_count_distinct(F.xxhash64("label", "u"), 0.02)
-    )
-    # Normalization feeds candidate generation + both verify sides.
-    e = e.localCheckpoint(eager=False)
-    if not material:
+    # Probe BEFORE the checkpoint (inside _embedding_class_parts): a
+    # localCheckpoint mints a fresh plan id per call, which would defeat
+    # the semanticHash probe cache.
+    e, parts = _embedding_class_parts(e, threshold)
+    if parts is None:
         return _verify_cosine(e, embedding_candidates(e), threshold)
+    member, rep_pairs, reps_ok = parts
+    mx, my = member.alias("mx"), member.alias("my")
+    intra = (
+        mx.join(my, "rep")
+        .filter(F.col("mx.vec_id") < F.col("my.vec_id"))
+        .join(reps_ok, "rep")
+        .select(
+            F.col("mx.vec_id").alias("vec_a"),
+            F.col("my.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+    inter = (
+        rep_pairs.join(
+            member.select(
+                F.col("rep").alias("vec_a"), F.col("vec_id").alias("ma")
+            ).hint("shuffle_hash"),
+            "vec_a",
+        )
+        .join(
+            member.select(
+                F.col("rep").alias("vec_b"), F.col("vec_id").alias("mb")
+            ).hint("shuffle_hash"),
+            "vec_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("vec_a"),
+            F.greatest("ma", "mb").alias("vec_b"),
+            "cosine",
+        )
+    )
+    return inter.unionAll(intra)
 
+
+def _embedding_class_build(e: DataFrame, threshold: float):
+    """(member, rep_pairs, reps_ok) for an already-checkpointed ``e``."""
     # r11: the class table is built from a MAP-SIDE 128-bit key (md5 of
     # the exact shortest-roundtrip string serialization of (label, u) —
     # double→string is injective, so the key is exact up to md5
@@ -1680,37 +1731,7 @@ def embedding_pairs(e: DataFrame, threshold: float = EMB_COSINE_T) -> DataFrame:
         .filter(F.col("cosine") >= threshold)
         .hint("shuffle_hash")
     )
-    mx, my = member.alias("mx"), member.alias("my")
-    intra = (
-        mx.join(my, "rep")
-        .filter(F.col("mx.vec_id") < F.col("my.vec_id"))
-        .join(reps_ok, "rep")
-        .select(
-            F.col("mx.vec_id").alias("vec_a"),
-            F.col("my.vec_id").alias("vec_b"),
-            "cosine",
-        )
-    )
-    inter = (
-        rep_pairs.join(
-            member.select(
-                F.col("rep").alias("vec_a"), F.col("vec_id").alias("ma")
-            ).hint("shuffle_hash"),
-            "vec_a",
-        )
-        .join(
-            member.select(
-                F.col("rep").alias("vec_b"), F.col("vec_id").alias("mb")
-            ).hint("shuffle_hash"),
-            "vec_b",
-        )
-        .select(
-            F.least("ma", "mb").alias("vec_a"),
-            F.greatest("ma", "mb").alias("vec_b"),
-            "cosine",
-        )
-    )
-    return inter.unionAll(intra)
+    return member, rep_pairs, reps_ok
 
 
 @query("dedup_embedding", DEDUP_EMBEDDING_SQL)
@@ -1726,7 +1747,139 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets from literal plane constants — same candidates, same pairs.
     """
     prepare(spark)
-    return embedding_pairs(normalized_embeddings(load(spark, sf_dir, "embeddings")))
+    return embedding_pairs(
+        normalized_embeddings_np(load(spark, sf_dir, "embeddings"))
+    )
+
+
+DEDUP_EMBEDDING_STATS_SQL = f"""
+    WITH pairs AS ({DEDUP_EMBEDDING_SQL}),
+    lv AS (SELECT vec_id, label FROM embeddings),
+    lab AS (SELECT la.label, p.vec_a, p.vec_b,
+                   CAST(round(p.cosine * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                       AS cmu
+            FROM pairs p JOIN lv la ON la.vec_id = p.vec_a),
+    np AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                  CAST(SUM(cmu) AS BIGINT) AS sum_cos_micro
+           FROM lab GROUP BY label),
+    tv AS (SELECT label, CAST(COUNT(DISTINCT vec) AS BIGINT)
+                      AS n_vecs_touched
+           FROM (SELECT label, vec_a AS vec FROM lab
+                 UNION ALL SELECT label, vec_b FROM lab) u
+           GROUP BY label)
+    SELECT np.label, np.n_pairs, tv.n_vecs_touched, np.sum_cos_micro
+    FROM np JOIN tv USING (label)
+    """
+
+
+@query("dedup_embedding_stats", DEDUP_EMBEDDING_STATS_SQL)
+def dedup_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X5 label-grain near-dup SUMMARY — dedup_embedding without the
+    output bound (VERDICT r12 item 6).
+
+    dedup_embedding's contract is the pair stream itself; at the 100×
+    replica that stream is ~25M expanded rows and the key is
+    OUTPUT-bound (37 s — SCALE.md r11/r12). The number a curation run
+    reports is per blocking label: pair count, distinct vectors
+    involved, and the scaled-long cosine mass. On the collapsed path
+    this key derives all three from CLASS statistics — inter-class
+    pairs contribute cntA·cntB (cosine mass = rep cosine × the
+    product), intra-class C(cnt,2) at the class self-cosine, touched
+    vectors = Σ cnt over classes with a verified partner or a valid
+    self-pair — so the expanded member-pair stream NEVER EXISTS (the
+    dedup_cross_source move applied to the label matrix). Exact
+    integer identities; the oracle recomputes from the naive expanded
+    formulation.
+    """
+    prepare(spark)
+    e, parts = _embedding_class_parts(
+        normalized_embeddings_np(load(spark, sf_dir, "embeddings")), EMB_COSINE_T
+    )
+    lv = e.select("vec_id", "label")
+    cmu = F.round(F.col("cosine") * F.lit(1000000.0)).cast("long")
+    if parts is None:
+        pairs = _verify_cosine(e, embedding_candidates(e), EMB_COSINE_T)
+        lab = pairs.join(
+            lv.withColumnRenamed("vec_id", "vec_a").hint("shuffle_hash"),
+            "vec_a",
+        ).select("label", "vec_a", "vec_b", cmu.alias("cmu"))
+        np_ = lab.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("cmu").cast("long").alias("sum_cos_micro"),
+        )
+        tv = (
+            lab.select("label", F.explode(F.array("vec_a", "vec_b")).alias("vec"))
+            .distinct()
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs_touched"))
+        )
+        return np_.join(tv, "label").select(
+            "label", "n_pairs", "n_vecs_touched", "sum_cos_micro"
+        )
+    member, rep_pairs, reps_ok = parts
+    cls = member.groupBy("rep").agg(F.count(F.lit(1)).alias("cnt"))
+    rep_lab = lv.withColumnRenamed("vec_id", "rep")
+    inter = (
+        rep_pairs.join(
+            cls.select(F.col("rep").alias("vec_a"), F.col("cnt").alias("ca")).hint(
+                "shuffle_hash"
+            ),
+            "vec_a",
+        )
+        .join(
+            cls.select(F.col("rep").alias("vec_b"), F.col("cnt").alias("cb")).hint(
+                "shuffle_hash"
+            ),
+            "vec_b",
+        )
+        .join(
+            rep_lab.withColumnRenamed("rep", "vec_a").hint("shuffle_hash"),
+            "vec_a",
+        )
+        .select(
+            "label",
+            (F.col("ca") * F.col("cb")).cast("long").alias("np"),
+            (cmu * F.col("ca") * F.col("cb")).cast("long").alias("cs"),
+        )
+    )
+    intra = (
+        reps_ok.join(cls, "rep")
+        .filter(F.col("cnt") >= 2)
+        .join(rep_lab.hint("shuffle_hash"), "rep")
+        .select(
+            "label",
+            F.expr("cnt * (cnt - 1) div 2").cast("long").alias("np"),
+            (cmu * F.expr("cnt * (cnt - 1) div 2")).cast("long").alias("cs"),
+        )
+    )
+    np_ = (
+        inter.unionAll(intra)
+        .groupBy("label")
+        .agg(
+            F.sum("np").cast("long").alias("n_pairs"),
+            F.sum("cs").cast("long").alias("sum_cos_micro"),
+        )
+    )
+    # touched classes: any side of a verified rep pair, or an intra-valid
+    # class with >= 2 members — every member of such a class appears in
+    # >= 1 expanded pair, members of other classes in none.
+    touched = (
+        rep_pairs.select(F.col("vec_a").alias("rep"))
+        .unionAll(rep_pairs.select(F.col("vec_b").alias("rep")))
+        .unionAll(
+            reps_ok.join(cls, "rep").filter(F.col("cnt") >= 2).select("rep")
+        )
+        .distinct()
+    )
+    tv = (
+        touched.join(cls.hint("shuffle_hash"), "rep")
+        .join(rep_lab.hint("shuffle_hash"), "rep")
+        .groupBy("label")
+        .agg(F.sum("cnt").cast("long").alias("n_vecs_touched"))
+    )
+    return np_.join(tv, "label").select(
+        "label", "n_pairs", "n_vecs_touched", "sum_cos_micro"
+    )
 
 
 DEDUP_APPLY_SQL = f"""

@@ -23,15 +23,96 @@ DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, p) -> acc 
 
 
 def normalized_embeddings(emb: DataFrame) -> DataFrame:
-    """vec_id, label, u = embedding / ||embedding||₂ (as array<double>)."""
+    """vec_id, label, u = embedding / ||embedding||₂ (as array<double>).
+
+    Pure-expression form: survives under later ``filter(...)`` with full
+    predicate pushdown to the parquet scan — the right shape for PANEL /
+    bounded-subset consumers (knn panels, codebook init). Full-corpus
+    consumers use ``normalized_embeddings_np`` (r13): Catalyst evaluates
+    these HOFs INTERPRETED, and at the 100× replica this map-only chain
+    alone cost 25.6 s of dedup_embedding's 40 s (the r11 lesson measured
+    one level earlier in the pipeline).
+    """
     v = emb.select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
+    # try_divide: a zero-norm vector degrades to NULL elements — the
+    # DuckDB oracle's x/0.0 semantics — instead of an ANSI
+    # DIVIDE_BY_ZERO hard error (r13; absent from fixtures, pinned in
+    # tests/test_r13_keys.py).
     return v.withColumn(
         "nrm", F.sqrt(F.expr("aggregate(v, 0D, (acc, y) -> acc + y * y)"))
-    ).select("vec_id", "label", F.expr("transform(v, x -> x / nrm)").alias("u"))
+    ).select(
+        "vec_id",
+        "label",
+        F.expr("transform(v, x -> try_divide(x, nrm))").alias("u"),
+    )
+
+
+def normalized_embeddings_np(emb: DataFrame) -> DataFrame:
+    """normalized_embeddings for FULL-CORPUS streams: the same bit-exact
+    arithmetic vectorized across rows in numpy (r13).
+
+    Per row the op sequence is IDENTICAL to the HOF form (and to
+    ``dedup.NORM_EMB_SQL``): float→double widening is exact, the norm is
+    the left-to-right fold acc = acc + yᵈ² starting from y₁² (0 + y₁²
+    ≡ y₁² bitwise), u = x / √acc elementwise — so outputs are
+    bit-identical (pinned in tests/test_r13_keys.py on adversarial
+    doubles). Degrades match the HOF form exactly: NULL → NULL u,
+    ragged/empty vectors go through a scalar python fold with the same
+    op order. Do NOT use where a later filter must push down to the
+    scan (mapInPandas is a pushdown barrier) — that is what the
+    expression form is for.
+    """
+
+    def _norm(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vs = pdf["embedding"]
+            us: list = [None] * n
+            ok = vs.map(lambda x: x is not None and len(x) == DIM).to_numpy()
+            idx = np.nonzero(ok)[0]
+            if len(idx):
+                V = np.stack(
+                    [np.asarray(vs.iloc[int(i)], dtype=np.float64) for i in idx]
+                )
+                acc = V[:, 0] * V[:, 0]
+                for d in range(1, DIM):
+                    acc = acc + V[:, d] * V[:, d]  # left-to-right per row
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    U = V / np.sqrt(acc)[:, None]
+                for j, i in enumerate(idx):
+                    # zero norm -> NULL elements (try_divide / DuckDB)
+                    us[int(i)] = [None] * DIM if acc[j] == 0.0 else U[j]
+            for i in np.nonzero(~ok)[0]:
+                x = vs.iloc[int(i)]
+                if x is None:
+                    continue  # NULL embedding -> NULL u (the HOF degrade)
+                # scalar fold with the same op order (numpy scalars so
+                # a nonzero/0 edge can never raise mid-batch)
+                v = [np.float64(t) for t in x]
+                a = np.float64(0.0)
+                for y in v:
+                    a = a + y * y  # the HOF fold incl. its 0D seed
+                nrm = np.sqrt(a)
+                if nrm == 0.0:  # zero norm -> NULL elements (try_divide)
+                    us[int(i)] = [None] * len(v)
+                else:
+                    us[int(i)] = [float(t / nrm) for t in v]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "label": pdf["label"], "u": us}
+            )
+
+    return emb.select("vec_id", "label", "embedding").mapInPandas(
+        _norm, "vec_id bigint, label int, u array<double>"
+    )
 
 
 def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:

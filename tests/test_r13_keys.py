@@ -343,3 +343,165 @@ def test_dedup_substrings_oracle_parity_adversarial(spark, adversarial_span_dir)
     spdf = QUERIES["dedup_substrings"](spark, d).toPandas()
     odf = con.execute(ORACLES["dedup_substrings"]).fetchdf()
     assert_equivalent(spdf, odf, "dedup_substrings")
+
+
+# ---------------------------------------------------------------------------
+# normalized_embeddings_np — the full-corpus numpy normalization twin
+
+
+def test_np_normalize_bit_identical_to_hof(spark):
+    """normalized_embeddings_np must produce BIT-identical u to the
+    HOF expression form — including NULL, ragged, empty, and all-zero
+    vectors (the degrade surface) and adversarially small/large floats."""
+    import math
+
+    import pandas as pd
+
+    from ls_hadoop_3_0_spark.llm.embeddings import (
+        DIM,
+        normalized_embeddings,
+        normalized_embeddings_np,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(40):
+        v = (rng.normal(0, 1, DIM) * 10.0 ** rng.integers(-20, 20)).astype(
+            np.float32
+        )
+        rows.append((i, int(i % 5), [float(x) for x in v]))
+    rows.append((100, 0, None))  # NULL vector
+    rows.append((101, 1, [1.0, 2.0, 3.0]))  # ragged
+    rows.append((102, 2, []))  # empty
+    rows.append((103, 3, [0.0] * DIM))  # zero norm -> NaN elements
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [r[0] for r in rows],
+                "label": pd.array([r[1] for r in rows], dtype="int32"),
+                "embedding": [r[2] for r in rows],
+            }
+        )
+    )
+    hof = {r["vec_id"]: r["u"] for r in normalized_embeddings(emb).collect()}
+    npv = {r["vec_id"]: r["u"] for r in normalized_embeddings_np(emb).collect()}
+    assert set(hof) == set(npv)
+    for k in hof:
+        a, b = hof[k], npv[k]
+        if a is None or b is None:
+            assert a == b, k
+            continue
+        assert len(a) == len(b), k
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                assert x == y, k  # zero-norm NULL elements, both forms
+            elif math.isnan(x) or math.isnan(y):
+                assert math.isnan(x) and math.isnan(y), k
+            else:
+                assert x == y, (k, x, y)
+
+
+def test_dedup_embedding_stats_consistent_with_pairs(spark):
+    """On a duplicate-heavy corpus (collapse path fires) the class-stat
+    summary must equal the aggregate of the EXPANDED pair stream —
+    pair counts, touched-vector counts, and cosine mass per label."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.llm import dedup
+    from ls_hadoop_3_0_spark.llm.embeddings import normalized_embeddings_np
+    from ls_hadoop_3_0_spark.tables import load
+
+    base = load(spark, SF_DIR, "embeddings")
+    dup = base.unionAll(
+        base.select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            *[c for c in base.columns if c != "vec_id"],
+        )
+    )
+    pairs = dedup.embedding_pairs(normalized_embeddings_np(dup)).localCheckpoint()
+    lv = dup.select("vec_id", "label")
+    lab = pairs.join(
+        lv.withColumnRenamed("vec_id", "vec_a"), "vec_a"
+    ).select(
+        "label",
+        "vec_a",
+        "vec_b",
+        F.round(F.col("cosine") * F.lit(1000000.0)).cast("long").alias("cmu"),
+    )
+    from_pairs = {
+        r["label"]: (r["np"], r["tv"], r["cs"])
+        for r in lab.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("np"), F.sum("cmu").alias("cs"))
+        .join(
+            lab.select("label", F.explode(F.array("vec_a", "vec_b")).alias("v"))
+            .distinct()
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("tv")),
+            "label",
+        )
+        .collect()
+    }
+    # run the stats key's class-grain derivation on the same dup corpus
+    e, parts = dedup._embedding_class_parts(
+        normalized_embeddings_np(dup), dedup.EMB_COSINE_T
+    )
+    assert parts is not None, "collapse must fire on the dup corpus"
+    # reuse the registered key's assembly by monkey-free direct call is
+    # not possible (it loads from sf_dir), so recompute via the public
+    # stats pipeline pieces:
+    member, rep_pairs, reps_ok = parts
+    cls = member.groupBy("rep").agg(F.count(F.lit(1)).alias("cnt"))
+    rep_lab = lv.withColumnRenamed("vec_id", "rep")
+    cmu = F.round(F.col("cosine") * F.lit(1000000.0)).cast("long")
+    inter = (
+        rep_pairs.join(
+            cls.select(F.col("rep").alias("vec_a"), F.col("cnt").alias("ca")),
+            "vec_a",
+        )
+        .join(
+            cls.select(F.col("rep").alias("vec_b"), F.col("cnt").alias("cb")),
+            "vec_b",
+        )
+        .join(rep_lab.withColumnRenamed("rep", "vec_a"), "vec_a")
+        .select(
+            "label",
+            (F.col("ca") * F.col("cb")).cast("long").alias("np"),
+            (cmu * F.col("ca") * F.col("cb")).cast("long").alias("cs"),
+        )
+    )
+    intra = (
+        reps_ok.join(cls, "rep")
+        .filter(F.col("cnt") >= 2)
+        .join(rep_lab, "rep")
+        .select(
+            "label",
+            F.expr("cnt * (cnt - 1) div 2").cast("long").alias("np"),
+            (cmu * F.expr("cnt * (cnt - 1) div 2")).cast("long").alias("cs"),
+        )
+    )
+    npagg = (
+        inter.unionAll(intra)
+        .groupBy("label")
+        .agg(F.sum("np").alias("np"), F.sum("cs").alias("cs"))
+    )
+    touched = (
+        rep_pairs.select(F.col("vec_a").alias("rep"))
+        .unionAll(rep_pairs.select(F.col("vec_b").alias("rep")))
+        .unionAll(
+            reps_ok.join(cls, "rep").filter(F.col("cnt") >= 2).select("rep")
+        )
+        .distinct()
+    )
+    tv = (
+        touched.join(cls, "rep")
+        .join(rep_lab, "rep")
+        .groupBy("label")
+        .agg(F.sum("cnt").alias("tv"))
+    )
+    from_classes = {
+        r["label"]: (r["np"], r["tv"], r["cs"])
+        for r in npagg.join(tv, "label").collect()
+    }
+    assert from_classes == from_pairs and len(from_pairs) > 0
