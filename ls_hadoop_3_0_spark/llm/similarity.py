@@ -2119,3 +2119,146 @@ def knn_recall_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# knn_ivf_indexed (r13) — the materialized form of the layout note every
+# IVF docstring above makes: "at 100 TB the index build writes parquet
+# PARTITIONED BY cell, so probing prunes IO as well as compute". This key
+# actually builds that index and serves from it.
+
+
+@query("knn_ivf_indexed", _knn_ivf_sql())
+def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 IVF ANN served from a MATERIALIZED on-disk inverted index.
+
+    Build: one corpus pass assigns every vector its coarse cell (the
+    knn_ivf numpy fold — bit-identical to the oracle's argmax) and
+    writes (vec_id, u) parquet PARTITIONED BY cell. Serve: the bounded
+    query panel probes its IVF_NPROBE nearest cells and reads ONLY the
+    probed partitions back — ``cell IN (...)`` is a partition filter,
+    so Spark prunes the unprobed directories at PLANNING time: the scan
+    does ~nprobe/IVF_K of the IO, not just of the compute
+    (tests/test_r13_keys.py pins PartitionFilters + the pruned
+    inputFiles set). Scoring is the exact knn_ivf arithmetic on the
+    read-back unit vectors (parquet round-trips doubles exactly), so
+    the key shares knn_ivf's oracle verbatim — the index is a layout,
+    not a new semantics.
+
+    This is the serving shape the transient keys cannot show: an index
+    built once and probed many times, where per-query cost is bounded
+    by partition pruning rather than a full corpus scan.
+    """
+    import numpy as np
+
+    prepare(spark)
+    from ls_hadoop_3_0_spark.sources.io import scratch
+
+    path = scratch(sf_dir, "ivf_index")
+    cents = np.asarray(_ivf_train_np(spark, sf_dir), dtype=np.float64)
+
+    def _dots_np(U):
+        out = np.empty((len(U), IVF_K), dtype=np.float64)
+        for c in range(IVF_K):
+            acc = cents[c, 0] * U[:, 0]
+            for d in range(1, DIM):
+                acc = acc + cents[c, d] * U[:, d]
+            out[:, c] = acc
+        return out
+
+    def _build(it):
+        import pandas as pd
+
+        for pdf in it:
+            pdf = pdf[
+                pdf["v"].map(lambda x: x is not None and len(x) == DIM).to_numpy()
+            ]
+            if len(pdf) == 0:
+                continue
+            U = _pq_unit(
+                np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            )
+            dots = _dots_np(U)
+            # FIRST argmax (strict > scanning ascending) — the oracle's
+            # list_position(dots, list_max(dots)).
+            cell = np.zeros(len(U), dtype=np.int64)
+            best = dots[:, 0]
+            for c in range(1, IVF_K):
+                gt = dots[:, c] > best
+                best = np.where(gt, dots[:, c], best)
+                cell = np.where(gt, c, cell)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "u": list(U),
+                    "cell": cell.astype(np.int32),
+                }
+            )
+
+    index = _pq_raw(spark, sf_dir).select("vec_id", "v").mapInPandas(
+        _build, "vec_id bigint, u array<double>, cell int"
+    )
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    panel_rows = sorted(
+        (int(r["vec_id"]), r["u"])
+        for r in normalized_embeddings(load(spark, sf_dir, "embeddings"))
+        .filter(F.expr(BOUNDED_PANEL_SQL))
+        .select("vec_id", "u")
+        .collect()  # bounded fixed-id eval set
+    )
+    qids = np.asarray([q for q, _ in panel_rows], dtype=np.int64)
+    QU = np.asarray([u for _, u in panel_rows], dtype=np.float64)
+    P = len(qids)
+    probed: list[int] = []
+    probe = np.zeros((P, IVF_K), dtype=bool)
+    if P:
+        qdots = _dots_np(QU)
+        for p in range(P):
+            order = sorted(range(IVF_K), key=lambda c: (-qdots[p, c], c))
+            probe[p, order[:IVF_NPROBE]] = True
+        probed = sorted(int(c) for c in np.nonzero(probe.any(axis=0))[0])
+
+    # Partition-pruned read-back: cell IN (probed) is a PartitionFilter —
+    # unprobed directories are never listed into the scan.
+    back = spark.read.schema("vec_id long, u array<double>, cell int").parquet(
+        path
+    )
+    pruned = back.filter(F.col("cell").isin(probed) if probed else F.lit(False))
+
+    def _score(it):
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            if n == 0 or P == 0:
+                continue
+            U = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["u"]])
+            ids = pdf["vec_id"].to_numpy()
+            cell = pdf["cell"].to_numpy()
+            A = _dot_fold_np(QU, U)
+            A = np.where(probe[:, cell], A, -np.inf)
+            A = np.where(ids[None, :] == qids[:, None], -np.inf, A)
+            kth = n - TOP_K
+            if kth > 0:
+                th = np.partition(A, kth, axis=1)[:, kth]
+            else:
+                th = np.full(P, -np.inf)
+            keep = A >= (th[:, None] - 2e-6)  # the rounding-quantum margin
+            qi, ni = np.nonzero(keep)
+            a = A[qi, ni]
+            fin = np.isfinite(a)
+            yield pd.DataFrame(
+                {"q_id": qids[qi[fin]], "n_id": ids[ni[fin]], "c_raw": a[fin]}
+            )
+
+    local = pruned.mapInPandas(_score, "q_id bigint, n_id bigint, c_raw double")
+    scored = local.select(
+        "q_id", "n_id", F.round(F.col("c_raw"), 6).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "cosine", "rnk")
+    )

@@ -505,3 +505,60 @@ def test_dedup_embedding_stats_consistent_with_pairs(spark):
         for r in npagg.join(tv, "label").collect()
     }
     assert from_classes == from_pairs and len(from_pairs) > 0
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_indexed — materialized cell-partitioned index + pruned serving
+
+
+def test_ivf_index_partition_pruning(spark):
+    """The on-disk index must be laid out one directory per cell, and a
+    probe-set read-back must prune unprobed partitions at PLANNING time
+    (PartitionFilters on cell + a strictly smaller input-file set)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.plans.checks import formatted_plan
+    from ls_hadoop_3_0_spark.sources.io import scratch
+
+    QUERIES["knn_ivf_indexed"](spark, SF_DIR).collect()  # builds the index
+    path = scratch(SF_DIR, "ivf_index")
+    cells = sorted(glob.glob(os.path.join(path, "cell=*")))
+    assert len(cells) >= 4, f"index not cell-partitioned: {cells}"
+    back = spark.read.schema("vec_id long, u array<double>, cell int").parquet(
+        path
+    )
+    pruned = back.filter(F.col("cell").isin([0, 1, 2]))
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1].splitlines()[0], plan
+    # the EXECUTED scan reads only probed-cell files (inputFiles() is
+    # pre-pruning metadata, so the proof uses input_file_name over the
+    # rows actually produced)
+    pruned_files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    all_files = {
+        r[0] for r in back.select(F.input_file_name()).distinct().collect()
+    }
+    assert pruned_files and pruned_files < all_files
+    assert all(
+        any(f"cell={c}/" in f for c in (0, 1, 2)) for f in pruned_files
+    ), sorted(pruned_files)[:3]
+
+
+def test_ivf_indexed_equals_transient(spark):
+    """The index is a LAYOUT, not a semantics: served results must equal
+    knn_ivf's exactly (same oracle, same rows)."""
+    a = {
+        (r["q_id"], r["n_id"], r["cosine"], r["rnk"])
+        for r in QUERIES["knn_ivf_indexed"](spark, SF_DIR).collect()
+    }
+    b = {
+        (r["q_id"], r["n_id"], r["cosine"], r["rnk"])
+        for r in QUERIES["knn_ivf"](spark, SF_DIR).collect()
+    }
+    assert a == b and len(a) > 0
