@@ -688,27 +688,94 @@ def kmeans_lloyd(spark, sf_dir: str):
     from ls_hadoop_3_0_spark.session import prepare
     from ls_hadoop_3_0_spark.tables import load
 
+    import numpy as np
+
     prepare(spark)
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-    )
+    raw = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents_int = _km_seed_ints()
 
-    def _assigned(cints: list[list[int]]):
-        cents = [[q / KM_SCALE for q in row] for row in cints]
-        return (
-            e.withColumn("cents", F.lit(cents))
-            .withColumn("dots", F.expr(f"transform(cents, c -> {_KM_DOT})"))
-            .withColumn(
-                "cell",
-                F.expr("cast(array_position(dots, array_max(dots)) as int) - 1"),
-            )
+    # r13: the per-round argmax-dot assignment moved from the interpreted
+    # transform/aggregate HOF pair to the numpy left-fold (the r11
+    # eval_confusion recipe — Catalyst interprets lambda HOFs, and here
+    # they ran KM_ROUNDS+1 corpus passes: 39.3 → 14.3 s at the 100×
+    # replica, noop min-of-2). Arithmetic is bit-identical: float→double cast is exact,
+    # dots accumulate c_d·v_d in ascending d per row, the cell is the
+    # FIRST argmax (strict > scanning ascending — the
+    # array_position(dots, array_max(dots)) tie-break), and the final
+    # inertia fold accumulates (x−y)² in the same per-row order. NULL or
+    # ragged vectors degrade to cell NULL exactly like the HOF
+    # (zip_with/aggregate NULL-propagation); cell-NULL rows never enter
+    # the K-cell certificate (left join on base cells).
+    def _assign_np(cints: list[list[int]], with_sq: bool):
+        cents = np.asarray(
+            [[q / KM_SCALE for q in row] for row in cints], dtype=np.float64
         )
+
+        def _a(it):
+            import pandas as pd
+
+            for pdf in it:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                vs = pdf["embedding"]
+                ok = vs.map(
+                    lambda x: x is not None and len(x) == DIM
+                ).to_numpy()
+                cell_out = [None] * n
+                sq_out = [None] * n
+                v_out: list = [None] * n
+                idx = np.nonzero(ok)[0]
+                if len(idx):
+                    V = np.stack(
+                        [
+                            np.asarray(vs.iloc[int(i)], dtype=np.float64)
+                            for i in idx
+                        ]
+                    )
+                    best = None
+                    cell = np.zeros(len(V), dtype=np.int64)
+                    for c in range(KM_K):
+                        acc = cents[c, 0] * V[:, 0]
+                        for d in range(1, DIM):
+                            acc = acc + cents[c, d] * V[:, d]
+                        if best is None:
+                            best = acc
+                        else:
+                            gt = acc > best  # strict: first argmax wins
+                            best = np.where(gt, acc, best)
+                            cell = np.where(gt, c, cell)
+                    if with_sq:
+                        Crows = cents[cell]
+                        t = V[:, 0] - Crows[:, 0]
+                        sq = t * t
+                        for d in range(1, DIM):
+                            t = V[:, d] - Crows[:, d]
+                            sq = sq + t * t  # same per-row fold order
+                    for j, i in enumerate(idx):
+                        cell_out[int(i)] = int(cell[j])
+                        if with_sq:
+                            sq_out[int(i)] = float(sq[j])
+                        else:
+                            v_out[int(i)] = V[j]
+                if not with_sq:
+                    for i in np.nonzero(~ok)[0]:
+                        x = vs.iloc[int(i)]
+                        if x is not None:
+                            v_out[int(i)] = [float(t) for t in x]
+                if with_sq:
+                    yield pd.DataFrame({"cell": cell_out, "sq_raw": sq_out})
+                else:
+                    yield pd.DataFrame({"cell": cell_out, "v": v_out})
+
+        schema = (
+            "cell int, sq_raw double" if with_sq else "cell int, v array<double>"
+        )
+        return raw.mapInPandas(_a, schema)
 
     for _ in range(KM_ROUNDS):
         rows = (
-            _assigned(cents_int)
+            _assign_np(cents_int, with_sq=False)
             .select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(
@@ -726,13 +793,12 @@ def kmeans_lloyd(spark, sf_dir: str):
             for c in range(KM_K)
         ]
 
-    a = _assigned(cents_int).withColumn("c", F.expr("cents[cell]"))
-    sqd = F.expr(
-        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D,"
-        " (acc, p) -> acc + p)"
-    )
     per = (
-        a.select("cell", F.round(sqd * KM_SCALE).cast("long").alias("sq"))
+        _assign_np(cents_int, with_sq=True)
+        .select(
+            "cell",
+            F.round(F.col("sq_raw") * KM_SCALE).cast("long").alias("sq"),
+        )
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_members"), F.sum("sq").alias("ssq"))
     )
@@ -1013,19 +1079,56 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ls_hadoop_3_0_spark.session import prepare
     from ls_hadoop_3_0_spark.tables import load
 
+    import numpy as np
+
     prepare(spark)
-    e = load(spark, sf_dir, "embeddings").select(
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
+    raw = load(spark, sf_dir, "embeddings").select("embedding")
     v = _pca_seed()
     for _ in range(PCA_ROUNDS):
-        lit_v = F.array(*[F.lit(c) for c in v])
-        sc = F.expr(
-            "aggregate(zip_with(lv, v, (a, b) -> a * b), 0D, (acc, p) -> acc + p)"
-        )
+        # r13: the per-row score fold moved to numpy (the kmeans_lloyd /
+        # eval_confusion recipe — the interpreted zip_with/aggregate pair
+        # was the round's dominant cost). The fold order is unchanged
+        # (lv_d·v_d accumulated in ascending d), the explode and the
+        # round(sc·x·1e6) quantization stay ENGINE-side (Spark round is
+        # HALF_UP; python/numpy round is banker's — the CLAUDE.md rule),
+        # and NULL/ragged vectors degrade to sc NULL exactly as the HOF.
+        vnp = np.asarray(v, dtype=np.float64)
+
+        def _sc(it, vnp=vnp):
+            import pandas as pd
+
+            for pdf in it:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                vs = pdf["embedding"]
+                ok = vs.map(
+                    lambda x: x is not None and len(x) == DIM
+                ).to_numpy()
+                sc_out = [None] * n
+                v_out: list = [None] * n
+                idx = np.nonzero(ok)[0]
+                if len(idx):
+                    V = np.stack(
+                        [
+                            np.asarray(vs.iloc[int(i)], dtype=np.float64)
+                            for i in idx
+                        ]
+                    )
+                    acc = vnp[0] * V[:, 0]
+                    for d in range(1, DIM):
+                        acc = acc + vnp[d] * V[:, d]  # ascending-d fold
+                    for j, i in enumerate(idx):
+                        sc_out[int(i)] = float(acc[j])
+                        v_out[int(i)] = V[j]
+                for i in np.nonzero(~ok)[0]:
+                    x = vs.iloc[int(i)]
+                    if x is not None:  # ragged: sc NULL, v cast-through
+                        v_out[int(i)] = [float(t) for t in x]
+                yield pd.DataFrame({"sc": sc_out, "v": v_out})
+
         terms = (
-            e.withColumn("lv", lit_v)
-            .withColumn("sc", sc)
+            raw.mapInPandas(_sc, "sc double, v array<double>")
             .select("sc", F.posexplode("v").alias("pos", "x"))
             .select(
                 (F.col("pos") + 1).alias("j"),
