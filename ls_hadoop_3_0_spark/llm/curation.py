@@ -1155,3 +1155,66 @@ def mix_weights_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol.alias("tol3"),
         (dev <= tol).alias("within_tol"),
     )
+
+
+@query(
+    "text_scrub",
+    """
+    WITH n AS (
+        SELECT doc_id, source, text,
+               trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'),
+                        ' +', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           CAST(CASE WHEN norm = '' THEN 0
+                     ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+                     END AS BIGINT) AS n_tokens_norm,
+           md5(norm) AS norm_md5
+    FROM n
+    """,
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 full text SCRUB: the aggressive canonicalization rung ABOVE
+    functions.text.text_normalize (which only lowercases and collapses
+    whitespace): lowercase, map non-[a-z0-9 ] characters to spaces,
+    collapse whitespace runs, trim — the C4/Dolma-style alphabet scrub.
+    Emits per-doc before/after char counts, the normalized token count,
+    and the md5 of the scrubbed text — the content key downstream
+    exact-dedup/fingerprint stages consume.
+
+    Determinism: both regexes are Java-regex/RE2 common-subset (the PII
+    pattern rule), lower() is ASCII-identical on the fixture alphabet,
+    md5 hex matches across engines. Scale: map-only — one scan, zero
+    shuffles; at 100 TB this pass fuses into whatever scan feeds it
+    (whole-stage codegen, no lambda HOFs anywhere).
+    """
+    prepare(spark)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    d = spread(
+        load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    ).select("doc_id", "source", "text", norm.alias("norm"))
+    return d.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length("norm").cast("long").alias("n_chars_norm"),
+        F.when(F.col("norm") == "", F.lit(0))
+        .otherwise(
+            F.length("norm")
+            - F.length(F.replace(F.col("norm"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("long")
+        .alias("n_tokens_norm"),
+        F.md5("norm").alias("norm_md5"),
+    )
