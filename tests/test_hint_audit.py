@@ -55,6 +55,7 @@ HINT_ALLOWANCE: dict[str, tuple[int, str]] = {
     "analytics_yoy": (1, "nation dim"),
     "anomaly_zscore": (1, "per-event-type stats (type vocabulary)"),
     "bm25_topk": (1, "doc frequencies of the fixed query terms"),
+    "contamination_by_source": (1, "inherited: v2's authored eval-set grams"),
     "contamination_check_v2": (1, "benchmark eval-set grams (design-bounded)"),
     "dedup_recall_v2": (
         5,
@@ -74,6 +75,7 @@ HINT_ALLOWANCE: dict[str, tuple[int, str]] = {
     "knn_centroid_classify": (1, "k centroids"),
     "knn_recall_v2": (1, "1-row exact-arm count scalars (panel broadcasts gone in the r12 numpy-arm rewrite)"),
     "knn_recall_pq": (1, "1-row exact-arm count scalars (n_exact, n_queries)"),
+    "knn_recall_rerank": (1, "1-row exact-arm count scalars (n_exact, n_queries)"),
     "mix_temperature": (1, "per-source temperature table (source vocabulary)"),
     "pipeline_curation_v2": (1, "benchmark eval-set grams"),
     "pipeline_curation_v3": (2, "benchmark grams + 1-row max"),
