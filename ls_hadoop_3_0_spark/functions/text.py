@@ -1511,3 +1511,113 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.0) * prec * rec / (prec + rec),
         ).alias("f1"),
     )
+
+
+@query(
+    "lm_bigram_score",
+    """
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+                  unnest(t[2:len(t)]) AS w2
+           FROM t WHERE len(t) >= 2),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+    vv AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+           FROM (SELECT unnest(t) AS word FROM t) u),
+    s AS (
+        SELECT bg.doc_id,
+               CAST(round(-ln((CAST(c2.c2 AS DOUBLE) + CAST(1 AS DOUBLE))
+                              / (CAST(c1.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS nllq
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nllq) AS DOUBLE) / CAST(1000000 AS DOUBLE) / COUNT(*)
+               AS avg_nll
+    FROM s GROUP BY doc_id
+    """,
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 LM quality proxy, bigram rung: per-doc average add-1-smoothed
+    bigram negative log-prob.
+
+    One order above lm_unigram_score (the CCNet/KenLM ladder):
+    p(w2|w1) = (c(w1,w2)+1) / (c1(w1)+V) with add-one smoothing over
+    the corpus's own bigram table, where c1 is the LEFT-CONTEXT count
+    (Σ bigrams starting at w1 — derived from the bigram table itself,
+    never a second corpus shuffle) and V the exact unigram vocabulary
+    size. Low = templated word-pair boilerplate; high = locally
+    incoherent token soup — the signal the unigram rung cannot see
+    (it scores each word independently of order).
+
+    Cross-engine discipline (the unigram key's, unchanged): all counts
+    exact integers, the smoothed ratio is the SAME double expression
+    both engines, ln is the proven Spark log ↔ DuckDB ln pair, and
+    every per-bigram −ln p quantizes to a scaled long BEFORE the
+    per-doc sum (doubles never summed). V is collected as an EXACT int
+    and folded as a literal (the bm25 avgdl rule).
+
+    Plan/scale: the bigram stream is MAP-SIDE (zip of shifted token
+    slices — no self-join, no positions shuffle); c2 is one
+    map-combined (w1,w2) aggregation (Heaps-sublinear bigram types);
+    c1 derives from c2 at vocab grain; scoring is one stream⋈types
+    merge join + a doc-keyed reduce. Docs with <2 tokens have no
+    bigrams and are absent on BOTH engines.
+    """
+    prepare(spark)
+    from ls_hadoop_3_0_spark.llm.curation import _text_class_structure
+
+    docs = spread(
+        load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    ).select("doc_id", "text")
+    # r11 class collapse (probe-gated): bigram counts are Σ class_size ×
+    # rep occurrences (exact integer identity) and per-doc scores are
+    # pure text functions given the counts — on dup-heavy corpora every
+    # stream below runs at content-class grain and members inherit by
+    # hash (the pipeline_curation_v3 LM-gate move, applied to the
+    # standalone key: 25.8 → 9.6 s at the 100× replica).
+    keyed, gate_docs = _text_class_structure(docs)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    cols = ["doc_id"] if keyed is None else ["doc_id", "h", "m"]
+    wcol = (F.col("m") if keyed is not None else F.lit(1)).cast("long")
+    t = gate_docs.select(*cols, toks.alias("t"))
+    v_size = t.select(F.explode("t").alias("word")).distinct().count()
+    z = (
+        t.filter(F.size("t") >= 2)
+        .withColumn("la", F.expr("slice(t, 1, size(t) - 1)"))
+        .withColumn("ra", F.expr("slice(t, 2, size(t) - 1)"))
+    )
+    id_cols = ["doc_id"] if keyed is None else ["doc_id", "h"]
+    bg = z.select(
+        *id_cols, wcol.alias("w"), F.explode(F.arrays_zip("la", "ra")).alias("p")
+    ).select(*id_cols, "w", F.col("p.la").alias("w1"), F.col("p.ra").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.sum("w").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    ct = c2.join(c1.hint("merge"), "w1")
+    nllq = F.round(
+        -F.log(
+            (F.col("c2").cast("double") + F.lit(1.0))
+            / (F.col("c1").cast("double") + F.lit(float(v_size)))
+        )
+        * 1_000_000
+    ).cast("long")
+    s = bg.join(ct.hint("merge"), ["w1", "w2"]).select(
+        *id_cols, nllq.alias("nllq")
+    )
+    out = s.groupBy(*id_cols).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum("nllq").cast("double")
+            / F.lit(1_000_000.0)
+            / F.count(F.lit(1))
+        ).alias("avg_nll"),
+    )
+    if keyed is None:
+        return out.select("doc_id", "n_bigrams", "avg_nll")
+    return keyed.join(
+        out.select("h", "n_bigrams", "avg_nll").hint("shuffle_hash"), "h"
+    ).select("doc_id", "n_bigrams", "avg_nll")

@@ -209,6 +209,7 @@ def test_text_gate_collapse_oracle_parity_on_dup_fixture(spark, tmp_path):
         "pipeline_curation_v2",
         "pipeline_curation_v3",
         "dedup_substrings",  # r13: class-weighted gram totals + islands
+        "lm_bigram_score",  # r13: class-weighted bigram counts + inherit
     ):
         spdf = engine.QUERIES[key](spark, dup_dir).toPandas()
         odf = con.execute(ORACLES[key]).fetchdf()
