@@ -75,10 +75,12 @@ def _sweep_order(keys: dict) -> list[str]:
         return (k not in engine.ORACLES, not flagged)
 
     # Stamped keys whose CONTRACT changed since their stamp (rows-only →
-    # oracle-backed in r7) — their old artifact row is the weaker check,
-    # so they re-enter right behind the fresh pool for a full
-    # rows+schema+hash stamp.
-    refresh = {"multimodal_extract"}
+    # oracle-backed) — their old artifact row is the weaker check, so
+    # they re-enter right behind the fresh pool for a full
+    # rows+schema+hash stamp. r14: knn_lsh/knn_ivf graduated to
+    # oracle-backed in r13 but their last driver stamp (r5) predates the
+    # oracles (multimodal_extract got its oracle stamp in r13 — done).
+    refresh = {"knn_lsh", "knn_ivf"}
 
     fresh = [k for k in keys if k not in _STAMPED_PRIOR]
     fresh.sort(key=prio)  # stable within each (oracle, family) tier

@@ -2127,6 +2127,20 @@ def knn_recall_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PARTITIONED BY cell, so probing prunes IO as well as compute". This key
 # actually builds that index and serves from it.
 
+#: Per-PROCESS tag for the materialized index directory: two sessions on
+#: the same fixture tag (pytest + bench — the r11 flaky-parity scenario)
+#: must never race an overwrite against a read-back of the same path.
+#: Within one process, reruns serialize on the same path (overwrite mode
+#: is safe there), so tests that rebuild then inspect stay deterministic.
+_IVF_INDEX_RUN = __import__("uuid").uuid4().hex[:12]
+
+
+def ivf_index_path(sf_dir: str) -> str:
+    """Run-unique scratch path for the materialized IVF index."""
+    from ls_hadoop_3_0_spark.sources.io import scratch
+
+    return scratch(sf_dir, f"ivf_index_{_IVF_INDEX_RUN}")
+
 
 @query("knn_ivf_indexed", _knn_ivf_sql())
 def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2152,9 +2166,8 @@ def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     prepare(spark)
-    from ls_hadoop_3_0_spark.sources.io import scratch
 
-    path = scratch(sf_dir, "ivf_index")
+    path = ivf_index_path(sf_dir)
     cents = np.asarray(_ivf_train_np(spark, sf_dir), dtype=np.float64)
 
     def _dots_np(U):

@@ -520,11 +520,11 @@ def test_ivf_index_partition_pruning(spark):
 
     from pyspark.sql import functions as F
 
+    from ls_hadoop_3_0_spark.llm.similarity import ivf_index_path
     from ls_hadoop_3_0_spark.plans.checks import formatted_plan
-    from ls_hadoop_3_0_spark.sources.io import scratch
 
     QUERIES["knn_ivf_indexed"](spark, SF_DIR).collect()  # builds the index
-    path = scratch(SF_DIR, "ivf_index")
+    path = ivf_index_path(SF_DIR)
     cells = sorted(glob.glob(os.path.join(path, "cell=*")))
     assert len(cells) >= 4, f"index not cell-partitioned: {cells}"
     back = spark.read.schema("vec_id long, u array<double>, cell int").parquet(
