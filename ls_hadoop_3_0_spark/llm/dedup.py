@@ -28,6 +28,8 @@ tests/test_dedup.py on constructed near-duplicates.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2222,6 +2224,68 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUBSTR_K = 8  #: span grain in tokens (the quality_crossdup 8-gram grain)
 
+#: Mega-hot-gram skew probe (r14, VERDICT r13 wrong #2). The window-sum
+#: gram-total shape wins on organic corpora (SCALE.md r13 A/B: 14.9 vs
+#: 17.7 s at 100×) but a boilerplate 8-gram at ~1e9 occurrences
+#: single-partitions the window sort; the semi-join form is
+#: value-identical and AQE-skew-splittable. The probe estimates the
+#: hottest gram's DOC-FREQUENCY fraction from a bounded fixed-id-range
+#: panel (PANEL_DOC_SQL — corpus-independent cost, the dedup_recall_v2
+#: panel rule): a gram covering a material fraction of panel docs
+#: extrapolates to a corpus-fraction-scale window partition. Fires when
+#: the panel's max gram count ≥ max(FLOOR, FRAC × panel docs); FLOOR
+#: keeps tiny panels from noise-firing. Choice is plan-only — both
+#: shapes are oracle-identical (forced-skew equivalence pinned in
+#: tests/test_r14_keys.py).
+SUBSTR_SKEW_FRAC = 0.02
+SUBSTR_SKEW_FLOOR = 32
+
+_GRAM_SKEW_CACHE: dict[int, bool] = {}
+
+
+def _gram_skew_material(docs: DataFrame) -> bool:
+    """True when a panel probe says some SUBSTR_K-gram is hot enough
+    that a window over the gram hash would single-partition at corpus
+    scale. Cached per analyzed-plan semanticHash (the _probe_material
+    contract); probed on RAW docs — on dup-heavy corpora the class
+    collapse shrinks hot partitions, so this over-detects there, which
+    only costs the semi-join's extra shuffle, never correctness."""
+    try:
+        key = docs._jdf.queryExecution().analyzed().semanticHash()
+        cached = _GRAM_SKEW_CACHE.get(key)
+        if cached is not None:
+            return cached
+    except Exception:  # noqa: BLE001 - private API drift: probe uncached
+        key = None
+    k = SUBSTR_K
+    panel = docs.filter(F.expr(PANEL_DOC_SQL))
+    g = (
+        panel.select(
+            F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
+        )
+        .filter(F.size("t") >= k)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k} + 1),"
+                    f" p -> md5(array_join(slice(t, p, {k}), ' ')))"
+                )
+            ).alias("gh")
+        )
+    )
+    mx_row = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .collect()[0]
+    )
+    mx = mx_row["mx"] or 0
+    n_panel = panel.count()
+    verdict = mx >= max(SUBSTR_SKEW_FLOOR, SUBSTR_SKEW_FRAC * n_panel)
+    if key is not None:
+        _GRAM_SKEW_CACHE[key] = verdict
+    return verdict
+
 #: Per-(pos, token) digest term — the dialect-neutral md5-uniform
 #: (operators/sort._u24_expr); retained_sig sums it over RETAINED
 #: positions as total − covered (u24 sums are additive integers, so no
@@ -2307,7 +2371,12 @@ def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan/scale: the gram stream shuffles ONCE (window-sum totals on the
     gram hash — the quality_crossdup lesson: never join a per-gram flag
-    back); islands/coverage run on the DUPLICATED subset; the token
+    back) — UNLESS the bounded-panel skew probe (_gram_skew_material,
+    r14) detects a corpus-fraction-hot gram, in which case the
+    value-identical agg+semi-join form runs instead (partial agg
+    combines the hot gram map-side; AQE skew-splits the join — a
+    boilerplate 8-gram at 1e9 occurrences would single-partition the
+    window sort); islands/coverage run on the DUPLICATED subset; the token
     stream shuffles once for the covered-signature join. Under the r11
     class collapse (probe-gated) every stream runs at content-class
     grain weighted by class size — gram totals are Σ class_size ×
@@ -2322,6 +2391,7 @@ def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(
         load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
     ).select("doc_id", "text")
+    skewed = _gram_skew_material(docs)  # before any checkpoint (r10 rule)
     keyed, gate_docs = _text_class_structure(docs)
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     cols = ["doc_id"] if keyed is None else ["doc_id", "h", "m"]
@@ -2342,12 +2412,26 @@ def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "w", F.col("s.p").alias("p"), F.col("s.gh").alias("gh"))
     )
-    # ONE gram-stream shuffle: window-sum of class-weighted occurrences.
-    dup = (
-        g.withColumn("total", F.sum("w").over(Window.partitionBy("gh")))
-        .filter(F.col("total") >= 2)
-        .select("doc_id", "p")
-    )
+    if skewed:
+        # Probe said some gram is corpus-fraction hot: the window form
+        # would single-partition its sort. Value-identical semi-join
+        # form — partial agg combines the hot gram map-side and AQE can
+        # skew-split the join (SCALE.md r13 A/B escape hatch, now
+        # self-selecting).
+        tot = g.groupBy("gh").agg(F.sum("w").alias("total"))
+        dup = g.join(
+            tot.filter(F.col("total") >= 2).hint("shuffle_hash"),
+            "gh",
+            "semi",
+        ).select("doc_id", "p")
+    else:
+        # ONE gram-stream shuffle: window-sum of class-weighted
+        # occurrences — the organic-corpus winner.
+        dup = (
+            g.withColumn("total", F.sum("w").over(Window.partitionBy("gh")))
+            .filter(F.col("total") >= 2)
+            .select("doc_id", "p")
+        )
     wd = Window.partitionBy("doc_id").orderBy("p")
     isl = dup.withColumn(
         "b",
@@ -2407,4 +2491,240 @@ def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dropped_tokens",
         "retained_tokens",
         "retained_sig",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental (r14) — cross-snapshot dedup: a NEW crawl slice probed
+# against a FROZEN prior-corpus index (VERDICT r13 missing #1). Every
+# production crawl update dedups new documents against the previous
+# snapshot WITHOUT re-shuffling the old side; this key composes the
+# repo's existing parts (exact md5 classes, minhash band machinery, the
+# sink_sorted_indexed bucketed layout) into that operator.
+
+#: Corpus split: ~80% "prior" snapshot / ~20% "new" increment. Modulo on
+#: doc_id (not a literal range) so the split stays proportional at every
+#: SF and under tools/replicate_corpus.py's +10M-per-copy id shift
+#: (10M % 10 == 0 preserves the residue class).
+INCR_PRIOR_PRED = "doc_id % 10 < 8"
+INCR_NEW_PRED = "doc_id % 10 >= 8"
+
+#: Bucket count for the frozen index tables. A constant of the INDEX
+#: (like N_BANDS), not of the corpus: at 100 TB you would provision
+#: thousands; the layout and the probe plan shape are scale-free.
+INCR_BUCKETS = 16
+
+#: Per-PROCESS tag for index table names/paths — same rationale as
+#: similarity._IVF_INDEX_RUN: concurrent sessions (pytest + bench) must
+#: never race an overwrite against a read of the same table.
+_INCR_RUN = __import__("uuid").uuid4().hex[:12]
+
+#: (sf tag) -> (exact_tbl, bands_tbl, shingles_tbl). The index is FROZEN
+#: by contract — build once per process, probe many times (the serving
+#: economics the key models: the build amortizes across increments).
+_INCR_TABLES: dict[str, tuple[str, str, str]] = {}
+
+
+def _bands_sql(sh_cte: str) -> str:
+    """DuckDB band-signature subquery over a named shingle CTE (the
+    minhash_candidates_cte band stage, parametrized by source)."""
+    return f"""
+        SELECT doc_id, b,
+               mins[b*{ROWS_PER_BAND}+1] || mins[b*{ROWS_PER_BAND}+2]
+                   || mins[b*{ROWS_PER_BAND}+3] AS sig
+        FROM (SELECT doc_id,
+                     list_transform(generate_series(0, {N_HASHES - 1}),
+                         s -> list_min(list_transform(shingles,
+                              g -> md5(concat(CAST(s AS VARCHAR), ':', g))))) AS mins
+              FROM {sh_cte})
+        CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b)
+"""
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+    WITH priord AS (SELECT * FROM documents WHERE {INCR_PRIOR_PRED}),
+    newd AS (SELECT * FROM documents WHERE {INCR_NEW_PRED}),
+    shp AS ({sh_sql("priord")}),
+    shn AS ({sh_sql("newd")}),
+    bp AS ({_bands_sql("shp")}),
+    bn AS ({_bands_sql("shn")}),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS nid, p.doc_id AS pid
+        FROM bn n JOIN bp p ON n.b = p.b AND n.sig = p.sig
+    ),
+    ver AS (
+        SELECT nid, CAST(COUNT(*) AS BIGINT) AS n_near, MAX(j) AS max_jaccard
+        FROM (SELECT cand.nid,
+                     round(CAST(len(list_intersect(a.shingles, b.shingles))
+                                AS DOUBLE)
+                           / len(list_distinct(list_concat(a.shingles,
+                                                           b.shingles))),
+                           6) AS j
+              FROM cand
+              JOIN shn a ON a.doc_id = cand.nid
+              JOIN shp b ON b.doc_id = cand.pid)
+        WHERE j >= {MINHASH_JACCARD_T}
+        GROUP BY nid
+    ),
+    pck AS (SELECT DISTINCT md5(text) AS ck FROM priord)
+    SELECT n.doc_id,
+           CAST(CASE WHEN md5(n.text) IN (SELECT ck FROM pck)
+                     THEN 1 ELSE 0 END AS INT) AS exact_dup,
+           CAST(COALESCE(v.n_near, 0) AS BIGINT) AS n_near,
+           v.max_jaccard AS max_jaccard
+    FROM newd n LEFT JOIN ver v ON v.nid = n.doc_id
+"""
+
+
+def incremental_prior_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Materialize the FROZEN prior-snapshot dedup index (once/process).
+
+    Three bucketed+sorted tables (the sink_sorted_indexed MapFile layout,
+    sources/io.py:536):
+
+    - ``exact``:  one row per distinct prior text class
+      ``(ck = md5(text), first_doc)``, bucketed by ck — the exact-dup
+      probe is a co-located join (and a 1-of-N bucket-pruned point
+      lookup for audits, like sink_indexed_lookup).
+    - ``bands``:  per-doc LSH band signatures ``(doc_id, bsig)`` with
+      ``bsig = b || ':' || sig`` (injective: b is one digit, sig is
+      fixed-width hex — the single-column form of the (b, sig) key,
+      because co-partitioned joins need the bucket columns to BE the
+      join keys: requireAllClusterKeysForCoPartition), bucketed by
+      bsig — band collisions against the new slice are a merge join
+      with ZERO exchange on this (corpus-scale) side.
+    - ``shingles``: ``(doc_id, shingles)`` bucketed by doc_id — the
+      Jaccard verify reads prior shingle sets co-located by key.
+
+    At 100 TB the build is one pass over the snapshot, written once and
+    probed by every subsequent crawl increment; only the (much smaller)
+    new side ever shuffles.
+    """
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir))
+        .replace(".", "_")
+        .replace("-", "_")
+    )
+    if tag in _INCR_TABLES:
+        return _INCR_TABLES[tag]
+    from ls_hadoop_3_0_spark.sources.io import scratch
+
+    prior = load(spark, sf_dir, "documents").filter(F.expr(INCR_PRIOR_PRED))
+    sh, bands = minhash_bands(prior)
+    bands = bands.select(
+        "doc_id",
+        F.concat(F.col("b").cast("string"), F.lit(":"), F.col("sig")).alias("bsig"),
+    )
+    names = (
+        f"incr_exact_{tag}_{_INCR_RUN}",
+        f"incr_bands_{tag}_{_INCR_RUN}",
+        f"incr_sh_{tag}_{_INCR_RUN}",
+    )
+    exact = (
+        prior.select(F.md5("text").alias("ck"), "doc_id")
+        .groupBy("ck")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    for name, df, key in (
+        (names[0], exact, "ck"),
+        (names[1], bands, "bsig"),
+        (names[2], sh, "doc_id"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(INCR_BUCKETS, key)
+            .sortBy(key)
+            .option("path", scratch(sf_dir, f"{name}_data"))
+            .saveAsTable(name)
+        )
+    _INCR_TABLES[tag] = names
+    return names
+
+
+@query("dedup_incremental", DEDUP_INCREMENTAL_SQL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-EXT incremental cross-snapshot dedup: flag each NEW doc
+    duplicated against the FROZEN prior snapshot.
+
+    One row per new doc: ``exact_dup`` (md5-text class already present
+    in the prior snapshot), ``n_near`` / ``max_jaccard`` (count / best
+    of verified minhash-LSH matches against prior docs, same band
+    family and J >= MINHASH_JACCARD_T semantics as dedup_minhash).
+
+    Scale shape (the reason this is an operator, not a filter): the
+    prior side is PROBED, never re-shuffled — all three prior-index
+    joins (ck equality, (b, sig) band collision, shingle fetch by
+    doc_id) are merge joins against bucketed tables whose scan carries
+    the bucket hash as its output partitioning, so the plan has NO
+    Exchange above any prior-side scan (asserted in
+    tests/test_r14_keys.py); only the new increment shuffles into the
+    index layout. Jaccard verify is restricted to band-collision
+    candidates (never all-pairs), exactly dedup_minhash's posture.
+    """
+    prepare(spark)
+    t_exact, t_bands, t_sh = incremental_prior_index(spark, sf_dir)
+    new = load(spark, sf_dir, "documents").filter(F.expr(INCR_NEW_PRED))
+
+    # exact arm: new ck probed against the prior class index
+    marks = spark.table(t_exact).select("ck", F.lit(1).alias("hit"))
+    ex = (
+        new.select("doc_id", F.md5("text").alias("ck"))
+        .join(marks.hint("merge"), "ck", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("int").alias("exact_dup"),
+        )
+    )
+
+    # near arm: new band signatures probed against the prior band index
+    shn, bn = minhash_bands(new)
+    bn = bn.select(
+        "doc_id",
+        F.concat(F.col("b").cast("string"), F.lit(":"), F.col("sig")).alias("bsig"),
+    )
+    pb = spark.table(t_bands)
+    cand = (
+        bn.alias("n")
+        .join(pb.alias("p").hint("merge"), "bsig")
+        .select(F.col("n.doc_id").alias("nid"), F.col("p.doc_id").alias("pid"))
+        .distinct()
+    )
+    psh = spark.table(t_sh).select(
+        F.col("doc_id").alias("pid"), F.col("shingles").alias("sh_p")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_n", "sh_p")).cast("double")
+        / F.size(F.array_union("sh_n", "sh_p")),
+        6,
+    )
+    # the new-slice sides grow with the corpus — shuffle_hash vetoes
+    # Catalyst's static broadcast of the checkpointed intermediates
+    # (the r6/r8 rule: an increment is corpus-scale, not a dim)
+    ver = (
+        cand.join(
+            shn.select(
+                F.col("doc_id").alias("nid"), F.col("shingles").alias("sh_n")
+            ).hint("shuffle_hash"),
+            "nid",
+        )
+        .join(psh.hint("merge"), "pid")
+        .select("nid", jac.alias("j"))
+        .filter(F.col("j") >= MINHASH_JACCARD_T)
+        .groupBy("nid")
+        .agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.max("j").alias("max_jaccard"),
+        )
+    )
+    return (
+        ex.join(ver.withColumnRenamed("nid", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+            "max_jaccard",
+        )
     )

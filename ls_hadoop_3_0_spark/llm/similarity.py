@@ -115,7 +115,10 @@ def _dot_fold_np(QU, U, chunk: int = 512):
 
 @query("knn_cosine", KNN_COSINE_SQL)
 def knn_cosine(
-    spark: SparkSession, sf_dir: str, panel: str = BOUNDED_PANEL_SQL
+    spark: SparkSession,
+    sf_dir: str,
+    panel: str = BOUNDED_PANEL_SQL,
+    cand_label_min: int | None = None,
 ) -> DataFrame:
     """X3 brute-force cosine top-k (queries: the BOUNDED fixed-id panel —
     the registered serving/audit form since r13; pass ``panel=PANEL_SQL``
@@ -185,7 +188,12 @@ def knn_cosine(
                 }
             )
 
-    local = _pq_raw(spark, sf_dir).select("vec_id", "v").mapInPandas(
+    corpus = _pq_raw(spark, sf_dir)
+    if cand_label_min is not None:
+        # filtered exact arm (knn_recall_filtered's ground truth): the
+        # candidate predicate sits on the scan, before the pandas pass
+        corpus = corpus.filter(F.col("label") >= cand_label_min)
+    local = corpus.select("vec_id", "v").mapInPandas(
         _score, "q_id bigint, n_id bigint, c_raw double"
     )
     # Rounding stays ENGINE-side (never replicate round(x, d) in python).
@@ -389,11 +397,16 @@ def _refine_centroids(means, seeds: list[list[float]]) -> list[list[float]]:
     return cents
 
 
-def _knn_ivf_sql() -> str:
+def _knn_ivf_sql(cand_pred: str = "TRUE", nprobe: int = IVF_NPROBE) -> str:
     """Full DuckDB mirror of the IVF serving path (r13 graduation):
     seeded centroids + one scaled-long Lloyd step, map-side cell
     assignment, nprobe-cell probe set, in-cell exact cosine top-k —
-    the knn_recall_v2 ivf arm promoted to the key's own oracle."""
+    the knn_recall_v2 ivf arm promoted to the key's own oracle.
+
+    r14: parametrized for the filtered serving rung — ``cand_pred``
+    restricts the CANDIDATE side (metadata ∧ top-k), ``nprobe`` widens
+    the probe set (filtered serving probes more cells to compensate
+    for selectivity). Defaults reproduce the unfiltered chain."""
     from ls_hadoop_3_0_spark.exprs import sql_davg
 
     return f"""
@@ -432,12 +445,12 @@ def _knn_ivf_sql() -> str:
     ),
     carr AS (SELECT list(c ORDER BY cell) AS cl FROM cents),
     idx AS (
-        SELECT vec_id, u,
+        SELECT vec_id, label, u,
                list_transform(cl, c -> {_dot_sql('c', 'u')}) AS dots
         FROM e, carr
     ),
     idxc AS MATERIALIZED (
-        SELECT vec_id, u,
+        SELECT vec_id, label, u,
                CAST(list_position(dots, list_max(dots)) AS INT) - 1 AS cell
         FROM idx
     ),
@@ -448,13 +461,14 @@ def _knn_ivf_sql() -> str:
             FROM idx WHERE {BOUNDED_PANEL_SQL}
         ) qd
         QUALIFY row_number() OVER (PARTITION BY q_id
-                                   ORDER BY d DESC, cell) <= {IVF_NPROBE}
+                                   ORDER BY d DESC, cell) <= {nprobe}
     ),
     isc AS (
         SELECT qp.q_id, idxc.vec_id AS n_id,
                round({_dot_sql('qp.qu', 'idxc.u')}, 6) AS cosine
         FROM qp JOIN idxc
           ON qp.cell = idxc.cell AND idxc.vec_id <> qp.q_id
+        WHERE {cand_pred}
     )
     SELECT q_id, n_id, cosine, rnk FROM (
         SELECT q_id, n_id, cosine,
@@ -2142,42 +2156,29 @@ def ivf_index_path(sf_dir: str) -> str:
     return scratch(sf_dir, f"ivf_index_{_IVF_INDEX_RUN}")
 
 
-@query("knn_ivf_indexed", _knn_ivf_sql())
-def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 IVF ANN served from a MATERIALIZED on-disk inverted index.
-
-    Build: one corpus pass assigns every vector its coarse cell (the
-    knn_ivf numpy fold — bit-identical to the oracle's argmax) and
-    writes (vec_id, u) parquet PARTITIONED BY cell. Serve: the bounded
-    query panel probes its IVF_NPROBE nearest cells and reads ONLY the
-    probed partitions back — ``cell IN (...)`` is a partition filter,
-    so Spark prunes the unprobed directories at PLANNING time: the scan
-    does ~nprobe/IVF_K of the IO, not just of the compute
-    (tests/test_r13_keys.py pins PartitionFilters + the pruned
-    inputFiles set). Scoring is the exact knn_ivf arithmetic on the
-    read-back unit vectors (parquet round-trips doubles exactly), so
-    the key shares knn_ivf's oracle verbatim — the index is a layout,
-    not a new semantics.
-
-    This is the serving shape the transient keys cannot show: an index
-    built once and probed many times, where per-query cost is bounded
-    by partition pruning rather than a full corpus scan.
-    """
+def _cdots_np(cents, U):
+    """(n, IVF_K) centroid dot table — the exact left-to-right fold."""
     import numpy as np
 
-    prepare(spark)
+    out = np.empty((len(U), IVF_K), dtype=np.float64)
+    for c in range(IVF_K):
+        acc = cents[c, 0] * U[:, 0]
+        for d in range(1, DIM):
+            acc = acc + cents[c, d] * U[:, d]
+        out[:, c] = acc
+    return out
+
+
+def _ivf_index_build(spark: SparkSession, sf_dir: str, cents) -> str:
+    """One corpus pass: assign each vector its coarse cell (the knn_ivf
+    numpy fold — bit-identical to the oracle's argmax) and write
+    (vec_id, label, u) parquet PARTITIONED BY cell. Returns the path.
+    label rides along so filtered serving (knn_ivf_filtered) can push a
+    metadata predicate into the same scan; unfiltered consumers prune
+    the column away via their declared read schema."""
+    import numpy as np
 
     path = ivf_index_path(sf_dir)
-    cents = np.asarray(_ivf_train_np(spark, sf_dir), dtype=np.float64)
-
-    def _dots_np(U):
-        out = np.empty((len(U), IVF_K), dtype=np.float64)
-        for c in range(IVF_K):
-            acc = cents[c, 0] * U[:, 0]
-            for d in range(1, DIM):
-                acc = acc + cents[c, d] * U[:, d]
-            out[:, c] = acc
-        return out
 
     def _build(it):
         import pandas as pd
@@ -2191,7 +2192,7 @@ def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             U = _pq_unit(
                 np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
             )
-            dots = _dots_np(U)
+            dots = _cdots_np(cents, U)
             # FIRST argmax (strict > scanning ascending) — the oracle's
             # list_position(dots, list_max(dots)).
             cell = np.zeros(len(U), dtype=np.int64)
@@ -2203,16 +2204,33 @@ def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
                     "u": list(U),
                     "cell": cell.astype(np.int32),
                 }
             )
 
-    index = _pq_raw(spark, sf_dir).select("vec_id", "v").mapInPandas(
-        _build, "vec_id bigint, u array<double>, cell int"
+    index = _pq_raw(spark, sf_dir).select("vec_id", "label", "v").mapInPandas(
+        _build, "vec_id bigint, label int, u array<double>, cell int"
     )
     index.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return path
 
+
+def _ivf_index_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    cents,
+    nprobe: int = IVF_NPROBE,
+    label_min: int | None = None,
+) -> DataFrame:
+    """Probe the materialized index: the bounded panel's nprobe-cell set
+    becomes a PARTITION filter (unprobed directories are never listed
+    into the scan) and ``label_min`` a parquet-PUSHED row-group filter —
+    predicate ∧ top-k composes at the scan, before any python."""
+    import numpy as np
+
+    path = ivf_index_path(sf_dir)
     panel_rows = sorted(
         (int(r["vec_id"]), r["u"])
         for r in normalized_embeddings(load(spark, sf_dir, "embeddings"))
@@ -2226,18 +2244,23 @@ def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed: list[int] = []
     probe = np.zeros((P, IVF_K), dtype=bool)
     if P:
-        qdots = _dots_np(QU)
+        qdots = _cdots_np(cents, QU)
         for p in range(P):
             order = sorted(range(IVF_K), key=lambda c: (-qdots[p, c], c))
-            probe[p, order[:IVF_NPROBE]] = True
+            probe[p, order[:nprobe]] = True
         probed = sorted(int(c) for c in np.nonzero(probe.any(axis=0))[0])
 
     # Partition-pruned read-back: cell IN (probed) is a PartitionFilter —
-    # unprobed directories are never listed into the scan.
-    back = spark.read.schema("vec_id long, u array<double>, cell int").parquet(
-        path
-    )
+    # unprobed directories are never listed into the scan. The label
+    # predicate sits on the same scan (parquet row-group pushdown),
+    # BEFORE the mapInPandas barrier.
+    cols = "vec_id long, u array<double>, cell int"
+    if label_min is not None:
+        cols = "vec_id long, label int, u array<double>, cell int"
+    back = spark.read.schema(cols).parquet(path)
     pruned = back.filter(F.col("cell").isin(probed) if probed else F.lit(False))
+    if label_min is not None:
+        pruned = pruned.filter(F.col("label") >= label_min).drop("label")
 
     def _score(it):
         import pandas as pd
@@ -2274,4 +2297,161 @@ def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "n_id", "cosine", "rnk")
+    )
+
+
+@query("knn_ivf_indexed", _knn_ivf_sql())
+def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 IVF ANN served from a MATERIALIZED on-disk inverted index.
+
+    Build: one corpus pass assigns every vector its coarse cell (the
+    knn_ivf numpy fold — bit-identical to the oracle's argmax) and
+    writes (vec_id, label, u) parquet PARTITIONED BY cell. Serve: the
+    bounded query panel probes its IVF_NPROBE nearest cells and reads
+    ONLY the probed partitions back — ``cell IN (...)`` is a partition
+    filter, so Spark prunes the unprobed directories at PLANNING time:
+    the scan does ~nprobe/IVF_K of the IO, not just of the compute
+    (tests/test_r13_keys.py pins PartitionFilters + the pruned
+    inputFiles set). Scoring is the exact knn_ivf arithmetic on the
+    read-back unit vectors (parquet round-trips doubles exactly), so
+    the key shares knn_ivf's oracle verbatim — the index is a layout,
+    not a new semantics.
+
+    This is the serving shape the transient keys cannot show: an index
+    built once and probed many times, where per-query cost is bounded
+    by partition pruning rather than a full corpus scan.
+    """
+    import numpy as np
+
+    prepare(spark)
+    cents = np.asarray(_ivf_train_np(spark, sf_dir), dtype=np.float64)
+    _ivf_index_build(spark, sf_dir, cents)
+    return _ivf_index_serve(spark, sf_dir, cents)
+
+
+#: Filtered-serving constants (r14, VERDICT r13 missing #2): real
+#: retrieval carries a metadata predicate (lang/source/date — here the
+#: label column). Filtered serving probes 2x the cells: the predicate
+#: thins every cell's candidate list, so widening the probe set restores
+#: shortlist depth (the standard FAISS/vector-store selectivity
+#: compensation). label >= 5 selects ~half the fixture corpus AND is a
+#: range predicate parquet row-group stats can prune on (a modulo
+#: predicate would compute, not push).
+IVF_NPROBE_FILTERED = 2 * IVF_NPROBE
+IVF_FILTER_LABEL_MIN = 5
+
+
+@query(
+    "knn_ivf_filtered",
+    _knn_ivf_sql(
+        cand_pred=f"idxc.label >= {IVF_FILTER_LABEL_MIN}",
+        nprobe=IVF_NPROBE_FILTERED,
+    ),
+)
+def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 FILTERED ANN serving: metadata predicate ∧ top-k over the
+    materialized cell index — the rung real retrieval runs (every
+    production query carries a lang/source/date filter).
+
+    Same index, same exact arithmetic as knn_ivf_indexed; the label
+    predicate composes with the partition pruning AT THE SCAN
+    (PartitionFilters on cell + PushedFilters GreaterThanOrEqual on
+    label — proven over executed rows in tests/test_r14_keys.py), and
+    the probe set is selectivity-compensated (IVF_NPROBE_FILTERED).
+    Recall vs the exact FILTERED ground truth is stamped per-round by
+    knn_recall_filtered.
+    """
+    import numpy as np
+
+    prepare(spark)
+    cents = np.asarray(_ivf_train_np(spark, sf_dir), dtype=np.float64)
+    _ivf_index_build(spark, sf_dir, cents)
+    return _ivf_index_serve(
+        spark,
+        sf_dir,
+        cents,
+        nprobe=IVF_NPROBE_FILTERED,
+        label_min=IVF_FILTER_LABEL_MIN,
+    )
+
+
+def _knn_recall_filtered_sql() -> str:
+    """Oracle for knn_recall_filtered: the filtered-IVF chain and the
+    exact FILTERED ground truth (brute force over label-filtered
+    candidates), overlap-counted — the knn_recall_rerank shape at the
+    filtered rung. Bounded panel → linear."""
+    ivf_arm = _knn_ivf_sql(
+        cand_pred=f"idxc.label >= {IVF_FILTER_LABEL_MIN}",
+        nprobe=IVF_NPROBE_FILTERED,
+    )
+    return f"""
+    WITH ivfr AS MATERIALIZED ({ivf_arm}),
+    e AS ({NORM_EMB_SQL}),
+    q AS (SELECT vec_id AS q_id, u AS qu FROM e
+          WHERE {BOUNDED_PANEL_SQL}),
+    exsc AS (
+        SELECT q.q_id, e2.vec_id AS n_id,
+               round({_dot_sql('q.qu', 'e2.u')}, 6) AS cosine
+        FROM q JOIN e e2
+          ON e2.vec_id <> q.q_id AND e2.label >= {IVF_FILTER_LABEL_MIN}),
+    ex AS MATERIALIZED (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rnk
+            FROM exsc)
+        WHERE rnk <= {TOP_K}),
+    exs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries
+            FROM ex),
+    hits AS (
+        SELECT 'ivf_filtered' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM ivfr JOIN ex USING (q_id, n_id)
+    )
+    SELECT method, n_queries, n_exact, n_hits,
+           CAST(n_hits AS DOUBLE) / n_exact AS recall
+    FROM hits, exs
+    WHERE n_exact > 0
+    """
+
+
+@query("knn_recall_filtered", _knn_recall_filtered_sql())
+def knn_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 quality gate for filtered serving: recall@k of
+    knn_ivf_filtered vs the exact FILTERED ground truth (brute-force
+    cosine over label-filtered candidates — the knn_cosine body with
+    the candidate predicate pushed into its corpus stream). Bounded
+    panel, both arms corpus-linear."""
+    prepare(spark)
+    ex = (
+        knn_cosine(
+            spark,
+            sf_dir,
+            panel=BOUNDED_PANEL_SQL,
+            cand_label_min=IVF_FILTER_LABEL_MIN,
+        )
+        .select("q_id", "n_id")
+        .localCheckpoint()
+    )
+    exs = ex.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct("q_id").alias("n_queries"),
+    )
+    hits = (
+        knn_ivf_filtered(spark, sf_dir)
+        .select("q_id", "n_id")
+        .join(ex, ["q_id", "n_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.lit("ivf_filtered").alias("method"), "n_hits")
+    )
+    return (
+        hits.crossJoin(F.broadcast(exs))
+        .filter(F.col("n_exact") > 0)
+        .select(
+            "method",
+            "n_queries",
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall"),
+        )
     )

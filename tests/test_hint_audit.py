@@ -76,6 +76,7 @@ HINT_ALLOWANCE: dict[str, tuple[int, str]] = {
     "knn_recall_v2": (1, "1-row exact-arm count scalars (panel broadcasts gone in the r12 numpy-arm rewrite)"),
     "knn_recall_pq": (1, "1-row exact-arm count scalars (n_exact, n_queries)"),
     "knn_recall_rerank": (1, "1-row exact-arm count scalars (n_exact, n_queries)"),
+    "knn_recall_filtered": (1, "1-row exact-arm count scalars (n_exact, n_queries)"),
     "mix_temperature": (1, "per-source temperature table (source vocabulary)"),
     "pipeline_curation_v2": (1, "benchmark eval-set grams"),
     "pipeline_curation_v3": (2, "benchmark grams + 1-row max"),

@@ -45,3 +45,261 @@ def test_zero_norm_null_pinned_in_duckdb():
     assert all(x is None for x in rows[1]), rows[1][:4]
     # sanity: a regular vector still normalizes to finite non-NULL values
     assert all(x is not None and math.isfinite(x) for x in rows[2])
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental — NEW slice probed against a FROZEN prior-snapshot index
+
+
+def test_dedup_incremental_constructed_duplicates(spark, tmp_path):
+    """Pins the semantics the fixture can't show (it has no exact dups):
+    exact-vs-prior, near-vs-prior, short-text exact-only, and the
+    new-vs-new exclusion (duplicates WITHIN the increment are not
+    flagged — only matches against the prior snapshot count)."""
+    import pandas as pd
+
+    from ls_hadoop_3_0_spark.llm.dedup import DEDUP_INCREMENTAL_SQL
+
+    t0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t1 = "one two three four five six seven eight nine ten"
+    prior = [
+        (0, t0),
+        (1, t1),
+        (2, "hi there"),  # <3 tokens: exact-matchable, never a near cand
+        (3, "completely different prior content words here now ok"),
+        (10, t0),  # duplicate text WITHIN prior: ck index stays distinct
+    ]
+    new = [
+        (8, t0),  # exact copy of prior -> exact_dup=1, n_near=2 (docs 0+10)
+        (9, t1.rsplit(" ", 1)[0] + " eleven"),  # near copy: J=7/9
+        (18, "unique new content nothing like anything prior at all"),
+        (19, "hi there"),  # exact short text: exact_dup=1, n_near=0
+        (28, "unique new content nothing like anything prior at all"),
+        # ^ copies NEW doc 18, not any prior doc -> must stay unflagged
+    ]
+    rows = prior + new
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["exact_dup"], r["n_near"], r["max_jaccard"])
+        for r in QUERIES["dedup_incremental"](spark, str(tmp_path)).collect()
+    }
+    assert got[8] == (1, 2, 1.0)
+    assert got[9][0] == 0 and got[9][1] == 1
+    assert got[9][2] == pytest.approx(7 / 9, abs=1e-6)
+    assert got[18] == (0, 0, None)
+    assert got[19] == (1, 0, None)
+    assert got[28] == (0, 0, None), "new-vs-new dup must not count"
+
+    import duckdb
+
+    from tests.compare import assert_equivalent
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sdf = QUERIES["dedup_incremental"](spark, str(tmp_path)).toPandas()
+    odf = con.execute(DEDUP_INCREMENTAL_SQL).fetchdf()
+    con.close()
+    assert_equivalent(sdf, odf, key="dedup_incremental")
+
+
+def test_incremental_prior_side_probed_not_reshuffled(spark):
+    """The scale contract: every prior-index scan must carry its bucket
+    hash as output partitioning (Bucketed: true <=> no Exchange above
+    it — Spark only credits bucketing when the scan's partitioning is
+    consumed as-is), and no corpus-scale side may be statically
+    broadcast."""
+    from ls_hadoop_3_0_spark.plans.checks import formatted_plan
+
+    df = QUERIES["dedup_incremental"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    incr_scans = [
+        block
+        for block in plan.split("\n\n")
+        if "Scan parquet" in block
+        and ".incr_" in block
+        and "Location:" in block  # detail section, not the tree header
+    ]
+    assert len(incr_scans) == 3, plan
+    for block in incr_scans:
+        assert "Bucketed: true" in block, block
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_incremental_exact_index_point_lookup_prunes(spark):
+    """Audit access path: a single-ck lookup against the frozen exact
+    index scans 1 of INCR_BUCKETS buckets (the sink_indexed_lookup
+    MapFile-index shape on the dedup index)."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.llm.dedup import incremental_prior_index
+    from ls_hadoop_3_0_spark.plans.checks import formatted_plan
+
+    t_exact, _, _ = incremental_prior_index(spark, SF_DIR)
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    try:
+        look = spark.table(t_exact).filter(
+            F.col("ck") == "d41d8cd98f00b204e9800998ecf8427e"
+        )
+        assert "SelectedBucketsCount: 1 out of 16" in formatted_plan(look)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+
+
+# ---------------------------------------------------------------------------
+# dedup_substrings skew flip — probe-gated window -> semi-join (VERDICT r13
+# wrong #2)
+
+
+def _write_docs(tmp_path, rows):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_substrings_skew_probe_selects_semi_join(spark, tmp_path):
+    """A boilerplate-heavy corpus must fire the panel skew probe and
+    run the agg+semi-join shape; the UNCHANGED oracle must still
+    hash-match (the flip is plan-only)."""
+    import duckdb
+
+    from ls_hadoop_3_0_spark.llm import dedup
+    from ls_hadoop_3_0_spark.plans.checks import formatted_plan
+    from ls_hadoop_3_0_spark.tables import load
+    from tests.compare import assert_equivalent
+
+    boiler = "this license header is identical in very many documents here"
+    rows = []
+    for i in range(400):
+        filler = f"unique{i} filler{i} words{i} to vary the body {i} ok fine"
+        # 50% boilerplate share, landing in the %10 panel too
+        text = (boiler + " " + filler) if i % 2 == 0 else filler
+        rows.append((i, text))
+    d = _write_docs(tmp_path, rows)
+
+    dedup._GRAM_SKEW_CACHE.clear()
+    docs = load(spark, d, "documents").select("doc_id", "text")
+    assert dedup._gram_skew_material(docs), "probe must fire on boilerplate"
+
+    df = QUERIES["dedup_substrings"](spark, d)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan  # the skew-safe dup-flag shape
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    odf = con.execute(ORACLES["dedup_substrings"]).fetchdf()
+    assert_equivalent(df.toPandas(), odf, key="dedup_substrings")
+    con.close()
+
+
+def test_substrings_organic_corpus_keeps_window_shape(spark):
+    """The fixture corpus has no hot gram: the probe must NOT fire (the
+    window-sum shape stays the organic-corpus winner, SCALE.md r13)."""
+    from ls_hadoop_3_0_spark.llm import dedup
+    from ls_hadoop_3_0_spark.tables import load
+
+    dedup._GRAM_SKEW_CACHE.clear()
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    assert not dedup._gram_skew_material(docs)
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_filtered — predicate ∧ top-k over the materialized cell index
+
+
+def test_ivf_filtered_pushes_both_filters(spark):
+    """The serving scan must carry BOTH prunings: cell IN (probed) as a
+    PartitionFilter (planning-time directory pruning) and label >= 5 as
+    a parquet PushedFilter (row-group stats pruning) — proven on the
+    formatted plan and over executed rows."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.llm.similarity import (
+        IVF_FILTER_LABEL_MIN,
+        ivf_index_path,
+    )
+    from ls_hadoop_3_0_spark.plans.checks import formatted_plan
+
+    QUERIES["knn_ivf_filtered"](spark, SF_DIR).collect()  # builds the index
+    path = ivf_index_path(SF_DIR)
+    back = spark.read.schema(
+        "vec_id long, label int, u array<double>, cell int"
+    ).parquet(path)
+    pruned = back.filter(
+        F.col("cell").isin([0, 1, 2]) & (F.col("label") >= IVF_FILTER_LABEL_MIN)
+    )
+    plan = formatted_plan(pruned)
+    pf = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "cell" in pf, plan
+    assert "GreaterThanOrEqual(label,5)" in plan, plan
+    # executed-row proof: only probed-cell files are touched, and no
+    # row below the label floor survives the scan
+    rows = pruned.select(
+        F.input_file_name().alias("f"), "label"
+    ).collect()
+    assert rows and all(r["label"] >= IVF_FILTER_LABEL_MIN for r in rows)
+    assert all(
+        any(f"cell={c}/" in r["f"] for c in (0, 1, 2)) for r in rows
+    )
+
+
+def test_ivf_filtered_results_respect_predicate(spark):
+    """Every served neighbor must satisfy the metadata predicate (join
+    back to the embeddings table), and ranks must be dense per query."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.llm.similarity import IVF_FILTER_LABEL_MIN
+    from ls_hadoop_3_0_spark.tables import load
+
+    res = QUERIES["knn_ivf_filtered"](spark, SF_DIR)
+    emb = load(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("n_id"), "label"
+    )
+    joined = res.join(emb, "n_id").collect()
+    assert joined and all(
+        r["label"] >= IVF_FILTER_LABEL_MIN for r in joined
+    )
+    by_q = {}
+    for r in joined:
+        by_q.setdefault(r["q_id"], []).append(r["rnk"])
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), (q, rnks)
+
+
+def test_recall_filtered_digest_sane(spark):
+    """One digest row; recall in [0, 1]; the exact arm counts only
+    label-filtered ground truth."""
+    rows = QUERIES["knn_recall_filtered"](spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["method"] == "ivf_filtered"
+    assert r["n_queries"] > 0 and r["n_exact"] > 0
+    assert 0.0 <= r["recall"] <= 1.0
+    assert r["n_hits"] <= r["n_exact"]
