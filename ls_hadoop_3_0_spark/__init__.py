@@ -46,6 +46,7 @@ from ls_hadoop_3_0_spark.sources import io  # noqa: F401
 from ls_hadoop_3_0_spark.functions import scalars, text  # noqa: F401
 from ls_hadoop_3_0_spark.streaming import batch_equiv, equiv  # noqa: F401
 from ls_hadoop_3_0_spark.llm import (  # noqa: F401
+    classifier,
     curation,
     dedup,
     embeddings,

@@ -303,3 +303,150 @@ def test_recall_filtered_digest_sane(spark):
     assert r["n_queries"] > 0 and r["n_exact"] > 0
     assert 0.0 <= r["recall"] <= 1.0
     assert r["n_hits"] <= r["n_exact"]
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier — in-engine trained linear discriminant
+
+
+def test_classifier_beats_majority(spark):
+    """The learned model must actually separate the classes: accuracy
+    strictly above the majority-class rate (the fixture's lang COLUMN
+    is text-independent by construction, so the target is the lang_id
+    rule's own verdict — the CCNet distillation shape)."""
+    r = QUERIES["quality_classifier_eval"](spark, SF_DIR).collect()[0]
+    pos = (r["tp"] + r["fn"]) / r["n"]
+    majority = max(pos, 1.0 - pos)
+    assert r["accuracy"] > majority + 0.05, dict(r.asDict())
+    # a real confusion spread, not a degenerate all-one-class model
+    assert r["tp"] > 0 and r["tn"] > 0
+
+
+def test_classifier_single_class_degrade(spark, tmp_path):
+    """All-one-class corpus: no discriminant exists — w=0, tau=0, every
+    score exactly 0.5, pred=1; the oracle's CASE arms mirror it."""
+    import duckdb
+
+    from ls_hadoop_3_0_spark.llm.classifier import QUALITY_CLASSIFIER_SQL
+    from tests.compare import assert_equivalent
+
+    rows = [(i, "the and of to is words here") for i in range(20)]
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES["quality_classifier"](spark, d).toPandas()
+    assert len(sdf) == 20
+    assert set(sdf.score) == {0.5} and set(sdf.pred) == {1}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    odf = con.execute(QUALITY_CLASSIFIER_SQL).fetchdf()
+    con.close()
+    assert_equivalent(sdf, odf, key="quality_classifier")
+
+
+def test_classifier_scores_consistent_with_eval(spark):
+    """The per-doc key and the eval digest must agree: confusion
+    recomputed from quality_classifier's own rows equals the twin's."""
+    sdf = QUERIES["quality_classifier"](spark, SF_DIR).toPandas()
+    ev = QUERIES["quality_classifier_eval"](spark, SF_DIR).collect()[0]
+    assert len(sdf) == ev["n"]
+    assert int(((sdf.y == 1) & (sdf.pred == 1)).sum()) == ev["tp"]
+    assert int(((sdf.y == 0) & (sdf.pred == 0)).sum()) == ev["tn"]
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_encode / doc_pack_bpe — BPE-vocab token-ID grain
+
+
+def test_tokenizer_encode_matches_python_reference(spark, tmp_path):
+    """Per-doc id sequences pinned against an independent pure-python
+    encoder (the r12 BPE reference extended to ids): OOV words (outside
+    the [a-z0-9]+ alphabet) must encode as one UNK id 0, learned ids
+    are 1-based over the sorted symbol set, and sequences concatenate
+    in word order."""
+    import hashlib
+
+    import duckdb
+
+    from ls_hadoop_3_0_spark.functions import text as T
+    from tests.compare import assert_equivalent
+    from tests.test_r12_keys import _ref_bpe
+
+    texts = [
+        "aaaa aaa baab aa",
+        "aaaa Hello! zz zz",  # 'Hello!' is OOV (uppercase+punct)
+        "abab baba aaaa a.b",  # 'a.b' is OOV
+        "aaa zz baab abab",
+    ]
+    rows = list(enumerate(texts))
+    d = _write_docs(tmp_path, rows)
+
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            if w and __import__("re").fullmatch("[a-z0-9]+", w):
+                freq[w] = freq.get(w, 0) + 1
+    _, vocab = _ref_bpe(freq, T.BPE_ROUNDS)
+    syms = sorted({s for toks in vocab.values() for s in toks})
+    sym_id = {s: i + 1 for i, s in enumerate(syms)}
+
+    def enc(text):
+        ids = []
+        for w in text.split():
+            if not w:
+                continue
+            if w in vocab:
+                ids.extend(sym_id[s] for s in vocab[w])
+            else:
+                ids.append(T.BPE_UNK_ID)
+        return ids
+
+    expected = {
+        i: (
+            len(enc(t)),
+            sum(1 for x in enc(t) if x == T.BPE_UNK_ID),
+            hashlib.md5(" ".join(map(str, enc(t))).encode()).hexdigest(),
+        )
+        for i, t in rows
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_unk"], r["ids_md5"])
+        for r in QUERIES["tokenizer_encode"](spark, d).collect()
+    }
+    assert got == expected
+    assert sum(g[1] for g in got.values()) == 2  # both OOV words counted
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    for k in ("tokenizer_encode", "doc_pack_bpe"):
+        assert_equivalent(
+            QUERIES[k](spark, d).toPandas(),
+            con.execute(ORACLES[k]).fetchdf(),
+            key=k,
+        )
+    con.close()
+
+
+def test_doc_pack_bpe_counts_match_encoder(spark):
+    """The packing manifest's n_tokens must be EXACTLY the encoder's
+    per-doc sequence length (the whole point of the rewire), and the
+    pack offsets must chain: pack_start[i+1] = pack_start[i] + n."""
+    enc = {
+        r["doc_id"]: r["n_tokens"]
+        for r in QUERIES["tokenizer_encode"](spark, SF_DIR).collect()
+    }
+    packed = sorted(
+        (r["doc_id"], r["n_tokens"], r["pack_start"])
+        for r in QUERIES["doc_pack_bpe"](spark, SF_DIR).collect()
+    )
+    assert {d: n for d, n, _ in packed} == {
+        d: n for d, n in enc.items() if n > 0
+    }
+    run = 0
+    for _, n, start in packed:
+        assert start == run
+        run += n
