@@ -1832,3 +1832,191 @@ def stream_batch_equiv_stateful_rows(
             & (F.col("users_u24") == F.col("b_u24"))
         ).alias("matches_batch"),
     )
+
+
+# -- T-EXT: LEFT-OUTER stream-stream interval join, executed for real ----
+
+def _ijo_oracle_sql() -> str:
+    """Batch LEFT-JOIN twin of the outer interval join, digested with
+    the associative integer-sum scheme (NULL click renders as '-' in
+    the pair hash — same string both engines)."""
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    pair = (
+        "CAST(purchase_id AS VARCHAR) || ':'"
+        " || COALESCE(CAST(click_id AS VARCHAR), '-')"
+    )
+    return f"""
+    WITH e AS (SELECT * FROM {EVENTS_SQL}),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        FROM e WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id AS c_user_id, event_id AS click_id, ts AS c_ts
+        FROM e WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.purchase_id, c.click_id
+        FROM p LEFT JOIN c
+          ON p.user_id = c.c_user_id
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+         AND c.c_ts <= p.p_ts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           CAST(SUM(purchase_id) AS BIGINT) AS sum_pid,
+           CAST(COALESCE(SUM(click_id), 0) AS BIGINT) AS sum_cid,
+           CAST(SUM({_u24_expr(pair)}) AS BIGINT) AS sum_pair_u24,
+           TRUE AS matches_batch
+    FROM j
+    """
+
+
+@query("stream_batch_equiv_interval_join_outer", _ijo_oracle_sql())
+def stream_batch_equiv_interval_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T-EXT equivalence audit: REAL left-outer watermarked
+    stream-stream interval join vs the batch left join (VERDICT r13
+    missing #5 — the null-emission-on-expiry semantics the
+    CDC/attribution shape needs).
+
+    Unmatched purchases emit (purchase, NULL) only when the CLICK-side
+    watermark proves no match can still arrive — which a drained
+    availableNow snapshot never delivers (the r10 stranded-final-batch
+    lesson). Mechanics per the stateful_et recipe: the projected event
+    stream is STAGED to a per-run scratch dir, one far-future sentinel
+    per side (user_id −1/−2, beyond every real join window + both
+    watermark delays) advances both watermarks past every real
+    purchase's horizon, the query runs under the zero-interval
+    processing-time trigger and stops at the DECLARED row count (the
+    batch twin's, an exact int). Sentinels are excluded from digest
+    and stop-count by user_id >= 0; the sentinel purchase's own null
+    row can only flush after a watermark its OWN timestamp defines —
+    it never does, and the filter makes the digest immune either way.
+
+    Digest: n_rows / n_matched / Σpid / Σcid / Σu24(md5(pid:cid-or--))
+    — associative integer sums, map-combinable at any scale;
+    ``matches_batch`` is the real in-session comparison against the
+    batch twin.
+    """
+    import os
+    import shutil
+    import time
+
+    prepare(spark)
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    base = f"/root/repo/.scratch/{tag}/stream_ijo_{uuid.uuid4().hex[:12]}"
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir, chk = f"{base}/data", f"{base}/chk"
+
+    ev = _batch_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left",
+    )
+    pair_u24 = F.expr(
+        _u24_expr(
+            "concat(CAST(purchase_id AS STRING), ':',"
+            " coalesce(CAST(click_id AS STRING), '-'))"
+        )
+    )
+
+    def _digest(df: DataFrame) -> DataFrame:
+        return df.select("purchase_id", "click_id", pair_u24.alias("u")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("click_id").isNotNull().cast("long")).alias("n_matched"),
+            F.sum("purchase_id").alias("sum_pid"),
+            F.coalesce(F.sum("click_id"), F.lit(0)).alias("sum_cid"),
+            F.sum("u").alias("sum_pair_u24"),
+        )
+
+    # Declared stop condition + watermark horizon: exact integer scalars.
+    expected_rows = batch.count()
+    max_ms = ev.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
+    ev.write.mode("overwrite").parquet(data_dir)
+    if max_ms is not None:
+        # Beyond both watermark delays (2 h) + the 1 h band + margin:
+        # click-side watermark = sentinel − 2 h must pass every real
+        # p_ts, closing every outer row's window.
+        sentinel_ms = int(max_ms) + (3 * 3600 + 900) * 1000
+        spark.createDataFrame(
+            [(-1, -1, "purchase"), (-2, -2, "click")],
+            "user_id long, event_id long, event_type string",
+        ).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.timestamp_millis(F.lit(sentinel_ms)).alias("ts"),
+        ).write.mode("append").parquet(data_dir)
+
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    s1 = spark.readStream.schema(schema).parquet(data_dir)
+    s2 = spark.readStream.schema(schema).parquet(data_dir)
+    name = f"sbijo_{uuid.uuid4().hex[:12]}"
+    q = (
+        demo.interval_join_outer_stream(s1, s2)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            got = (
+                spark.table(name).filter(F.col("user_id") >= 0).count()
+            )
+            if got >= expected_rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+
+    s_dig = _digest(spark.table(name).filter(F.col("user_id") >= 0))
+    b_dig = _digest(batch).select(
+        F.col("n_rows").alias("b_n"),
+        F.col("n_matched").alias("b_m"),
+        F.col("sum_pid").alias("b_p"),
+        F.col("sum_cid").alias("b_c"),
+        F.col("sum_pair_u24").alias("b_u"),
+    )
+    return s_dig.crossJoin(b_dig).select(
+        "n_rows",
+        "n_matched",
+        "sum_pid",
+        "sum_cid",
+        "sum_pair_u24",
+        (
+            F.col("n_rows").eqNullSafe(F.col("b_n"))
+            & F.col("n_matched").eqNullSafe(F.col("b_m"))
+            & F.col("sum_pid").eqNullSafe(F.col("b_p"))
+            & F.col("sum_cid").eqNullSafe(F.col("b_c"))
+            & F.col("sum_pair_u24").eqNullSafe(F.col("b_u"))
+        ).alias("matches_batch"),
+    )

@@ -450,3 +450,21 @@ def test_doc_pack_bpe_counts_match_encoder(spark):
     for _, n, start in packed:
         assert start == run
         run += n
+
+
+# ---------------------------------------------------------------------------
+# stream_batch_equiv_interval_join_outer — null-emission-on-expiry
+
+
+@pytest.mark.streaming
+def test_interval_join_outer_emits_null_rows(spark):
+    """The left-outer stream-stream interval join must (a) emit MORE
+    rows than it matches (unmatched purchases flush as NULL-click rows
+    once the watermark closes their window — the availableNow snapshot
+    would strand them) and (b) equal the batch left-join twin."""
+    r = QUERIES["stream_batch_equiv_interval_join_outer"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert r["matches_batch"] is True
+    assert r["n_rows"] > r["n_matched"], dict(r.asDict())
+    assert r["n_rows"] > 0
