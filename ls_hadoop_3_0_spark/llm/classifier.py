@@ -14,42 +14,48 @@ label is the only honest supervised signal here.)
 Estimator: the Rocchio / nearest-centroid linear discriminant with a
 margin-midpoint calibration pass —
 
-- pass 1 (train): per-class feature means over hashed features,
-  w = mean(x | y=1) − mean(x | y=0);
+- pass 1 (train): per-class means of the quantized sparse features,
+  w_b = mean(qx_b | y=1) − mean(qx_b | y=0);
 - pass 2 (calibrate): threshold τ = midpoint of the two class-mean
-  margins w·x;
+  margins;
 - score: the algebraic fast sigmoid p = 1/2 + z/(2(1+|z|)) of z = m−τ
   (+,*,/,abs only — NO transcendental, no libm drift surface).
 
-MEASURED NEGATIVE (r14, recorded so it is not re-tried): fast-sigmoid
-batch GD — the VERDICT-suggested 2-3 logistic GD rounds — was built
-first and swept (rounds 2-8 × lr 1-1024, raw/centered/centroid-init):
-the surrogate's fat-tailed residuals never stop moving correctly
-classified points, so accuracy OSCILLATES with round count (0.236/0.764
-all-one-class flips; best calibrated point 0.874 at 1 refinement round,
-DEGRADING monotonically after) while the closed-form discriminant sits
-at 0.85 with zero hyperparameters. Two exact chained passes keep the
-iterative-recipe structure (state re-quantized through scaled longs
-between passes, oracle unrolled as MATERIALIZED CTEs) without the
-divergence surface.
+MEASURED NEGATIVES (r14, recorded so they are not re-tried):
 
-Cross-engine determinism (the pagerank/kmeans recipe):
+- fast-sigmoid batch GD (the VERDICT-suggested 2-3 logistic GD rounds)
+  was built first and swept (rounds 2-8 × lr 1-1024, raw/centered/
+  centroid-init): the surrogate's fat-tailed residuals never stop
+  moving correctly classified points, so accuracy OSCILLATES with
+  round count (0.236/0.764 all-one-class flips; best calibrated point
+  0.874 at ONE refinement round, degrading after) while the
+  closed-form discriminant sits at 0.85 with zero hyperparameters.
+- the first implementation built a DENSE 65-vector per doc
+  (map_from_entries + a transform(sequence(0,63), ...) HOF): at the
+  100× replica that map-only prefix alone cost 25.2 s of the key's
+  33 s (stage-isolated noop profile — the r13 interpreted-HOF tax,
+  found exactly where that lesson says to look). This version is
+  SPARSE-FIRST: no dense arrays, no maps, no HOFs anywhere in the
+  corpus path.
 
-- Features are exact rationals: bucket count × DIM / doc token count.
-- Per-feature contributions quantize to scaled longs BEFORE any
-  corpus-order-dependent SUM (integer addition is associative).
+Cross-engine determinism (the pagerank/kmeans recipe, sparse form):
+
+- Features are exact scaled longs: qx_b = round(c_b·DIM/n · 1e6)
+  (integer multiply exact, one correctly-rounded division, one
+  engine-side round) — plus one bias row qx=1e6 per doc.
+- EVERY corpus-order-dependent sum is an INTEGER sum of quantized
+  terms (class sums of qx; margins as Σ round(qw_b·qx_b / 1e6) —
+  int×int products below 2^53, so the double cast is exact).
 - Every division/rounding runs ENGINE-SIDE with identical expression
   structure both sides (never python round: banker's vs half-away);
-  driver-side state (w, τ) is collected as EXACT longs and re-embedded
-  as literal/1e6 doubles (the bm25/kmeans literal rule).
-- Margins are the PROVEN left-fold dot (DOT_SPARK <-> list_sum o
-  list_transform) over a dense 65-vector (64 buckets + bias).
+  driver-side state (qw, qτ) is collected as EXACT longs and
+  re-embedded as literals (the bm25/kmeans literal rule).
 
-Scale: training is TWO passes over the corpus, each a map-side fold +
-one bounded aggregation (65 rows / 1 row of exact longs — model-sized,
-never corpus-sized, the driver-literal rule). Scoring is one map-only
-pass. At 100 TB this is the textbook data-parallel closed-form fit:
-communication O(dim) per pass.
+Scale: training is TWO passes over the sparse (doc, bucket) stream,
+each a map-combined aggregation (65 rows / 1 row of exact longs —
+model-sized, never corpus-sized). Scoring is one more pass. At 100 TB
+this is the textbook data-parallel closed-form fit: communication
+O(dim) per pass. 100× replica: 33 s dense → ~14 s sparse.
 """
 
 from __future__ import annotations
@@ -62,7 +68,7 @@ from ls_hadoop_3_0_spark.registry import query
 from ls_hadoop_3_0_spark.session import prepare
 from ls_hadoop_3_0_spark.tables import load, spread
 
-QC_D = FEATURE_DIM + 1  #: dense feature width: 64 hashed buckets + bias
+QC_D = FEATURE_DIM + 1  #: feature width: 64 hashed buckets + bias (b=65)
 
 #: The algebraic squash (same structure both engines after constant
 #: casts): fast sigmoid — monotone, (0,1), exactly 0.5 at z=0.
@@ -75,6 +81,7 @@ _SIG_DUCK = (
 def _is_en_rule_duck() -> str:
     """The lang_id marker rule's is-English verdict over ``toks`` —
     the distillation target (functions/text.py lang_id, en arm)."""
+
     def hits(lang: str) -> str:
         arr = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
         return f"len(list_filter(toks, t -> list_contains({arr}, t)))"
@@ -96,68 +103,67 @@ def _is_en_rule_spark() -> F.Column:
     return ((en >= others) & (en > 0)).cast("int")
 
 
-def _qc_features_sql() -> str:
-    """DuckDB CTE body producing ``fe`` = (doc_id, y, xs): xs the dense
-    65-list [c_b * DIM / n_tokens for b in 0..63] ++ [1.0], y the
-    marker-rule is-English label."""
+def _qc_sparse_sql() -> str:
+    """DuckDB CTEs ``nd`` (doc_id, n, y) and ``sx`` (doc_id, b, qx):
+    the quantized sparse feature stream + one bias row per doc."""
     return f"""
-        SELECT t.doc_id, d.y,
-               list_append(list_transform(generate_series(0, {FEATURE_DIM - 1}),
-                   b -> CAST(coalesce(mp[b][1], 0) * {FEATURE_DIM} AS DOUBLE)
-                        / CAST(n AS DOUBLE)),
-                   CAST(1 AS DOUBLE)) AS xs
-        FROM (
-            SELECT doc_id,
-                   map_from_entries(list(struct_pack(k := bucket, v := c))) AS mp,
-                   CAST(SUM(c) AS BIGINT) AS n
-            FROM (
-                SELECT doc_id, {_FH_U24} % {FEATURE_DIM} AS bucket,
-                       CAST(COUNT(*) AS BIGINT) AS c
-                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-                      FROM documents)
-                WHERE word <> ''
-                GROUP BY doc_id, bucket
-            ) GROUP BY doc_id
-        ) t
+    cnt AS (
+        SELECT doc_id, {_FH_U24} % {FEATURE_DIM} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY doc_id, bucket
+    ),
+    nd AS MATERIALIZED (
+        SELECT t.doc_id, t.n, d.y
+        FROM (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+              FROM cnt GROUP BY doc_id) t
         JOIN (SELECT doc_id, {_is_en_rule_duck()} AS y
               FROM (SELECT doc_id,
                            list_filter(string_split(text, ' '),
                                        t -> t <> '') AS toks
                     FROM documents)) d
           ON d.doc_id = t.doc_id
-"""
+    ),
+    sx AS MATERIALIZED (
+        SELECT cnt.doc_id, cnt.bucket + 1 AS b,
+               CAST(round(CAST(c * {FEATURE_DIM} AS DOUBLE)
+                          / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS qx
+        FROM cnt JOIN nd USING (doc_id)
+        UNION ALL
+        SELECT doc_id, {QC_D} AS b, CAST(1000000 AS BIGINT) AS qx FROM nd
+    )"""
 
 
 def _qc_chain_sql() -> str:
-    """The unrolled two-pass chain: fe -> class counts -> quantized
-    class-mean-diff weights (pass 1) -> margin-midpoint threshold
-    (pass 2) -> scored docs CTE ``sc`` = (doc_id, y, qp)."""
-    dot = f"list_sum(list_transform(generate_series(1, {QC_D}), i -> w[i] * xs[i]))"
-    return f"""fe AS MATERIALIZED ({_qc_features_sql()}),
+    """The unrolled two-pass chain: sparse features -> class counts ->
+    quantized class-mean-diff weights (pass 1) -> margin-midpoint
+    threshold (pass 2) -> scored docs CTE ``sc`` = (doc_id, y, qp)."""
+    return f"""{_qc_sparse_sql()},
     nn AS MATERIALIZED (
         SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
                CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
-        FROM fe),
+        FROM nd),
     gq AS (
         SELECT b,
                SUM(CASE WHEN y = 1 THEN qx ELSE 0 END) AS s1,
                SUM(CASE WHEN y = 0 THEN qx ELSE 0 END) AS s0
-        FROM (SELECT y,
-                     unnest(generate_series(1, {QC_D})) AS b,
-                     unnest(list_transform(xs,
-                         x -> CAST(round(x * 1e6) AS BIGINT))) AS qx
-              FROM fe)
+        FROM sx JOIN nd USING (doc_id)
         GROUP BY b),
     wq AS MATERIALIZED (
-        SELECT list(CASE WHEN n1 > 0 AND n0 > 0
-                    THEN CAST(round(CAST(s1 AS DOUBLE) / n1
-                                    - CAST(s0 AS DOUBLE) / n0) AS BIGINT)
-                    ELSE CAST(0 AS BIGINT) END ORDER BY b) AS qw
+        SELECT b,
+               CASE WHEN n1 > 0 AND n0 > 0
+               THEN CAST(round(CAST(s1 AS DOUBLE) / n1
+                               - CAST(s0 AS DOUBLE) / n0) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS qw
         FROM gq, nn),
-    mg AS (
-        SELECT doc_id, y, xs, {dot} AS m
-        FROM fe, (SELECT list_transform(qw,
-                      q -> CAST(q AS DOUBLE) / 1e6) AS w FROM wq)),
+    mg AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(SUM(CAST(round(CAST(qw * qx AS DOUBLE) / 1e6)
+                             AS BIGINT)) AS BIGINT) AS qm
+        FROM sx JOIN wq USING (b)
+        GROUP BY doc_id),
     tq AS MATERIALIZED (
         SELECT CASE WHEN n1 > 0 AND n0 > 0
                THEN CAST(round((CAST(t1 AS DOUBLE) / n1
@@ -166,13 +172,13 @@ def _qc_chain_sql() -> str:
                ELSE CAST(0 AS BIGINT) END AS qt
         FROM (SELECT SUM(CASE WHEN y = 1 THEN qm ELSE 0 END) AS t1,
                      SUM(CASE WHEN y = 0 THEN qm ELSE 0 END) AS t0
-              FROM (SELECT y, CAST(round(m * 1e6) AS BIGINT) AS qm
-                    FROM mg)), nn),
+              FROM mg JOIN nd USING (doc_id)), nn),
     sc AS MATERIALIZED (
         SELECT doc_id, y,
                CAST(round(({_SIG_DUCK}) * 1e6) AS BIGINT) AS qp
-        FROM (SELECT doc_id, y, m - CAST(qt AS DOUBLE) / 1e6 AS z
-              FROM mg, tq))"""
+        FROM (SELECT mg.doc_id, nd.y,
+                     CAST(qm - qt AS DOUBLE) / 1e6 AS z
+              FROM mg JOIN nd USING (doc_id), tq))"""
 
 
 QUALITY_CLASSIFIER_SQL = f"""
@@ -201,9 +207,10 @@ QUALITY_CLASSIFIER_EVAL_SQL = f"""
 """
 
 
-def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, y, xs): dense 65-vector features + the rule label,
-    lazily checkpointed — the compute-once input of both passes."""
+def _qc_sparse(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(nd, sx): per-doc (n, y) and the quantized sparse feature stream
+    (doc_id, b in 1..QC_D, qx) including the bias row. Both lazily
+    checkpointed — the compute-once inputs of both passes + scoring."""
     docs = spread(
         load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
     )
@@ -215,34 +222,42 @@ def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    per_doc = cnt.groupBy("doc_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("bucket", "c"))).alias("mp"),
-        F.sum("c").alias("n"),
-    )
-    # x_b = c_b * D / n (integer multiply exact, one rounded division):
-    # unit-mean scaling — 1/D-scale features left the bias to dominate
-    # (measured: degenerate all-negative model).
-    xs = F.expr(
-        f"concat(transform(sequence(0, {FEATURE_DIM - 1}),"
-        f" b -> cast(coalesce(element_at(mp, b), 0L) * {FEATURE_DIM} as double)"
-        f" / cast(n as double)), array(cast(1.0 as double)))"
-    )
     y = docs.select(
         "doc_id",
         F.expr("filter(split(text, ' '), t -> t <> '')").alias("toks"),
     ).select("doc_id", _is_en_rule_spark().alias("y"))
-    return (
-        per_doc.select("doc_id", xs.alias("xs"))
+    nd = (
+        cnt.groupBy("doc_id")
+        .agg(F.sum("c").alias("n"))
         .join(y, "doc_id")
         .localCheckpoint(eager=False)
     )
+    qx = F.round(
+        (F.col("c") * FEATURE_DIM).cast("double")
+        / F.col("n").cast("double")
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    sx = (
+        cnt.join(nd.select("doc_id", "n"), "doc_id")
+        .select("doc_id", (F.col("bucket") + 1).alias("b"), qx.alias("qx"))
+        .unionAll(
+            nd.select(
+                "doc_id",
+                F.lit(QC_D).alias("b"),
+                F.lit(1_000_000).cast("long").alias("qx"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    return nd, sx
 
 
 def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, y, qp): scores under the trained+calibrated model as
     exact scaled longs (empty corpus -> empty frame, both engines)."""
-    fe = _qc_features(spark, sf_dir)
-    counts = fe.agg(
+    nd, sx = _qc_sparse(spark, sf_dir)
+    counts = nd.agg(
         F.sum((F.col("y") == 1).cast("long")).alias("n1"),
         F.sum((F.col("y") == 0).cast("long")).alias("n0"),
     ).collect()[0]
@@ -252,19 +267,14 @@ def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n1 > 0 and n0 > 0:
         # pass 1: class-mean difference, rounded ENGINE-side per bucket
         sums = (
-            fe.select(
-                "y",
-                F.posexplode(
-                    F.expr("transform(xs, x -> cast(round(x * 1e6) as bigint))")
-                ).alias("i0", "qx"),
-            )
-            .groupBy("i0")
+            sx.join(nd.select("doc_id", "y"), "doc_id")
+            .groupBy("b")
             .agg(
                 F.sum(F.when(F.col("y") == 1, F.col("qx")).otherwise(0)).alias("s1"),
                 F.sum(F.when(F.col("y") == 0, F.col("qx")).otherwise(0)).alias("s0"),
             )
             .select(
-                "i0",
+                "b",
                 F.round(
                     F.col("s1").cast("double") / F.lit(n1)
                     - F.col("s0").cast("double") / F.lit(n0),
@@ -276,17 +286,32 @@ def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()  # QC_D rows of exact longs (model-size)
         )
         for row in sums:
-            qw[row["i0"]] = int(row["qd"])
+            qw[row["b"] - 1] = int(row["qd"])
 
-    wl = F.array(*[F.lit(q / 1e6) for q in qw])  # exact long / 1e6
-    dot = "aggregate(zip_with(wl, xs, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
-    mg = fe.withColumn("wl", wl).withColumn("m", F.expr(dot))
+    # margins: per-term quantized sparse dot — an INTEGER sum, so the
+    # corpus-order-dependent aggregation is associative by construction
+    wlq = F.array(*[F.lit(q).cast("long") for q in qw])
+    term = (
+        F.round(
+            (F.element_at(wlq, F.col("b")) * F.col("qx")).cast("double")
+            / F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("t")
+    )
+    mg = (
+        sx.select("doc_id", term)
+        .groupBy("doc_id")
+        .agg(F.sum("t").alias("qm"))
+        .localCheckpoint(eager=False)
+    )
 
     qt = 0
     if n1 > 0 and n0 > 0:
         # pass 2: margin-midpoint threshold, rounded ENGINE-side
         trow = (
-            mg.select("y", F.round(F.col("m") * F.lit(1e6), 0).cast("long").alias("qm"))
+            mg.join(nd.select("doc_id", "y"), "doc_id")
             .agg(
                 F.sum(F.when(F.col("y") == 1, F.col("qm")).otherwise(0)).alias("t1"),
                 F.sum(F.when(F.col("y") == 0, F.col("qm")).otherwise(0)).alias("t0"),
@@ -307,25 +332,26 @@ def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qt = int(trow["qt"])
 
-    return mg.select(
-        "doc_id",
-        F.col("y").cast("int").alias("y"),
-        F.round(
-            F.expr(_SIG_SPARK.replace("z", f"(m - {qt}D / 1e6)")) * F.lit(1e6), 0
+    z = (F.col("qm") - F.lit(qt)).cast("double") / F.lit(1e6)
+    return (
+        mg.join(nd.select("doc_id", "y"), "doc_id")
+        .withColumn("z", z)
+        .select(
+            "doc_id",
+            F.col("y").cast("int").alias("y"),
+            F.round(F.expr(_SIG_SPARK) * F.lit(1e6), 0).cast("long").alias("qp"),
         )
-        .cast("long")
-        .alias("qp"),
     )
 
 
 @query("quality_classifier", QUALITY_CLASSIFIER_SQL)
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-EXT learned classifier: per-doc scores from a linear model
-    trained in-engine (hashed features, closed-form class-centroid
-    discriminant + margin-midpoint calibration — two exact passes).
-    Target: distill the rule-based lang_id labeler (is-English); in a
-    real curation stack the same operator distills wiki-vs-crawl
-    quality (the CCNet recipe) — the training passes are
+    trained in-engine (hashed sparse features, closed-form
+    class-centroid discriminant + margin-midpoint calibration — two
+    exact passes). Target: distill the rule-based lang_id labeler
+    (is-English); in a real curation stack the same operator distills
+    wiki-vs-crawl quality (the CCNet recipe) — the training passes are
     target-agnostic."""
     prepare(spark)
     return _qc_scored(spark, sf_dir).select(

@@ -2228,25 +2228,31 @@ SUBSTR_K = 8  #: span grain in tokens (the quality_crossdup 8-gram grain)
 #: gram-total shape wins on organic corpora (SCALE.md r13 A/B: 14.9 vs
 #: 17.7 s at 100×) but a boilerplate 8-gram at ~1e9 occurrences
 #: single-partitions the window sort; the semi-join form is
-#: value-identical and AQE-skew-splittable. The probe estimates the
-#: hottest gram's DOC-FREQUENCY fraction from a bounded fixed-id-range
-#: panel (PANEL_DOC_SQL — corpus-independent cost, the dedup_recall_v2
-#: panel rule): a gram covering a material fraction of panel docs
-#: extrapolates to a corpus-fraction-scale window partition. Fires when
-#: the panel's max gram count ≥ max(FLOOR, FRAC × panel docs); FLOOR
-#: keeps tiny panels from noise-firing. Choice is plan-only — both
-#: shapes are oracle-identical (forced-skew equivalence pinned in
-#: tests/test_r14_keys.py).
-SUBSTR_SKEW_FRAC = 0.02
-SUBSTR_SKEW_FLOOR = 32
+#: value-identical and AQE-skew-splittable. MEASURED at the 100×
+#: forced-skew replica (boilerplate appended to 1/3 of 500k docs →
+#: nine ~8M-occurrence gram classes): the window STILL wins there —
+#: 7.4 s vs the semi-join's 17.6 s — because two full gram-stream
+#: shuffles (agg + join-back) cost more than one 8M-row in-task sort
+#: (SCALE.md r14). The flip threshold is therefore an ABSOLUTE
+#: extrapolated hot-partition size, set where a single sort task
+#: becomes the wall (~5e7 rows ≈ GBs in one task, minutes of one-core
+#: sort + spill), NOT a panel fraction: the probe extrapolates the
+#: hottest gram's global occurrence count from the bounded
+#: fixed-id-range panel (PANEL_DOC_SQL — corpus-independent cost, the
+#: dedup_recall_v2 panel rule) as max_panel_count × n_docs / n_panel.
+#: Choice is plan-only — both shapes are oracle-identical (flip
+#: equivalence pinned in tests/test_r14_keys.py with a test-scaled
+#: threshold, since 5e7-occurrence grams are not constructible in a
+#: local fixture).
+SUBSTR_SKEW_MIN_HOT = 50_000_000
 
 _GRAM_SKEW_CACHE: dict[int, bool] = {}
 
 
 def _gram_skew_material(docs: DataFrame) -> bool:
-    """True when a panel probe says some SUBSTR_K-gram is hot enough
-    that a window over the gram hash would single-partition at corpus
-    scale. Cached per analyzed-plan semanticHash (the _probe_material
+    """True when the panel probe extrapolates some SUBSTR_K-gram to a
+    window partition ≥ SUBSTR_SKEW_MIN_HOT rows at corpus scale.
+    Cached per analyzed-plan semanticHash (the _probe_material
     contract); probed on RAW docs — on dup-heavy corpora the class
     collapse shrinks hot partitions, so this over-detects there, which
     only costs the semi-join's extra shuffle, never correctness."""
@@ -2281,7 +2287,9 @@ def _gram_skew_material(docs: DataFrame) -> bool:
     )
     mx = mx_row["mx"] or 0
     n_panel = panel.count()
-    verdict = mx >= max(SUBSTR_SKEW_FLOOR, SUBSTR_SKEW_FRAC * n_panel)
+    n_docs = docs.count()
+    extrapolated = mx * (n_docs / n_panel) if n_panel else 0.0
+    verdict = extrapolated >= SUBSTR_SKEW_MIN_HOT
     if key is not None:
         _GRAM_SKEW_CACHE[key] = verdict
     return verdict
@@ -2372,11 +2380,13 @@ def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: the gram stream shuffles ONCE (window-sum totals on the
     gram hash — the quality_crossdup lesson: never join a per-gram flag
     back) — UNLESS the bounded-panel skew probe (_gram_skew_material,
-    r14) detects a corpus-fraction-hot gram, in which case the
-    value-identical agg+semi-join form runs instead (partial agg
-    combines the hot gram map-side; AQE skew-splits the join — a
+    r14) extrapolates a ≥SUBSTR_SKEW_MIN_HOT-row hot gram, in which
+    case the value-identical agg+semi-join form runs instead (partial
+    agg combines the hot gram map-side; AQE skew-splits the join — a
     boilerplate 8-gram at 1e9 occurrences would single-partition the
-    window sort); islands/coverage run on the DUPLICATED subset; the token
+    window sort; below that wall the window wins even on skewed
+    corpora — measured both ways, see the probe's docstring and
+    SCALE.md r14); islands/coverage run on the DUPLICATED subset; the token
     stream shuffles once for the covered-signature join. Under the r11
     class collapse (probe-gated) every stream runs at content-class
     grain weighted by class size — gram totals are Σ class_size ×

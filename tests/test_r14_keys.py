@@ -182,9 +182,14 @@ def _write_docs(tmp_path, rows):
 
 
 def test_substrings_skew_probe_selects_semi_join(spark, tmp_path):
-    """A boilerplate-heavy corpus must fire the panel skew probe and
-    run the agg+semi-join shape; the UNCHANGED oracle must still
-    hash-match (the flip is plan-only)."""
+    """Above the extrapolated hot-partition threshold the probe must
+    flip to the agg+semi-join shape, and the UNCHANGED oracle must
+    still hash-match (the flip is plan-only). A ≥5e7-occurrence gram
+    is not constructible in a local fixture, so the threshold is
+    test-scaled — the production value is justified by the measured
+    100x A/B (window 7.4s vs semi-join 17.6s at 8M-row hot grams:
+    below the single-task-sort wall the window wins even on skewed
+    corpora; SCALE.md r14)."""
     import duckdb
 
     from ls_hadoop_3_0_spark.llm import dedup
@@ -196,27 +201,36 @@ def test_substrings_skew_probe_selects_semi_join(spark, tmp_path):
     rows = []
     for i in range(400):
         filler = f"unique{i} filler{i} words{i} to vary the body {i} ok fine"
-        # 50% boilerplate share, landing in the %10 panel too
         text = (boiler + " " + filler) if i % 2 == 0 else filler
         rows.append((i, text))
     d = _write_docs(tmp_path, rows)
-
-    dedup._GRAM_SKEW_CACHE.clear()
     docs = load(spark, d, "documents").select("doc_id", "text")
-    assert dedup._gram_skew_material(docs), "probe must fire on boilerplate"
 
-    df = QUERIES["dedup_substrings"](spark, d)
-    plan = formatted_plan(df)
-    assert "LeftSemi" in plan, plan  # the skew-safe dup-flag shape
+    # production threshold: this corpus's hottest gram extrapolates to
+    # ~200 occurrences — far below the sort wall, window shape stays
+    dedup._GRAM_SKEW_CACHE.clear()
+    assert not dedup._gram_skew_material(docs)
 
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{d}/documents.parquet')"
-    )
-    odf = con.execute(ORACLES["dedup_substrings"]).fetchdf()
-    assert_equivalent(df.toPandas(), odf, key="dedup_substrings")
-    con.close()
+    old = dedup.SUBSTR_SKEW_MIN_HOT
+    dedup.SUBSTR_SKEW_MIN_HOT = 100  # test-scaled wall
+    try:
+        dedup._GRAM_SKEW_CACHE.clear()
+        assert dedup._gram_skew_material(docs), "probe must fire scaled"
+        df = QUERIES["dedup_substrings"](spark, d)
+        plan = formatted_plan(df)
+        assert "LeftSemi" in plan, plan  # the skew-safe dup-flag shape
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        odf = con.execute(ORACLES["dedup_substrings"]).fetchdf()
+        assert_equivalent(df.toPandas(), odf, key="dedup_substrings")
+        con.close()
+    finally:
+        dedup.SUBSTR_SKEW_MIN_HOT = old
+        dedup._GRAM_SKEW_CACHE.clear()
 
 
 def test_substrings_organic_corpus_keeps_window_shape(spark):
