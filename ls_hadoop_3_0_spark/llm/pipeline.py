@@ -727,3 +727,167 @@ def _v3_manifest(spark: SparkSession, docs0: DataFrame, material: bool) -> DataF
         pool.join(keep.select("doc_id").hint("merge"), "doc_id")
         .select("doc_id", "source", "n_tokens", "avg_nll", "content_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_curation_v4 (r14): the INCREMENTAL-EPOCH curation run — the shape
+# a production pipeline takes once a prior snapshot exists: only the NEW
+# crawl slice is curated, gated by a LEARNED quality model, deduped against
+# the FROZEN prior index, and packed on REAL tokenizer counts.
+
+
+def _v4_sql() -> str:
+    """Assembled oracle: the classifier chain (llm/classifier.py), the
+    incremental-dedup chain (llm/dedup.py) and the BPE token-count chain
+    (functions/text.py) merged into ONE WITH clause — the pipeline
+    cannot drift from its stage keys (the v2/v3 discipline)."""
+    from ls_hadoop_3_0_spark.functions.text import _bpe_chain_sql
+    from ls_hadoop_3_0_spark.llm.classifier import _qc_chain_sql
+    from ls_hadoop_3_0_spark.llm.curation import PACK_WINDOW
+    from ls_hadoop_3_0_spark.llm.dedup import (
+        INCR_NEW_PRED,
+        INCR_PRIOR_PRED,
+        MINHASH_JACCARD_T,
+        _bands_sql,
+        sh_sql,
+    )
+
+    bpe_with, vlast = _bpe_chain_sql()
+    bpe_ctes = bpe_with[len("WITH ") :]
+    return f"""
+    WITH {bpe_ctes},
+    {_qc_chain_sql()},
+    ipr AS (SELECT * FROM documents WHERE {INCR_PRIOR_PRED}),
+    inw AS (SELECT * FROM documents WHERE {INCR_NEW_PRED}),
+    ipck AS (SELECT DISTINCT md5(text) AS ck FROM ipr),
+    ishp AS ({sh_sql("ipr")}),
+    ishn AS ({sh_sql("inw")}),
+    ibp AS ({_bands_sql("ishp")}),
+    ibn AS ({_bands_sql("ishn")}),
+    icand AS (
+        SELECT DISTINCT n.doc_id AS nid, p.doc_id AS pid
+        FROM ibn n JOIN ibp p ON n.b = p.b AND n.sig = p.sig
+    ),
+    iver AS (
+        SELECT DISTINCT nid FROM (
+            SELECT icand.nid,
+                   round(CAST(len(list_intersect(a.shingles, b.shingles))
+                              AS DOUBLE)
+                         / len(list_distinct(list_concat(a.shingles,
+                                                         b.shingles))),
+                         6) AS j
+            FROM icand
+            JOIN ishn a ON a.doc_id = icand.nid
+            JOIN ishp b ON b.doc_id = icand.pid)
+        WHERE j >= {MINHASH_JACCARD_T}
+    ),
+    surv AS (
+        SELECT n.doc_id, sc.qp
+        FROM inw n JOIN sc ON sc.doc_id = n.doc_id
+        WHERE sc.qp >= 500000
+          AND md5(n.text) NOT IN (SELECT ck FROM ipck)
+          AND n.doc_id NOT IN (SELECT nid FROM iver)
+    ),
+    segn4 AS (
+        SELECT word,
+               CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT)
+                   AS n_toks
+        FROM {vlast}),
+    ts4 AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM inw)
+        WHERE word <> ''
+    ),
+    tcnt4 AS (
+        SELECT ts4.doc_id,
+               CAST(SUM(COALESCE(s.n_toks, 1)) AS BIGINT) AS n_tokens
+        FROM ts4
+        JOIN surv USING (doc_id)
+        LEFT JOIN segn4 s USING (word)
+        GROUP BY ts4.doc_id
+    ),
+    c4 AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS pack_start
+        FROM tcnt4 WHERE n_tokens > 0
+    )
+    SELECT c4.doc_id,
+           CAST(surv.qp AS DOUBLE) / 1e6 AS score,
+           CAST(c4.n_tokens AS BIGINT) AS n_tokens,
+           CAST(c4.pack_start AS BIGINT) AS pack_start,
+           CAST((c4.pack_start + c4.n_tokens - 1) // {PACK_WINDOW}
+                - c4.pack_start // {PACK_WINDOW} + 1 AS BIGINT) AS n_windows
+    FROM c4 JOIN surv USING (doc_id)
+    """
+
+
+@query("pipeline_curation_v4", _v4_sql())
+def pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-X4-X7 composed, session-r14 stack: the INCREMENTAL epoch.
+
+    Once a prior snapshot exists, a production curation run processes
+    only the new crawl slice: learned-quality gate (quality_classifier,
+    trained in-engine on the full corpus, keep pred=1) → drop docs
+    duplicated against the FROZEN prior snapshot (dedup_incremental's
+    exact-ck AND verified near-dup arms — the index is probed, never
+    re-shuffled) → per-doc REAL tokenizer counts under the learned BPE
+    merges (doc_pack_bpe's counting body, OOV = one UNK token) → packed
+    manifest via the distributed prefix sum. Output: doc_id, learned
+    quality score, token count, global pack offset, window span.
+
+    Orchestrated stages (classifier + BPE train with driver-literal
+    model state; the index materializes once per process), each reusing
+    its stage key's own machinery; the oracle is the three stage
+    chains MERGED into one WITH clause (_v4_sql — the v2/v3 assembled-
+    oracle discipline, so the pipeline cannot drift from its stages).
+    """
+    prepare(spark)
+    from ls_hadoop_3_0_spark.functions.text import _bpe_seg_ids
+    from ls_hadoop_3_0_spark.llm.classifier import _qc_scored
+    from ls_hadoop_3_0_spark.llm.curation import PACK_WINDOW
+    from ls_hadoop_3_0_spark.llm.dedup import INCR_NEW_PRED, dedup_incremental
+    from ls_hadoop_3_0_spark.operators.sort import global_prefix_sum
+
+    sc = _qc_scored(spark, sf_dir).filter(F.col("qp") >= 500000).select(
+        "doc_id", "qp"
+    )
+    inc = (
+        dedup_incremental(spark, sf_dir)
+        .filter((F.col("exact_dup") == 0) & (F.col("n_near") == 0))
+        .select("doc_id")
+    )
+    new = load(spark, sf_dir, "documents").filter(F.expr(INCR_NEW_PRED))
+    surv = (
+        new.select("doc_id").join(sc, "doc_id").join(inc, "doc_id")
+    ).localCheckpoint(eager=False)
+
+    segn = _bpe_seg_ids(spark, sf_dir).select("word", "n_toks")
+    ts = new.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), t -> t <> '')")).alias("word"),
+    ).join(surv.select("doc_id"), "doc_id", "semi")
+    t = (
+        ts.join(segn, "word", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("n_toks"), F.lit(1))).alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    c = global_prefix_sum(t, "n_tokens", "doc_id").withColumnRenamed(
+        "_psum", "pack_start"
+    )
+    return c.join(surv, "doc_id").select(
+        "doc_id",
+        (F.col("qp").cast("double") / F.lit(1e6)).alias("score"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("pack_start").cast("long").alias("pack_start"),
+        (
+            F.expr(f"(pack_start + n_tokens - 1) div {PACK_WINDOW}")
+            - F.expr(f"pack_start div {PACK_WINDOW}")
+            + 1
+        )
+        .cast("long")
+        .alias("n_windows"),
+    )

@@ -482,3 +482,83 @@ def test_interval_join_outer_emits_null_rows(spark):
     assert r["matches_batch"] is True
     assert r["n_rows"] > r["n_matched"], dict(r.asDict())
     assert r["n_rows"] > 0
+
+
+@pytest.mark.streaming
+def test_stream_dedup_incremental_constructed(spark, tmp_path):
+    """The streaming pass must flag the same constructed duplicates the
+    batch operator sees: exact hits via the ck stream-static join, band
+    hits via the map-side signature leg; matches_batch is the real
+    in-session comparison."""
+    t0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t1 = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, t0),
+        (1, t1),
+        (2, "hi there"),
+        (10, t0),
+        (8, t0),  # new: exact + band hits
+        (9, t1.rsplit(" ", 1)[0] + " eleven"),  # new: band hits only
+        (18, "unique new content nothing like anything prior at all"),
+        (19, "hi there"),  # new: exact only (no shingles)
+    ]
+    d = _write_docs(tmp_path, rows)
+    r = QUERIES["stream_dedup_incremental"](spark, d).collect()[0]
+    assert r["matches_batch"] is True
+    assert r["n_new"] == 4
+    assert r["n_exact"] == 2  # docs 8 and 19
+    assert r["total_hits"] > 0  # docs 8/9 collide with prior bands
+
+
+# ---------------------------------------------------------------------------
+# pipeline_curation_v4 — the incremental-epoch composition
+
+
+def test_v4_manifest_consistent_with_stages(spark):
+    """The composed manifest must agree with its stage keys: survivors
+    are new-slice docs the classifier passes AND dedup_incremental
+    leaves unflagged; token counts equal doc_pack_bpe's; offsets chain
+    in doc_id order."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.llm.dedup import INCR_NEW_PRED
+    from ls_hadoop_3_0_spark.tables import load
+
+    v4 = {
+        r["doc_id"]: r
+        for r in QUERIES["pipeline_curation_v4"](spark, SF_DIR).collect()
+    }
+    assert v4, "fixture new slice must survive non-trivially"
+    new_ids = {
+        r["doc_id"]
+        for r in load(spark, SF_DIR, "documents")
+        .filter(F.expr(INCR_NEW_PRED))
+        .select("doc_id")
+        .collect()
+    }
+    assert set(v4) <= new_ids
+    qc = {
+        r["doc_id"]: (r["pred"], r["score"])
+        for r in QUERIES["quality_classifier"](spark, SF_DIR).collect()
+    }
+    inc = {
+        r["doc_id"]: (r["exact_dup"], r["n_near"])
+        for r in QUERIES["dedup_incremental"](spark, SF_DIR).collect()
+    }
+    pack = {
+        r["doc_id"]: r["n_tokens"]
+        for r in QUERIES["doc_pack_bpe"](spark, SF_DIR).collect()
+    }
+    expected = {
+        d
+        for d in new_ids
+        if qc.get(d, (0, 0.0))[0] == 1 and inc.get(d) == (0, 0)
+    }
+    assert set(v4) == {d for d in expected if pack.get(d, 0) > 0}
+    run = 0
+    for d in sorted(v4):
+        r = v4[d]
+        assert r["score"] == qc[d][1] and r["score"] >= 0.5
+        assert r["n_tokens"] == pack[d]
+        assert r["pack_start"] == run
+        run += r["n_tokens"]
