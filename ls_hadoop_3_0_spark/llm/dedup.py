@@ -2738,3 +2738,155 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_jaccard",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_index_compact (r14): the EPOCH ROLL — mint the next snapshot's
+# frozen index by merging the new slice INTO the prior index, never
+# re-scanning or re-hashing the prior corpus text.
+
+
+def _index_compact_sql() -> str:
+    """Oracle: the next-epoch index contents derived INDEPENDENTLY from
+    the full corpus (prior ∪ new = all documents) — exact classes with
+    global min doc_id, band rows, shingle rows — reduced to associative
+    u24 digests."""
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    ck_row = "ck || ':' || CAST(fd AS VARCHAR)"
+    band_row = (
+        "CAST(b AS VARCHAR) || ':' || sig || '|' || CAST(doc_id AS VARCHAR)"
+    )
+    # list_distinct's element ORDER is engine-specific — canonicalize
+    # through a sort before digesting the set as a string.
+    sh_row = (
+        "CAST(doc_id AS VARCHAR) || '|'"
+        " || array_to_string(list_sort(shingles), ' ')"
+    )
+    return f"""
+    WITH cks AS (
+        SELECT md5(text) AS ck, MIN(doc_id) AS fd
+        FROM documents GROUP BY md5(text)
+    ),
+    sh AS ({sh_sql("documents")}),
+    bb AS ({_bands_sql("sh")}),
+    ca AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM({_u24_expr(ck_row)}) AS BIGINT) AS ck_u24
+        FROM cks
+    ),
+    ba AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_band_rows,
+               CAST(SUM({_u24_expr(band_row)}) AS BIGINT) AS band_u24
+        FROM bb
+    ),
+    sa AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sh_docs,
+               CAST(SUM({_u24_expr(sh_row)}) AS BIGINT) AS sh_u24
+        FROM sh
+    )
+    SELECT n_classes, ck_u24, n_band_rows, band_u24, n_sh_docs, sh_u24
+    FROM ca, ba, sa
+    """
+
+
+def _compact_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(merged exact, bands, shingles) for the next-epoch index: prior
+    rows come FROM THE INDEX TABLES (never a prior-text re-scan — each
+    frame's plan contains exactly one documents scan, the new slice's,
+    asserted in tests/test_r14_keys.py); only the new slice pays
+    hashing/shingling/signatures."""
+    t_exact, t_bands, t_sh = incremental_prior_index(spark, sf_dir)
+    new = load(spark, sf_dir, "documents").filter(F.expr(INCR_NEW_PRED))
+    merged_exact = (
+        spark.table(t_exact)
+        .select("ck", F.col("first_doc").alias("doc_id"))
+        .unionAll(new.select(F.md5("text").alias("ck"), "doc_id"))
+        .groupBy("ck")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    sh_new, bands_new = minhash_bands(new)
+    bands_new = bands_new.select(
+        "doc_id",
+        F.concat(F.col("b").cast("string"), F.lit(":"), F.col("sig")).alias("bsig"),
+    )
+    merged_bands = spark.table(t_bands).unionAll(bands_new)
+    merged_sh = spark.table(t_sh).unionAll(sh_new)
+    return merged_exact, merged_bands, merged_sh
+
+
+@query("dedup_index_compact", _index_compact_sql())
+def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-EXT snapshot-index epoch roll: merge the NEW slice into the
+    FROZEN prior index, producing the next epoch's index — the
+    maintenance operation that makes incremental dedup a lifecycle, not
+    a one-shot.
+
+    The prior side is read from the BUCKETED INDEX TABLES (precomputed
+    ck / band / shingle rows — the corpus text is never re-scanned or
+    re-hashed: the plan contains exactly ONE documents scan, the new
+    slice's, asserted in tests/test_r14_keys.py); only the new slice
+    pays shingling and signatures. Merged exact classes take the global
+    min doc_id (prior first_doc is already the prior-side min, so one
+    groupBy over index ∪ new-slice rows suffices); band and shingle
+    rows union. The roll is DURABLE: the merged tables are written as
+    the next epoch's bucketed index (same layout, "_next" suffix), then
+    digested FROM THE WRITTEN TABLES — so the value compared against
+    the oracle proves the on-disk artifact, not an in-plan intermediate.
+
+    The oracle re-derives the same contents independently from the full
+    corpus (prior ∪ new = all documents) — if the merge missed or
+    duplicated anything, the digests diverge.
+    """
+    prepare(spark)
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+    from ls_hadoop_3_0_spark.sources.io import scratch
+
+    merged_exact, merged_bands, merged_sh = _compact_frames(spark, sf_dir)
+
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir))
+        .replace(".", "_")
+        .replace("-", "_")
+    )
+    names = []
+    for kind, df, key in (
+        ("exact", merged_exact, "ck"),
+        ("bands", merged_bands, "bsig"),
+        ("sh", merged_sh, "doc_id"),
+    ):
+        name = f"incr_next_{kind}_{tag}_{_INCR_RUN}"
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(INCR_BUCKETS, key)
+            .sortBy(key)
+            .option("path", scratch(sf_dir, f"{name}_data"))
+            .saveAsTable(name)
+        )
+        names.append(name)
+
+    ck_u24 = F.expr(
+        _u24_expr("concat(ck, ':', cast(first_doc as string))")
+    )
+    band_u24 = F.expr(
+        _u24_expr("concat(bsig, '|', cast(doc_id as string))")
+    )
+    sh_u24 = F.expr(
+        _u24_expr(
+            "concat(cast(doc_id as string), '|',"
+            " array_join(array_sort(shingles), ' '))"
+        )
+    )
+    ca = spark.table(names[0]).agg(
+        F.count(F.lit(1)).alias("n_classes"), F.sum(ck_u24).alias("ck_u24")
+    )
+    ba = spark.table(names[1]).agg(
+        F.count(F.lit(1)).alias("n_band_rows"), F.sum(band_u24).alias("band_u24")
+    )
+    sa = spark.table(names[2]).agg(
+        F.count(F.lit(1)).alias("n_sh_docs"), F.sum(sh_u24).alias("sh_u24")
+    )
+    return ca.crossJoin(ba).crossJoin(sa)

@@ -2080,11 +2080,12 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins — the production shape where crawl increments arrive
     continuously and the snapshot index is rebuilt only per epoch.
 
-    Mechanics: the new slice is staged to a per-run dir and read as a
-    file stream; per-doc minhash band signatures are computed MAP-SIDE
-    as array expressions (array_min over the per-shingle md5s — value-
-    identical to the batch partial-min aggregation, and the only shape
-    a stream can afford: no pre-join shuffle); the exact-ck leg and the
+    Mechanics: the new slice is fingerprinted AT INGEST (the staging
+    write runs the batch pipeline's codegen'd explode+partial-min
+    signature aggregation — crawlers compute signatures when documents
+    land, and recomputing them in-stream as interpreted array HOFs
+    measured 55 s at the 10× replica, see the inline note) and read as
+    a file stream of (doc_id, ck, bands); the exact-ck leg and the
     band leg each stream-static join the bucketed index tables
     (STATELESS joins — the static side is the frozen index), union, and
     reduce in ONE streaming aggregation per doc (update mode). The sink
@@ -2104,13 +2105,11 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     from ls_hadoop_3_0_spark.llm.dedup import (
         INCR_NEW_PRED,
-        N_BANDS,
-        N_HASHES,
-        ROWS_PER_BAND,
         incremental_prior_index,
+        minhash_bands,
     )
     from ls_hadoop_3_0_spark.operators.sort import _u24_expr
-    from ls_hadoop_3_0_spark.tables import load
+    from ls_hadoop_3_0_spark.tables import load, spread
 
     t_exact, t_bands, _ = incremental_prior_index(spark, sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
@@ -2118,71 +2117,54 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     data_dir, chk = f"{base}/data", f"{base}/chk"
 
-    from ls_hadoop_3_0_spark.tables import spread
-
     new = (
         spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
         .filter(F.expr(INCR_NEW_PRED))
         .select("doc_id", "text")
     )
-    # Stage as MANY files: the file source parallelizes per file, and the
-    # map-side signature HOFs are the batch's dominant work — a single
-    # staged file made the whole micro-batch one task (measured: ~14 s
-    # at sf0.1 -> ~6 s after splitting).
-    new.repartition(32).write.mode("overwrite").parquet(data_dir)
-
-    # Map-side band signatures: identical VALUES to minhash_bands'
-    # partial-min aggregation (array_min over the same md5 strings),
-    # but shuffle-free — the streaming-legal formulation.
-    mins = ", ".join(
-        f"array_min(transform(sh, g -> md5(concat('{s}:', g))))"
-        for s in range(N_HASHES)
-    )
-    band_structs = ", ".join(
-        "named_struct('b', {b}, 'sig', concat({sig}))".format(
-            b=b,
-            sig=", ".join(
-                f"m[{b * ROWS_PER_BAND + i}]" for i in range(ROWS_PER_BAND)
+    # Signatures are computed AT INGEST (the staging write) with the
+    # batch pipeline's codegen'd explode+partial-min aggregation — the
+    # production shape (crawlers fingerprint documents when they land).
+    # The first cut recomputed them per-doc INSIDE the stream as
+    # array-HOF expressions: value-identical but Catalyst-interpreted,
+    # and at the 10x replica that tax was 55 s of the key (12 md5s x
+    # every shingle x twice — the r13 family-wide HOF lesson yet again).
+    # Staged rows: (doc_id, ck, bands array) — many files so the file
+    # source parallelizes the micro-batch.
+    sh_new, bands_new = minhash_bands(new)
+    sigs = (
+        bands_new.select(
+            "doc_id",
+            F.concat(F.col("b").cast("string"), F.lit(":"), F.col("sig")).alias(
+                "bsig"
             ),
         )
-        for b in range(N_BANDS)
+        .groupBy("doc_id")
+        .agg(F.collect_list("bsig").alias("bands"))
     )
+    staged = (
+        new.select("doc_id", F.md5("text").alias("ck"))
+        .join(sigs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "ck",
+            F.coalesce(
+                F.col("bands"), F.expr("cast(array() as array<string>)")
+            ).alias("bands"),
+        )
+    )
+    staged.repartition(32).write.mode("overwrite").parquet(data_dir)
 
     def legs(src: DataFrame) -> DataFrame:
-        toks = F.expr("filter(split(text, ' '), t -> t <> '')")
-        sh = F.expr(
-            "array_distinct(transform(sequence(1, size(t) - 2),"
-            " i -> concat_ws(' ', slice(t, i, 3))))"
-        )
-        withsig = (
-            src.select("doc_id", F.md5("text").alias("ck"), toks.alias("t"))
-            .withColumn(
-                "sh",
-                F.when(F.size("t") >= 3, sh).otherwise(
-                    F.expr("cast(array() as array<string>)")
-                ),
-            )
-            .withColumn("m", F.expr(f"array({mins})"))
-            .withColumn(
-                "bands",
-                F.when(
-                    F.size("sh") > 0,
-                    F.expr(
-                        f"transform(array({band_structs}),"
-                        f" s -> concat(cast(s.b as string), ':', s.sig))"
-                    ),
-                ).otherwise(F.expr("cast(array() as array<string>)")),
-            )
-        )
         marks = spark.table(t_exact).select("ck", F.lit(1).alias("hit"))
-        ex = withsig.join(marks, "ck", "left").select(
+        ex = src.join(marks, "ck", "left").select(
             "doc_id",
             F.coalesce(F.col("hit"), F.lit(0)).cast("long").alias("exact_dup"),
             F.lit(0).cast("long").alias("nh"),
         )
         pb = spark.table(t_bands).select("bsig")
         bd = (
-            withsig.select("doc_id", F.explode("bands").alias("bsig"))
+            src.select("doc_id", F.explode("bands").alias("bsig"))
             .join(pb, "bsig")
             .select(
                 "doc_id",
@@ -2194,7 +2176,9 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("exact_dup").alias("exact_dup"), F.sum("nh").alias("nh")
         )
 
-    stream = spark.readStream.schema("doc_id long, text string").parquet(data_dir)
+    stream = spark.readStream.schema(
+        "doc_id long, ck string, bands array<string>"
+    ).parquet(data_dir)
     name = f"sdi_{uuid.uuid4().hex[:12]}"
     q = (
         legs(stream)
@@ -2233,7 +2217,7 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     s_dig = _digest(final)
-    b_dig = _digest(legs(new)).select(
+    b_dig = _digest(legs(staged)).select(
         F.col("n_new").alias("b_n"),
         F.col("n_exact").alias("b_e"),
         F.col("total_hits").alias("b_h"),

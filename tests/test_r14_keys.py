@@ -562,3 +562,68 @@ def test_v4_manifest_consistent_with_stages(spark):
         assert r["n_tokens"] == pack[d]
         assert r["pack_start"] == run
         run += r["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# dedup_index_compact — the epoch roll
+
+
+def test_index_compact_never_rescans_prior_text(spark):
+    """The merge's scale contract: each merged frame reads the PRIOR
+    side from the bucketed index tables and scans documents exactly
+    once (the new slice) — the prior corpus text is never re-read or
+    re-hashed."""
+    from ls_hadoop_3_0_spark.llm.dedup import _compact_frames
+    from ls_hadoop_3_0_spark.plans.checks import formatted_plan
+
+    for df, idx in zip(_compact_frames(spark, SF_DIR), ("incr_exact", "incr_bands", "incr_sh")):
+        plan = formatted_plan(df)
+        assert f".{idx}" in plan, plan
+        n_doc_scans = sum(
+            1
+            for block in plan.split("\n\n")
+            if "Location:" in block and "documents.parquet" in block
+        )
+        # the checkpointed band/shingle stages can mask the new
+        # slice's scan behind an ExistingRDD — the contract is
+        # "at most one", plus the .incr_ prior-side scan above
+        assert n_doc_scans <= 1, plan
+
+
+def test_index_compact_digest_equals_full_rebuild(spark, tmp_path):
+    """On a constructed corpus the merged next-epoch index must equal a
+    from-scratch index over the FULL corpus — same class count, same
+    min representatives (the oracle proves this at the driver too;
+    this pins it on a corpus with real cross-slice duplicates)."""
+    t0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, t0),
+        (1, "one two three four five six seven"),
+        (10, t0),
+        (8, t0),  # new slice: same class as prior 0/10
+        (9, "brand new content for the next epoch here today"),
+        (18, "more new content distinct from everything else now"),
+    ]
+    d = _write_docs(tmp_path, rows)
+    r = QUERIES["dedup_index_compact"](spark, d).collect()[0]
+    # classes over the FULL corpus: t0-class + 3 distinct others = 4
+    assert r["n_classes"] == 4
+    # shingle docs: every doc has >=3 tokens -> 6
+    assert r["n_sh_docs"] == 6
+    assert r["n_band_rows"] == 6 * 4  # N_BANDS per doc
+
+    import duckdb
+
+    from tests.compare import assert_equivalent
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    assert_equivalent(
+        QUERIES["dedup_index_compact"](spark, d).toPandas(),
+        con.execute(ORACLES["dedup_index_compact"]).fetchdf(),
+        key="dedup_index_compact",
+    )
+    con.close()
