@@ -64,6 +64,8 @@ HINT_ALLOWANCE: dict[str, tuple[int, str]] = {
         "bounded side, counted once per plan branch)",
     ),
     "doc_pack": (1, "per-partition prefix-sum offsets (metadata)"),
+    "doc_pack_bpe": (1, "per-partition prefix-sum offsets (metadata)"),
+    "pipeline_curation_v4": (1, "per-partition prefix-sum offsets (metadata, via doc_pack_bpe's packing stage)"),
     "embedding_norm_outliers": (1, "1-row norm stats"),
     "eval_confusion": (2, "k centroids + label stats (label vocabulary)"),
     "join_broadcast": (1, "nation dim (supplier is AQE-planned)"),
