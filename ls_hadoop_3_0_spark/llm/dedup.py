@@ -2255,7 +2255,18 @@ def _gram_skew_material(docs: DataFrame) -> bool:
     Cached per analyzed-plan semanticHash (the _probe_material
     contract); probed on RAW docs — on dup-heavy corpora the class
     collapse shrinks hot partitions, so this over-detects there, which
-    only costs the semi-join's extra shuffle, never correctness."""
+    only costs the semi-join's extra shuffle, never correctness.
+
+    RESIDUAL BLINDNESS (ADVICE r14, acknowledged): the probe samples a
+    fixed doc_id residue (PANEL_DOC_SQL), so boilerplate whose presence
+    is CORRELATED with that residue is invisible — the window form
+    would then single-partition the hot gram's sort at extreme skew.
+    This is a perf-DNF risk only (both shapes are oracle-identical);
+    corpora with id-correlated boilerplate should flip to the semi-join
+    form manually (the documented escape hatch in dedup_substrings).
+    An EMPTY panel (degenerate/re-keyed corpus) falls back to probing
+    the full corpus — affordable exactly when the panel can be empty.
+    """
     try:
         key = docs._jdf.queryExecution().analyzed().semanticHash()
         cached = _GRAM_SKEW_CACHE.get(key)
@@ -2265,6 +2276,13 @@ def _gram_skew_material(docs: DataFrame) -> bool:
         key = None
     k = SUBSTR_K
     panel = docs.filter(F.expr(PANEL_DOC_SQL))
+    n_panel = panel.count()
+    if n_panel == 0:
+        # empty-panel fallback (ADVICE r14): probe the whole corpus —
+        # a corpus whose panel is empty is degenerate-small or re-keyed,
+        # so the full probe costs what the panel probe would have.
+        panel = docs
+        n_panel = docs.count()
     g = (
         panel.select(
             F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
@@ -2286,7 +2304,6 @@ def _gram_skew_material(docs: DataFrame) -> bool:
         .collect()[0]
     )
     mx = mx_row["mx"] or 0
-    n_panel = panel.count()
     n_docs = docs.count()
     extrapolated = mx * (n_docs / n_panel) if n_panel else 0.0
     verdict = extrapolated >= SUBSTR_SKEW_MIN_HOT
@@ -2619,7 +2636,7 @@ def incremental_prior_index(
     )
     if tag in _INCR_TABLES:
         return _INCR_TABLES[tag]
-    from ls_hadoop_3_0_spark.sources.io import scratch
+    from ls_hadoop_3_0_spark.sources.io import run_scratch
 
     prior = load(spark, sf_dir, "documents").filter(F.expr(INCR_PRIOR_PRED))
     sh, bands = minhash_bands(prior)
@@ -2637,17 +2654,23 @@ def incremental_prior_index(
         .groupBy("ck")
         .agg(F.min("doc_id").alias("first_doc"))
     )
-    for name, df, key in (
-        (names[0], exact, "ck"),
-        (names[1], bands, "bsig"),
-        (names[2], sh, "doc_id"),
+    for name, df, key, kind in (
+        (names[0], exact, "ck", "exact"),
+        (names[1], bands, "bsig", "bands"),
+        (names[2], sh, "doc_id", "sh"),
     ):
+        path = run_scratch(
+            sf_dir,
+            f"{name}_data",
+            stem=f"incr_{kind}_{tag}_",
+            table=name,
+        )
         (
             df.write.mode("overwrite")
             .format("parquet")
             .bucketBy(INCR_BUCKETS, key)
             .sortBy(key)
-            .option("path", scratch(sf_dir, f"{name}_data"))
+            .option("path", path)
             .saveAsTable(name)
         )
     _INCR_TABLES[tag] = names
@@ -2842,7 +2865,7 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare(spark)
     from ls_hadoop_3_0_spark.operators.sort import _u24_expr
-    from ls_hadoop_3_0_spark.sources.io import scratch
+    from ls_hadoop_3_0_spark.sources.io import run_scratch
 
     merged_exact, merged_bands, merged_sh = _compact_frames(spark, sf_dir)
 
@@ -2858,12 +2881,18 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("sh", merged_sh, "doc_id"),
     ):
         name = f"incr_next_{kind}_{tag}_{_INCR_RUN}"
+        path = run_scratch(
+            sf_dir,
+            f"{name}_data",
+            stem=f"incr_next_{kind}_{tag}_",
+            table=name,
+        )
         (
             df.write.mode("overwrite")
             .format("parquet")
             .bucketBy(INCR_BUCKETS, key)
             .sortBy(key)
-            .option("path", scratch(sf_dir, f"{name}_data"))
+            .option("path", path)
             .saveAsTable(name)
         )
         names.append(name)

@@ -2178,7 +2178,13 @@ def _ivf_index_build(spark: SparkSession, sf_dir: str, cents) -> str:
     the column away via their declared read schema."""
     import numpy as np
 
-    path = ivf_index_path(sf_dir)
+    from ls_hadoop_3_0_spark.sources.io import run_scratch
+
+    # registers the uuid dir for atexit cleanup + prunes hard-killed
+    # processes' stale siblings (ADVICE r14)
+    path = run_scratch(
+        sf_dir, f"ivf_index_{_IVF_INDEX_RUN}", stem="ivf_index_"
+    )
 
     def _build(it):
         import pandas as pd

@@ -54,13 +54,25 @@ QueryFn = Callable[["SparkSession", str], "DataFrame"]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Keys that EXECUTE a real StreamingQuery (micro-batch runtime latency
+#: bound — availableNow drains, memory sinks, checkpoint IO). bench.py
+#: measures these in an exclusive second pass (VERDICT r14 #6: they were
+#: the only keys that WARNed every round and always exonerated under
+#: focused re-measure — shared-JVM contention, not plan drift).
+STREAMING_RUNTIME: set[str] = set()
 
-def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+
+def query(
+    key: str, oracle: str | None = None, *, streaming_runtime: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under ``key``; ``oracle`` is DuckDB SQL or None.
 
     ``oracle=None`` ⇒ the driver records the weaker rows-only check
     (reserved for genuinely non-SQL-expressible ops: seeded sampling,
     approximate sketches, pandas-UDF internals).
+
+    ``streaming_runtime=True`` marks keys that start a real
+    StreamingQuery — bench.py gives them an exclusive second pass.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -69,6 +81,8 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[key] = fn
         if oracle is not None:
             ORACLES[key] = oracle
+        if streaming_runtime:
+            STREAMING_RUNTIME.add(key)
         return fn
 
     return deco

@@ -40,6 +40,71 @@ def scratch(sf_dir: str, key: str) -> str:
     return f"{SCRATCH_ROOT}/{tag}/{key}"
 
 
+#: (path, catalog table or None) created by THIS process under a
+#: per-process uuid suffix — removed at interpreter exit (ADVICE r14:
+#: repeated pytest/bench/driver processes accumulated disk and
+#: metastore garbage). Stale siblings from HARD-KILLED processes (no
+#: atexit) are pruned age-gated on the next build: a dir older than
+#: _STALE_SECONDS cannot belong to a live concurrent session (the r11
+#: flaky-parity scenario is minutes-scale), so pruning never races one.
+_RUN_ARTIFACTS: list[tuple[str, str | None]] = []
+_STALE_SECONDS = 6 * 3600
+_CLEANUP_HOOKED = False
+
+
+def _cleanup_run_artifacts() -> None:
+    import shutil
+
+    from pyspark.sql import SparkSession
+
+    spark = None
+    try:
+        spark = SparkSession.getActiveSession()
+    except Exception:
+        spark = None
+    for path, table in _RUN_ARTIFACTS:
+        if table is not None and spark is not None:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass  # JVM may already be down at exit — disk rm below
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def run_scratch(
+    sf_dir: str, key: str, *, stem: str, table: str | None = None
+) -> str:
+    """Scratch path for a per-process uuid-suffixed artifact.
+
+    ``key`` is the full dir name (``{stem}{uuid...}``); ``stem`` is the
+    process-independent prefix used to locate STALE siblings, which are
+    removed if older than ``_STALE_SECONDS``. The new path (and its
+    catalog ``table``, if any) is registered for atexit cleanup.
+    """
+    global _CLEANUP_HOOKED
+    import atexit
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    path = scratch(sf_dir, key)
+    parent = os.path.dirname(path)
+    now = _time.time()
+    for p in _glob.glob(os.path.join(parent, stem) + "*"):
+        if p != path:
+            try:
+                if now - os.path.getmtime(p) > _STALE_SECONDS:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    if (path, table) not in _RUN_ARTIFACTS:  # rebuilt paths register once
+        _RUN_ARTIFACTS.append((path, table))
+    if not _CLEANUP_HOOKED:
+        atexit.register(_cleanup_run_artifacts)
+        _CLEANUP_HOOKED = True
+    return path
+
+
 @query(
     "scan_text",
     """

@@ -33,7 +33,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ls_hadoop_3_0_spark.exprs import SCALE, dsum, fmt_ts
-from ls_hadoop_3_0_spark.registry import query
+from ls_hadoop_3_0_spark.registry import query as _registry_query
+
+
+def query(key, oracle=None, *, streaming_runtime=True):
+    """Every key in this module EXECUTES a real StreamingQuery
+    (availableNow drain / memory sink / checkpoint IO), so
+    registration defaults to streaming_runtime=True — bench.py
+    measures these in an exclusive second pass (VERDICT r14 #6)."""
+    return _registry_query(key, oracle, streaming_runtime=streaming_runtime)
 from ls_hadoop_3_0_spark.session import prepare
 from ls_hadoop_3_0_spark.streaming import batch_equiv, demo
 from ls_hadoop_3_0_spark.tables import EVENTS_SQL
@@ -564,7 +572,7 @@ def _stateful_oracle_sql() -> str:
     """
 
 
-@query("stream_batch_equiv_stateful", _stateful_oracle_sql())
+@query("stream_batch_equiv_stateful", _stateful_oracle_sql(), streaming_runtime=True)
 def stream_batch_equiv_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 equivalence audit: REAL transformWithStateInPandas vs batch twin.
 
@@ -644,7 +652,7 @@ def _stateful_ttl_oracle_sql() -> str:
     """
 
 
-@query("stream_batch_equiv_stateful_ttl", _stateful_ttl_oracle_sql())
+@query("stream_batch_equiv_stateful_ttl", _stateful_ttl_oracle_sql(), streaming_runtime=True)
 def stream_batch_equiv_stateful_ttl(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -762,7 +770,7 @@ def _stateful_et_oracle_sql() -> str:
     """
 
 
-@query("stream_batch_equiv_stateful_et", _stateful_et_oracle_sql())
+@query("stream_batch_equiv_stateful_et", _stateful_et_oracle_sql(), streaming_runtime=True)
 def stream_batch_equiv_stateful_et(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -954,7 +962,7 @@ def _session_et_oracle_sql() -> str:
     """
 
 
-@query("stream_batch_equiv_session_et", _session_et_oracle_sql())
+@query("stream_batch_equiv_session_et", _session_et_oracle_sql(), streaming_runtime=True)
 def stream_batch_equiv_session_et(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1255,7 +1263,7 @@ def _listmap_oracle_sql() -> str:
     """
 
 
-@query("stream_batch_equiv_stateful_listmap", _listmap_oracle_sql())
+@query("stream_batch_equiv_stateful_listmap", _listmap_oracle_sql(), streaming_runtime=True)
 def stream_batch_equiv_stateful_listmap(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1634,7 +1642,7 @@ def _datasink_oracle_sql() -> str:
     """
 
 
-@query("stream_python_datasink", _datasink_oracle_sql())
+@query("stream_python_datasink", _datasink_oracle_sql(), streaming_runtime=True)
 def stream_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-EXT custom STREAMING sink via ``DataSourceStreamWriter`` — the
     last Python-DataSource API leg (batch reader/writer and the stream
@@ -1774,7 +1782,7 @@ def stream_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_batch_equiv_stateful_rows", _stateful_oracle_sql())
+@query("stream_batch_equiv_stateful_rows", _stateful_oracle_sql(), streaming_runtime=True)
 def stream_batch_equiv_stateful_rows(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1874,7 +1882,7 @@ def _ijo_oracle_sql() -> str:
     """
 
 
-@query("stream_batch_equiv_interval_join_outer", _ijo_oracle_sql())
+@query("stream_batch_equiv_interval_join_outer", _ijo_oracle_sql(), streaming_runtime=True)
 def stream_batch_equiv_interval_join_outer(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1985,6 +1993,7 @@ def stream_batch_equiv_interval_join_outer(
         .trigger(processingTime="0 seconds")
         .start()
     )
+    got = 0
     try:
         deadline = time.time() + 180
         while time.time() < deadline:
@@ -1997,6 +2006,15 @@ def stream_batch_equiv_interval_join_outer(
     finally:
         q.stop()
         shutil.rmtree(base, ignore_errors=True)
+    if got < expected_rows:
+        # Surface a drain timeout DISTINCTLY (ADVICE r14): on a slow or
+        # steal-contaminated host the outer-row flush (which needs the
+        # post-drain no-data micro-batch) can miss the deadline — that is
+        # a timeout, not a parity failure, and must read as one.
+        raise RuntimeError(
+            f"stream did not drain: {got}/{expected_rows} rows in 180s "
+            f"(outer-join flush timeout, not a batch-parity mismatch)"
+        )
 
     s_dig = _digest(spark.table(name).filter(F.col("user_id") >= 0))
     b_dig = _digest(batch).select(
@@ -2073,7 +2091,7 @@ def _sdi_oracle_sql() -> str:
     """
 
 
-@query("stream_dedup_incremental", _sdi_oracle_sql())
+@query("stream_dedup_incremental", _sdi_oracle_sql(), streaming_runtime=True)
 def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-EXT × X2 continuous-crawl dedup: a STREAM of new documents
     probed against the FROZEN prior-snapshot index via stream-static
@@ -2189,9 +2207,20 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    q.stop()
-    shutil.rmtree(base, ignore_errors=True)
+    # try/finally (ADVICE r14): a StreamingQueryException or timeout must
+    # not leak the running query or the scratch dir, and a timeout must
+    # surface as a timeout — not degrade to a matches_batch=False parity
+    # failure with no diagnostic.
+    try:
+        drained = q.awaitTermination(180)
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+    if not drained:
+        raise RuntimeError(
+            "stream_dedup_incremental: availableNow drain did not finish "
+            "in 180s (drain timeout, not a batch-parity mismatch)"
+        )
 
     # update-mode sinks can re-emit a doc per micro-batch: keep the
     # final (max-struct) row per doc — split-invariant (r8 rule).

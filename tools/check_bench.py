@@ -31,14 +31,39 @@ ABS_FLOOR = 0.5  # absolute threshold floor, applied only when base < 0.5 s
 #: contaminated record whose focused min-of-2 re-measure is clean. Each
 #: entry is scoped to ONE artifact basename so future runs still gate the
 #: key — this records an adjudicated measurement, it never suppresses a
-#: key forever. Value = (clean focused min-of-2 seconds, provenance note).
-ADJUDICATIONS: dict[tuple[str, str], tuple[float, str]] = {
+#: key forever. Value = (clean focused min-of-2 seconds, committed file
+#: that records that measurement, verbatim quote from it — the quote is
+#: VERIFIED against the file before the adjudication applies, so the
+#: replacement number is machine-checkable, ADVICE r14).
+ADJUDICATIONS: dict[tuple[str, str], tuple[float, str, str]] = {
     ("BENCH_LOCAL_r13.json", "agg_approx_distinct_merge"): (
-        0.82,
-        "2026-08-16 focused min-of-2 during 13% /proc/stat steal window; "
-        "BASELINE.md r13 addendum + r13 judge re-measure (0.71x of base)",
+        1.15,
+        "BASELINE.md",
+        "`agg_approx_distinct_merge` 2.57 in-suite — focused\n"
+        "min-of-2 solo reads **1.15 s = 0.99× of its 1.16 baseline**",
     ),
 }
+
+
+def _adjudicated(path_base: str, key: str) -> tuple[float, str] | None:
+    """Return (clean seconds, note) if an adjudication exists for this
+    (artifact, key) AND its verbatim quote is present in the committed
+    source file — otherwise None (an unverifiable entry never applies)."""
+    entry = ADJUDICATIONS.get((path_base, key))
+    if entry is None:
+        return None
+    adj_sec, src_file, quote = entry
+    try:
+        with open(os.path.join(REPO, src_file)) as fh:
+            if quote not in fh.read():
+                print(
+                    f"ADJUD-UNVERIFIED {key}: quote not found in "
+                    f"{src_file}; adjudication ignored"
+                )
+                return None
+    except OSError:
+        return None
+    return adj_sec, f"{src_file}: {quote.splitlines()[-1].strip()}"
 
 
 def main() -> int:
@@ -67,7 +92,7 @@ def main() -> int:
             continue
         base, src = baselines[key]
         floor = ABS_FLOOR if base < ABS_FLOOR else 0.0
-        adj = ADJUDICATIONS.get((os.path.basename(path), key))
+        adj = _adjudicated(os.path.basename(path), key)
         if adj is not None and sec > 2.0 * base + floor:
             adj_sec, note = adj
             if adj_sec <= 2.0 * base + floor:
