@@ -397,6 +397,126 @@ def contamination_check_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Token-ID n-gram size for contamination_tokens. The learned BPE vocab
+#: here is near-character-grain (36 symbols + BPE_ROUNDS merges), so an
+#: 8-id window spans ~2 words — long enough that a match means a shared
+#: PHRASE fragment, short enough that every EVAL_SET phrase yields
+#: multiple windows.
+CONTAM_TOKEN_GRAM = 8
+
+
+def _id_grams_duck(src_ids: str, g: int) -> str:
+    """DuckDB: md5'd g-grams of a BIGINT-list column (space-joined id
+    serialization — unambiguous: ids are integers, ' ' never inside)."""
+    return (
+        f"list_transform(range(1, len({src_ids}) - {g - 2}),"
+        f" i -> md5(array_to_string({src_ids}[i : i + {g - 1}], ' ')))"
+    )
+
+
+def _contamination_tokens_sql() -> str:
+    from ls_hadoop_3_0_spark.functions.text import (
+        _BPE_WITH,
+        _DOC_IDS_SQL,
+        _SEG_IDS_SQL,
+        BPE_UNK_ID,
+    )
+
+    g = CONTAM_TOKEN_GRAM
+    return f"""
+    {_BPE_WITH},
+    {_SEG_IDS_SQL},
+    {_DOC_IDS_SQL},
+    bt AS (
+        SELECT bench_id, word, pos FROM (
+            SELECT bench_id, unnest(toks) AS word,
+                   unnest(generate_series(1, len(toks))) AS pos
+            FROM (SELECT bench_id, {_TOKS_SQL} AS toks
+                  FROM {_eval_values_sql()}))),
+    bwd AS (
+        SELECT bt.bench_id, bt.pos,
+               COALESCE(s.ids, [CAST({BPE_UNK_ID} AS BIGINT)]) AS ids
+        FROM bt LEFT JOIN segids s USING (word)),
+    bdd AS (
+        SELECT bench_id, flatten(list(ids ORDER BY pos)) AS allids
+        FROM bwd GROUP BY bench_id),
+    bgrams AS (
+        SELECT DISTINCT bench_id, unnest({_id_grams_duck('allids', g)}) AS gram
+        FROM bdd WHERE len(allids) >= {g}),
+    cgrams AS (
+        SELECT doc_id, unnest({_id_grams_duck('allids', g)}) AS gram
+        FROM dd WHERE len(allids) >= {g})
+    SELECT cgrams.doc_id,
+           CAST(COUNT(DISTINCT cgrams.gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT bgrams.bench_id) AS BIGINT) AS n_bench_docs
+    FROM cgrams JOIN bgrams ON cgrams.gram = bgrams.gram
+    GROUP BY cgrams.doc_id
+    """
+
+
+@query("contamination_tokens", _contamination_tokens_sql())
+def contamination_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 decontamination at TOKEN-ID grain (VERDICT r14 #2): eval
+    leakage is conventionally measured on tokenized n-grams, not raw
+    words — a contaminated doc that differs from the benchmark by
+    whitespace/casing artifacts still collides at id grain, and the
+    id stream is what the training pipeline actually consumes.
+
+    Both the corpus and the AUTHORED eval set (EVAL_SET — the
+    design-bounded side that makes the broadcast structurally correct,
+    per contamination_check_v2) encode under the SAME learned BPE
+    vocabulary (tokenizer_encode's encode shape: word stream joined to
+    the vocabulary-grain id table, OOV → one UNK id, per-key ordered
+    assembly). Grams are md5'd CONTAM_TOKEN_GRAM-id windows of the
+    space-joined id serialization. Output: per contaminated corpus doc,
+    distinct shared grams and distinct matched benchmark docs — the
+    contamination_check_v2 shape one representation level deeper.
+
+    At 100 TB: one corpus encode (dictionary join + per-doc assembly),
+    one gram explode filtered by a broadcast of a few hundred eval
+    grams BEFORE any shuffle, one aggregation. The eval side is bounded
+    by authorship, so the broadcast never grows with the corpus.
+    """
+    from ls_hadoop_3_0_spark.functions.text import (
+        _bpe_encode_ids,
+        _bpe_seg_ids,
+    )
+
+    prepare(spark)
+    g = CONTAM_TOKEN_GRAM
+    seg_ids = _bpe_seg_ids(spark, sf_dir).select("word", "ids")
+    docs = spread(
+        load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    )
+    gram_expr = (
+        f"transform(sequence(1, size(allids) - {g - 1}),"
+        f" i -> md5(array_join(slice(cast(allids as array<string>),"
+        f" i, {g}), ' ')))"
+    )
+    corp = (
+        _bpe_encode_ids(docs, seg_ids, "doc_id")
+        .filter(F.size("allids") >= g)
+        .select("doc_id", F.explode(F.expr(gram_expr)).alias("gram"))
+    )
+    bench_df = spark.createDataFrame(
+        list(EVAL_SET), "bench_id long, text string"
+    )
+    bench = (
+        _bpe_encode_ids(bench_df, seg_ids, "bench_id")
+        .filter(F.size("allids") >= g)
+        .select("bench_id", F.explode(F.expr(gram_expr)).alias("gram"))
+        .distinct()
+    )
+    return (
+        corp.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_shared_grams"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
 #: Repetition-filter gram sizes and flag thresholds (Gopher-style: top
 #: n-gram fraction for short grams, duplicate n-gram fraction for long
 #: ones — Rae et al. 2021 measure character fractions; we use token-
