@@ -103,66 +103,74 @@ def _is_en_rule_spark() -> F.Column:
     return ((en >= others) & (en > 0)).cast("int")
 
 
-def _qc_sparse_sql() -> str:
-    """DuckDB CTEs ``nd`` (doc_id, n, y) and ``sx`` (doc_id, b, qx):
-    the quantized sparse feature stream + one bias row per doc."""
+def _qc_sparse_sql(doc_pred: str = "TRUE", p: str = "") -> str:
+    """DuckDB CTEs ``{p}nd`` (doc_id, n, y) and ``{p}sx`` (doc_id, b,
+    qx): the quantized sparse feature stream + one bias row per doc,
+    over the ``doc_pred``-restricted corpus slice (r15: the streaming
+    gate trains on the PRIOR slice and scores the NEW one — two
+    prefixed instantiations of the same chain)."""
     return f"""
-    cnt AS (
+    {p}cnt AS (
         SELECT doc_id, {_FH_U24} % {FEATURE_DIM} AS bucket,
                CAST(COUNT(*) AS BIGINT) AS c
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-              FROM documents)
+              FROM documents WHERE {doc_pred})
         WHERE word <> ''
         GROUP BY doc_id, bucket
     ),
-    nd AS MATERIALIZED (
+    {p}nd AS MATERIALIZED (
         SELECT t.doc_id, t.n, d.y
         FROM (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
-              FROM cnt GROUP BY doc_id) t
+              FROM {p}cnt GROUP BY doc_id) t
         JOIN (SELECT doc_id, {_is_en_rule_duck()} AS y
               FROM (SELECT doc_id,
                            list_filter(string_split(text, ' '),
                                        t -> t <> '') AS toks
-                    FROM documents)) d
+                    FROM documents WHERE {doc_pred})) d
           ON d.doc_id = t.doc_id
     ),
-    sx AS MATERIALIZED (
-        SELECT cnt.doc_id, cnt.bucket + 1 AS b,
+    {p}sx AS MATERIALIZED (
+        SELECT {p}cnt.doc_id, {p}cnt.bucket + 1 AS b,
                CAST(round(CAST(c * {FEATURE_DIM} AS DOUBLE)
                           / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS qx
-        FROM cnt JOIN nd USING (doc_id)
+        FROM {p}cnt JOIN {p}nd USING (doc_id)
         UNION ALL
-        SELECT doc_id, {QC_D} AS b, CAST(1000000 AS BIGINT) AS qx FROM nd
+        SELECT doc_id, {QC_D} AS b, CAST(1000000 AS BIGINT) AS qx
+        FROM {p}nd
     )"""
 
 
-def _qc_chain_sql() -> str:
-    """The unrolled two-pass chain: sparse features -> class counts ->
-    quantized class-mean-diff weights (pass 1) -> margin-midpoint
-    threshold (pass 2) -> scored docs CTE ``sc`` = (doc_id, y, qp)."""
-    return f"""{_qc_sparse_sql()},
-    nn AS MATERIALIZED (
+def _qc_train_sql(p: str = "", d: int = QC_D) -> str:
+    """Training CTEs ``nn/gq/wq/mg/tq`` over the ``{p}nd``/``{p}sx``
+    feature stream: class counts -> quantized class-mean-diff weights
+    (pass 1) -> margin-midpoint threshold (pass 2)."""
+    return f"""nn AS MATERIALIZED (
         SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
                CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
-        FROM nd),
+        FROM {p}nd),
     gq AS (
         SELECT b,
                SUM(CASE WHEN y = 1 THEN qx ELSE 0 END) AS s1,
                SUM(CASE WHEN y = 0 THEN qx ELSE 0 END) AS s0
-        FROM sx JOIN nd USING (doc_id)
+        FROM {p}sx JOIN {p}nd USING (doc_id)
         GROUP BY b),
     wq AS MATERIALIZED (
-        SELECT b,
+        -- complete over ALL buckets 1..QC_D (r15): when the SCORED
+        -- slice differs from the training slice, buckets unseen in
+        -- training must carry weight 0 (the Spark literal array's
+        -- semantics), not vanish from the margin join.
+        SELECT t.b,
                CASE WHEN n1 > 0 AND n0 > 0
-               THEN CAST(round(CAST(s1 AS DOUBLE) / n1
-                               - CAST(s0 AS DOUBLE) / n0) AS BIGINT)
+               THEN COALESCE(CAST(round(CAST(s1 AS DOUBLE) / n1
+                                  - CAST(s0 AS DOUBLE) / n0) AS BIGINT),
+                             CAST(0 AS BIGINT))
                ELSE CAST(0 AS BIGINT) END AS qw
-        FROM gq, nn),
+        FROM generate_series(1, {d}) t(b) LEFT JOIN gq USING (b), nn),
     mg AS MATERIALIZED (
         SELECT doc_id,
                CAST(SUM(CAST(round(CAST(qw * qx AS DOUBLE) / 1e6)
                              AS BIGINT)) AS BIGINT) AS qm
-        FROM sx JOIN wq USING (b)
+        FROM {p}sx JOIN wq USING (b)
         GROUP BY doc_id),
     tq AS MATERIALIZED (
         SELECT CASE WHEN n1 > 0 AND n0 > 0
@@ -172,7 +180,14 @@ def _qc_chain_sql() -> str:
                ELSE CAST(0 AS BIGINT) END AS qt
         FROM (SELECT SUM(CASE WHEN y = 1 THEN qm ELSE 0 END) AS t1,
                      SUM(CASE WHEN y = 0 THEN qm ELSE 0 END) AS t0
-              FROM mg JOIN nd USING (doc_id)), nn),
+              FROM mg JOIN {p}nd USING (doc_id)), nn)"""
+
+
+def _qc_chain_sql() -> str:
+    """The unrolled two-pass chain: sparse features -> training passes
+    -> scored docs CTE ``sc`` = (doc_id, y, qp)."""
+    return f"""{_qc_sparse_sql()},
+    {_qc_train_sql()},
     sc AS MATERIALIZED (
         SELECT doc_id, y,
                CAST(round(({_SIG_DUCK}) * 1e6) AS BIGINT) AS qp
@@ -207,13 +222,18 @@ QUALITY_CLASSIFIER_EVAL_SQL = f"""
 """
 
 
-def _qc_sparse(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _qc_sparse(
+    spark: SparkSession, sf_dir: str, doc_pred: str | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(nd, sx): per-doc (n, y) and the quantized sparse feature stream
     (doc_id, b in 1..QC_D, qx) including the bias row. Both lazily
-    checkpointed — the compute-once inputs of both passes + scoring."""
+    checkpointed — the compute-once inputs of both passes + scoring.
+    ``doc_pred`` (r15) restricts the corpus slice."""
     docs = spread(
         load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
     )
+    if doc_pred is not None:
+        docs = docs.filter(F.expr(doc_pred))
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -253,17 +273,42 @@ def _qc_sparse(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return nd, sx
 
 
-def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, y, qp): scores under the trained+calibrated model as
-    exact scaled longs (empty corpus -> empty frame, both engines)."""
-    nd, sx = _qc_sparse(spark, sf_dir)
+def _qc_margins(sx: DataFrame, qw: list[int]) -> DataFrame:
+    """(doc_id, qm): per-doc quantized margins under weight vector qw —
+    per-term quantized sparse dot, an INTEGER sum (associative by
+    construction)."""
+    wlq = F.array(*[F.lit(q).cast("long") for q in qw])
+    term = (
+        F.round(
+            (F.element_at(wlq, F.col("b")) * F.col("qx")).cast("double")
+            / F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("t")
+    )
+    return (
+        sx.select("doc_id", term)
+        .groupBy("doc_id")
+        .agg(F.sum("t").alias("qm"))
+    )
+
+
+def _qc_fit(
+    nd: DataFrame, sx: DataFrame, d: int = QC_D
+) -> tuple[list[int], int, DataFrame]:
+    """(qw, qt, mg): the two exact training passes over (nd, sx) —
+    class-mean-difference weights, margin-midpoint threshold, and the
+    TRAINING docs' margins (reused by _qc_scored where train == score
+    set). Factored out (r15) so the streaming gate can freeze a model
+    fit on the PRIOR slice only."""
     counts = nd.agg(
         F.sum((F.col("y") == 1).cast("long")).alias("n1"),
         F.sum((F.col("y") == 0).cast("long")).alias("n0"),
     ).collect()[0]
     n1, n0 = int(counts["n1"] or 0), int(counts["n0"] or 0)
 
-    qw = [0] * QC_D
+    qw = [0] * d
     if n1 > 0 and n0 > 0:
         # pass 1: class-mean difference, rounded ENGINE-side per bucket
         sums = (
@@ -288,24 +333,7 @@ def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         for row in sums:
             qw[row["b"] - 1] = int(row["qd"])
 
-    # margins: per-term quantized sparse dot — an INTEGER sum, so the
-    # corpus-order-dependent aggregation is associative by construction
-    wlq = F.array(*[F.lit(q).cast("long") for q in qw])
-    term = (
-        F.round(
-            (F.element_at(wlq, F.col("b")) * F.col("qx")).cast("double")
-            / F.lit(1e6),
-            0,
-        )
-        .cast("long")
-        .alias("t")
-    )
-    mg = (
-        sx.select("doc_id", term)
-        .groupBy("doc_id")
-        .agg(F.sum("t").alias("qm"))
-        .localCheckpoint(eager=False)
-    )
+    mg = _qc_margins(sx, qw).localCheckpoint(eager=False)
 
     qt = 0
     if n1 > 0 and n0 > 0:
@@ -331,7 +359,14 @@ def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         qt = int(trow["qt"])
+    return qw, qt, mg
 
+
+def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, y, qp): scores under the trained+calibrated model as
+    exact scaled longs (empty corpus -> empty frame, both engines)."""
+    nd, sx = _qc_sparse(spark, sf_dir)
+    qw, qt, mg = _qc_fit(nd, sx)
     z = (F.col("qm") - F.lit(qt)).cast("double") / F.lit(1e6)
     return (
         mg.join(nd.select("doc_id", "y"), "doc_id")
@@ -370,6 +405,299 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the knn_recall pattern applied to the classifier)."""
     prepare(spark)
     sc = _qc_scored(spark, sf_dir)
+    pred = (F.col("qp") >= 500000).cast("int")
+    out = sc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("y") == 1) & (pred == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("y") == 0) & (pred == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("y") == 1) & (pred == 0)).cast("long")).alias("fn"),
+        F.sum(((F.col("y") == 0) & (pred == 0)).cast("long")).alias("tn"),
+        (
+            F.sum((F.col("y") == pred).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
+    )
+    return out.filter(F.col("n") > 0)
+
+
+# --------------------------------------------------------------------------
+# quality_classifier_v2 (r15, VERDICT r14 #5): richer features — three
+# hashed families instead of one. fasttext-class quality gates hash word
+# unigrams + word bigrams + char-ngrams; v2 adds the latter two as
+# additional FEATURE_DIM-bucket blocks with per-family L1 normalization,
+# and the training passes are UNCHANGED (the estimator is
+# feature-agnostic — exactly the property the sparse scaled-long design
+# bought).
+
+QC2_D = 3 * FEATURE_DIM + 1  #: unigram | bigram | char-3-gram | bias
+
+_QC2_GRAM_U24 = "(" + __import__(
+    "ls_hadoop_3_0_spark.operators.sort", fromlist=["_u24_expr"]
+)._u24_expr("gram") + ")"
+
+
+def _qc2_sparse_sql() -> str:
+    """DuckDB CTEs ``v2nd``/``v2sx``: the three-family quantized sparse
+    stream. Char-3-grams are extracted at VOCABULARY grain (the r11
+    class-collapse rule: grams are a function of the WORD) and joined
+    back to the corpus word stream; bigrams explode map-side from
+    adjacent-token zips."""
+    return f"""
+    tok2 AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+        WHERE word <> ''
+    ),
+    cnta AS (
+        SELECT doc_id, {_FH_U24} % {FEATURE_DIM} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok2 GROUP BY doc_id, bucket
+    ),
+    na AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+           FROM cnta GROUP BY doc_id),
+    tarr AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             FROM documents),
+    bg AS (
+        SELECT doc_id, l || ' ' || r AS gram
+        FROM (SELECT doc_id, unnest(t[1:len(t)-1]) AS l,
+                     unnest(t[2:len(t)]) AS r
+              FROM tarr WHERE len(t) >= 2)
+    ),
+    cntb AS (
+        SELECT doc_id, {_QC2_GRAM_U24} % {FEATURE_DIM} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM bg GROUP BY doc_id, bucket
+    ),
+    nb AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+           FROM cntb GROUP BY doc_id),
+    vw AS (SELECT DISTINCT word FROM tok2 WHERE length(word) >= 3),
+    cg AS (
+        SELECT word, substring(word, i, 3) AS gram
+        FROM (SELECT word, unnest(generate_series(1, length(word) - 2)) AS i
+              FROM vw)
+    ),
+    wgb AS (
+        SELECT word, {_QC2_GRAM_U24} % {FEATURE_DIM} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS wc
+        FROM cg GROUP BY word, bucket
+    ),
+    cntc AS (
+        SELECT doc_id, bucket, CAST(SUM(wc) AS BIGINT) AS c
+        FROM tok2 JOIN wgb USING (word)
+        GROUP BY doc_id, bucket
+    ),
+    nc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+           FROM cntc GROUP BY doc_id),
+    v2nd AS MATERIALIZED (
+        SELECT na.doc_id, na.n, d.y
+        FROM na
+        JOIN (SELECT doc_id, {_is_en_rule_duck()} AS y
+              FROM (SELECT doc_id,
+                           list_filter(string_split(text, ' '),
+                                       t -> t <> '') AS toks
+                    FROM documents)) d
+          ON d.doc_id = na.doc_id
+    ),
+    v2sx AS MATERIALIZED (
+        SELECT cnta.doc_id, cnta.bucket + 1 AS b,
+               CAST(round(CAST(c * {FEATURE_DIM} AS DOUBLE)
+                          / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS qx
+        FROM cnta JOIN na USING (doc_id)
+        UNION ALL
+        SELECT cntb.doc_id, cntb.bucket + {FEATURE_DIM + 1} AS b,
+               CAST(round(CAST(c * {FEATURE_DIM} AS DOUBLE)
+                          / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS qx
+        FROM cntb JOIN nb USING (doc_id)
+        UNION ALL
+        SELECT cntc.doc_id, cntc.bucket + {2 * FEATURE_DIM + 1} AS b,
+               CAST(round(CAST(c * {FEATURE_DIM} AS DOUBLE)
+                          / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS qx
+        FROM cntc JOIN nc USING (doc_id)
+        UNION ALL
+        SELECT doc_id, {QC2_D} AS b, CAST(1000000 AS BIGINT) AS qx
+        FROM v2nd
+    )"""
+
+
+def _qc2_chain_sql() -> str:
+    return f"""{_qc2_sparse_sql()},
+    {_qc_train_sql("v2", d=QC2_D)},
+    sc AS MATERIALIZED (
+        SELECT doc_id, y,
+               CAST(round(({_SIG_DUCK}) * 1e6) AS BIGINT) AS qp
+        FROM (SELECT mg.doc_id, v2nd.y,
+                     CAST(qm - qt AS DOUBLE) / 1e6 AS z
+              FROM mg JOIN v2nd USING (doc_id), tq))"""
+
+
+QUALITY_CLASSIFIER_V2_SQL = f"""
+    WITH {_qc2_chain_sql()}
+    SELECT doc_id, CAST(y AS INT) AS y,
+           CAST(qp AS DOUBLE) / 1e6 AS score,
+           CAST(CASE WHEN qp >= 500000 THEN 1 ELSE 0 END AS INT) AS pred
+    FROM sc
+"""
+
+QUALITY_CLASSIFIER_EVAL_V2_SQL = f"""
+    WITH {_qc2_chain_sql()}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN y = 1 AND qp >= 500000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN y = 0 AND qp >= 500000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN y = 1 AND qp < 500000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN y = 0 AND qp < 500000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           CAST(SUM(CASE WHEN (y = 1) = (qp >= 500000) THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM sc
+    GROUP BY ALL HAVING COUNT(*) > 0
+"""
+
+
+def _qc2_sparse(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(nd, sx) for the three-family feature space (b in 1..QC2_D)."""
+    docs = spread(
+        load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    )
+    gram_u24 = F.expr(_QC2_GRAM_U24)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+
+    cnt_a = (
+        tok.select("doc_id", (F.expr(_FH_U24) % FEATURE_DIM).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_a = cnt_a.groupBy("doc_id").agg(F.sum("c").alias("n"))
+
+    # family B: word bigrams — map-side slice/zip (no lambda HOF, no
+    # shuffle before the (doc, bucket) combine)
+    tarr = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("t"),
+    ).filter(F.size("t") >= 2)
+    bg = (
+        tarr.withColumn("la", F.expr("slice(t, 1, size(t) - 1)"))
+        .withColumn("ra", F.expr("slice(t, 2, size(t) - 1)"))
+        .select("doc_id", F.explode(F.arrays_zip("la", "ra")).alias("p"))
+        .select(
+            "doc_id",
+            F.concat(F.col("p.la"), F.lit(" "), F.col("p.ra")).alias("gram"),
+        )
+    )
+    cnt_b = (
+        bg.select("doc_id", (gram_u24 % FEATURE_DIM).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_b = cnt_b.groupBy("doc_id").agg(F.sum("c").alias("n"))
+
+    # family C: char-3-grams, extracted at VOCABULARY grain (a gram is
+    # a function of the WORD — the r11 class-collapse rule; the corpus
+    # never pays the per-token substring explode) and joined back
+    vw = tok.select("word").distinct().filter(F.length("word") >= 3)
+    cg = vw.select(
+        "word",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 2),"
+                " i -> substring(word, i, 3))"
+            )
+        ).alias("gram"),
+    )
+    wgb = (
+        cg.select("word", (gram_u24 % FEATURE_DIM).alias("bucket"))
+        .groupBy("word", "bucket")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    cnt_c = (
+        tok.join(wgb, "word")
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("wc").alias("c"))
+    )
+    n_c = cnt_c.groupBy("doc_id").agg(F.sum("c").alias("n"))
+
+    y = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("toks"),
+    ).select("doc_id", _is_en_rule_spark().alias("y"))
+    nd = n_a.join(y, "doc_id").localCheckpoint(eager=False)
+
+    def fam(cnt: DataFrame, n: DataFrame, off: int) -> DataFrame:
+        qx = F.round(
+            (F.col("c") * FEATURE_DIM).cast("double")
+            / F.col("n").cast("double")
+            * F.lit(1e6),
+            0,
+        ).cast("long")
+        return cnt.join(n, "doc_id").select(
+            "doc_id", (F.col("bucket") + off).alias("b"), qx.alias("qx")
+        )
+
+    sx = (
+        fam(cnt_a, n_a, 1)
+        .unionAll(fam(cnt_b, n_b, FEATURE_DIM + 1))
+        .unionAll(fam(cnt_c, n_c, 2 * FEATURE_DIM + 1))
+        .unionAll(
+            nd.select(
+                "doc_id",
+                F.lit(QC2_D).alias("b"),
+                F.lit(1_000_000).cast("long").alias("qx"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    return nd, sx
+
+
+def _qc2_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nd, sx = _qc2_sparse(spark, sf_dir)
+    qw, qt, mg = _qc_fit(nd, sx, d=QC2_D)
+    z = (F.col("qm") - F.lit(qt)).cast("double") / F.lit(1e6)
+    return (
+        mg.join(nd.select("doc_id", "y"), "doc_id")
+        .withColumn("z", z)
+        .select(
+            "doc_id",
+            F.col("y").cast("int").alias("y"),
+            F.round(F.expr(_SIG_SPARK) * F.lit(1e6), 0).cast("long").alias("qp"),
+        )
+    )
+
+
+@query("quality_classifier_v2", QUALITY_CLASSIFIER_V2_SQL)
+def quality_classifier_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-EXT learned classifier, richer features: hashed word unigrams
+    + word bigrams + char-3-grams (three FEATURE_DIM blocks, per-family
+    L1 normalization, bias) — the fasttext feature recipe. Training is
+    the UNCHANGED closed-form discriminant (same two exact passes, just
+    a wider sparse stream); char-grams are extracted at vocabulary
+    grain and joined back, so the corpus pays one dictionary join, not
+    a per-token substring explode. Measured accuracy delta vs v1 is
+    stamped per-round by quality_classifier_eval_v2."""
+    prepare(spark)
+    return _qc2_scored(spark, sf_dir).select(
+        "doc_id",
+        "y",
+        (F.col("qp").cast("double") / F.lit(1e6)).alias("score"),
+        (F.col("qp") >= 500000).cast("int").alias("pred"),
+    )
+
+
+@query("quality_classifier_eval_v2", QUALITY_CLASSIFIER_EVAL_V2_SQL)
+def quality_classifier_eval_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-EXT confusion audit of quality_classifier_v2 — the per-round
+    stamp of what the added bigram/char-gram families buy over v1's
+    0.85 (an honest no-improvement result is a result)."""
+    prepare(spark)
+    sc = _qc2_scored(spark, sf_dir)
     pred = (F.col("qp") >= 500000).cast("int")
     out = sc.agg(
         F.count(F.lit(1)).alias("n"),

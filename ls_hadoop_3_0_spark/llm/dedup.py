@@ -2919,3 +2919,238 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sh_docs"), F.sum(sh_u24).alias("sh_u24")
     )
     return ca.crossJoin(ba).crossJoin(sa)
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_incremental (r15, VERDICT r14 #8): the dedup_incremental
+# recipe applied to VECTORS — a new vec_id slice probed against a FROZEN
+# prior embedding index (exact (label, u)-class keys + (label, LSH
+# bucket) blocks + unit vectors), all three prior-side joins against
+# bucketed tables.
+
+EMB_INCR_PRIOR_PRED = "vec_id % 10 < 8"
+EMB_INCR_NEW_PRED = "vec_id % 10 >= 8"
+
+#: (sf tag) -> (exact_tbl, buckets_tbl, vecs_tbl). FROZEN by contract.
+_EMB_INCR_TABLES: dict[str, tuple[str, str, str]] = {}
+
+#: Engine-neutral exact-class key: md5 over (label, u quantized to the
+#: 1e-9 lattice). Raw double→string is NOT cross-engine (scientific-
+#: notation thresholds differ between Spark and DuckDB), so the exact
+#: class is DEFINED at the integer lattice — round(x*1e9)→BIGINT is the
+#: proven engine-identical quantization, and vectors 1e-9 apart are one
+#: exact class by contract (their cosine is 1.0 - O(1e-18) anyway).
+_EMB_CK_SPARK = (
+    "md5(concat_ws(',', coalesce(cast(label as string), 'n'),"
+    " array_join(transform(u, x -> cast(cast(round(x * 1e9) as bigint)"
+    " as string)), ',')))"
+)
+_EMB_CK_DUCK = (
+    "md5(COALESCE(CAST(label AS VARCHAR), 'n') || ',' ||"
+    " array_to_string(list_transform(u,"
+    " x -> CAST(CAST(round(x * 1e9) AS BIGINT) AS VARCHAR)), ','))"
+)
+
+#: Injective (label, bucket) block key — one column, because a
+#: co-partitioned bucket join needs the join key to BE the bucket
+#: column (the r14 bsig rule). ':' never occurs in a cast label
+#: (digits/minus/'n') or a bucket ('0'/'1' string).
+_EMB_LSIG_SPARK = "concat(coalesce(cast(label as string), 'n'), ':', {sig})"
+
+
+def emb_incremental_prior_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Materialize the FROZEN prior-snapshot embedding index
+    (once/process): ``exact`` (distinct class keys, bucketed by ck),
+    ``buckets`` ((lsig, vec_id) LSH block rows, bucketed by lsig),
+    ``vecs`` ((vec_id, u), bucketed by vec_id for the verify fetch).
+    Only the (much smaller) new slice ever shuffles at probe time."""
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir))
+        .replace(".", "_")
+        .replace("-", "_")
+    )
+    if tag in _EMB_INCR_TABLES:
+        return _EMB_INCR_TABLES[tag]
+    from ls_hadoop_3_0_spark.llm.embeddings import lsh_bucketed, normalized_embeddings_np
+    from ls_hadoop_3_0_spark.sources.io import run_scratch
+
+    prior = normalized_embeddings_np(
+        load(spark, sf_dir, "embeddings").filter(F.expr(EMB_INCR_PRIOR_PRED))
+    ).localCheckpoint(eager=False)
+    exact = prior.select(F.expr(_EMB_CK_SPARK).alias("ck")).distinct()
+    buckets = lsh_bucketed(prior).select(
+        F.expr(_EMB_LSIG_SPARK.format(sig="bucket")).alias("lsig"), "vec_id"
+    )
+    vecs = prior.select("vec_id", "u")
+    names = (
+        f"embi_exact_{tag}_{_INCR_RUN}",
+        f"embi_buckets_{tag}_{_INCR_RUN}",
+        f"embi_vecs_{tag}_{_INCR_RUN}",
+    )
+    for name, df, key, kind in (
+        (names[0], exact, "ck", "exact"),
+        (names[1], buckets, "lsig", "buckets"),
+        (names[2], vecs, "vec_id", "vecs"),
+    ):
+        path = run_scratch(
+            sf_dir,
+            f"{name}_data",
+            stem=f"embi_{kind}_{tag}_",
+            table=name,
+        )
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(INCR_BUCKETS, key)
+            .sortBy(key)
+            .option("path", path)
+            .saveAsTable(name)
+        )
+    _EMB_INCR_TABLES[tag] = names
+    return names
+
+
+def _emb_incremental_sql() -> str:
+    from ls_hadoop_3_0_spark.llm.embeddings import (
+        lsh_bucket_sql,
+        probe_signatures_sql,
+    )
+
+    lbl = "COALESCE(CAST({side}.label AS VARCHAR), 'n')"
+    return f"""
+    WITH e AS ({NORM_EMB_SQL}),
+    ep AS (SELECT * FROM e WHERE {EMB_INCR_PRIOR_PRED}),
+    en AS (SELECT * FROM e WHERE {EMB_INCR_NEW_PRED}),
+    bkp AS (SELECT vec_id, label, {lsh_bucket_sql()} AS bucket FROM ep),
+    bn AS (SELECT vec_id, label, {lsh_bucket_sql()} AS bucket FROM en),
+    prn AS (SELECT vec_id, label,
+                   unnest({probe_signatures_sql("bucket")}) AS sig
+            FROM bn),
+    cand AS (
+        SELECT DISTINCT n.vec_id AS nid, p.vec_id AS pid
+        FROM prn n JOIN bkp p
+          ON {lbl.format(side="n")} = {lbl.format(side="p")}
+         AND n.sig = p.bucket
+    ),
+    ver AS (
+        SELECT nid, CAST(COUNT(*) AS BIGINT) AS n_near, MAX(c) AS max_cosine
+        FROM (SELECT cand.nid, round({_DOT_UV_SQL}, 6) AS c
+              FROM cand
+              JOIN e a ON a.vec_id = cand.nid
+              JOIN e b ON b.vec_id = cand.pid) v
+        WHERE c >= {EMB_COSINE_T}
+        GROUP BY nid
+    ),
+    pck AS (SELECT DISTINCT {_EMB_CK_DUCK} AS ck FROM ep)
+    SELECT en.vec_id,
+           CAST(CASE WHEN {_EMB_CK_DUCK} IN (SELECT ck FROM pck)
+                     THEN 1 ELSE 0 END AS INT) AS exact_dup,
+           CAST(COALESCE(v.n_near, 0) AS BIGINT) AS n_near,
+           v.max_cosine AS max_cosine
+    FROM en LEFT JOIN ver v ON v.nid = en.vec_id
+    """
+
+
+@query("dedup_embedding_incremental", _emb_incremental_sql())
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X5-EXT incremental embedding dedup: flag each NEW vector
+    (vec_id % 10 >= 8) against the FROZEN prior snapshot — exact_dup
+    (its (label, u) class key, quantized to the engine-neutral 1e-9
+    lattice, already present), n_near / max_cosine (count / best of
+    cosine-verified (label, LSH-bucket ∪ 1-bit-probe) matches against
+    prior vectors, dedup_embedding's candidate contract and verify
+    fold).
+
+    Scale shape (dedup_incremental's posture, vector-typed): the prior
+    side is PROBED, never re-shuffled — the class-key lookup, the
+    (label, bucket) block collision (single injective ``lsig`` column,
+    the r14 bsig rule), and the unit-vector fetch by vec_id are merge
+    joins against bucketed tables whose scans carry the bucket hash as
+    output partitioning (no Exchange above any prior-side scan, pinned
+    in tests/test_r15_keys.py); only the increment shuffles. Verify is
+    restricted to block-collision candidates — never all-pairs.
+
+    At 100 TB: new embeddings arrive with every crawl; this is the
+    probe tier that decides near-dup membership against the standing
+    corpus without touching it, steady state paying increment-scale
+    compute (SCALE.md r15 rows).
+    """
+    prepare(spark)
+    from ls_hadoop_3_0_spark.llm.embeddings import (
+        lsh_bucketed,
+        normalized_embeddings_np,
+        probe_signatures,
+    )
+
+    t_exact, t_buckets, t_vecs = emb_incremental_prior_index(spark, sf_dir)
+    new = normalized_embeddings_np(
+        load(spark, sf_dir, "embeddings").filter(F.expr(EMB_INCR_NEW_PRED))
+    ).localCheckpoint(eager=False)
+
+    # exact arm: new class keys probed against the prior class index
+    marks = spark.table(t_exact).select("ck", F.lit(1).alias("hit"))
+    ex = (
+        new.select("vec_id", F.expr(_EMB_CK_SPARK).alias("ck"))
+        .join(marks.hint("merge"), "ck", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("int").alias("exact_dup"),
+        )
+    )
+
+    # near arm: new probe signatures against the prior block index
+    probes = (
+        lsh_bucketed(new)
+        .select(
+            F.col("vec_id").alias("nid"),
+            "label",
+            F.explode(probe_signatures("bucket")).alias("sig"),
+        )
+        .select("nid", F.expr(_EMB_LSIG_SPARK.format(sig="sig")).alias("lsig"))
+    )
+    cand = (
+        probes.join(spark.table(t_buckets).hint("merge"), "lsig")
+        .select("nid", F.col("vec_id").alias("pid"))
+        .distinct()
+    )
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(un, up, (x, y) -> x * y), 0D,"
+            " (acc, p) -> acc + p)"
+        ),
+        6,
+    )
+    # the new side grows with the corpus — shuffle_hash vetoes a static
+    # broadcast of the checkpointed increment (the r6/r8 rule)
+    ver = (
+        cand.join(
+            new.select(
+                F.col("vec_id").alias("nid"), F.col("u").alias("un")
+            ).hint("shuffle_hash"),
+            "nid",
+        )
+        .join(
+            spark.table(t_vecs)
+            .select(F.col("vec_id").alias("pid"), F.col("u").alias("up"))
+            .hint("merge"),
+            "pid",
+        )
+        .select("nid", cos.alias("c"))
+        .filter(F.col("c") >= EMB_COSINE_T)
+        .groupBy("nid")
+        .agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.max("c").alias("max_cosine"),
+        )
+    )
+    return (
+        ex.join(ver.withColumnRenamed("nid", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "exact_dup",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+            "max_cosine",
+        )
+    )

@@ -2264,3 +2264,203 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("rows_u24").eqNullSafe(F.col("b_u"))
         ).alias("matches_batch"),
     )
+
+
+# -- T-EXT × X-EXT: STREAMING quality gate before the incremental probe --
+
+def _sqi_oracle_sql() -> str:
+    """Batch twin of the streaming quality gate, digested: new docs
+    scored under the PRIOR-slice-trained frozen classifier, thresholded,
+    and the passing set probed against the prior exact-dedup index."""
+    from ls_hadoop_3_0_spark.llm.classifier import (
+        _SIG_DUCK,
+        _qc_sparse_sql,
+        _qc_train_sql,
+    )
+    from ls_hadoop_3_0_spark.llm.dedup import INCR_NEW_PRED, INCR_PRIOR_PRED
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    row = (
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(qp AS VARCHAR)"
+        " || '|' || CAST(pass AS VARCHAR) || '|' || CAST(dup AS VARCHAR)"
+    )
+    return f"""
+    WITH {_qc_sparse_sql(INCR_PRIOR_PRED, "p")},
+    {_qc_train_sql("p")},
+    {_qc_sparse_sql(INCR_NEW_PRED, "x")},
+    xmg AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(round(CAST(qw * qx AS DOUBLE) / 1e6)
+                             AS BIGINT)) AS BIGINT) AS qm
+        FROM xsx JOIN wq USING (b)
+        GROUP BY doc_id),
+    sc2 AS (
+        SELECT doc_id, CAST(round(({_SIG_DUCK}) * 1e6) AS BIGINT) AS qp
+        FROM (SELECT doc_id, CAST(qm - qt AS DOUBLE) / 1e6 AS z
+              FROM xmg, tq)),
+    pck AS (SELECT DISTINCT md5(text) AS ck FROM documents
+            WHERE {INCR_PRIOR_PRED}),
+    perdoc AS (
+        SELECT sc2.doc_id, sc2.qp,
+               CAST(CASE WHEN sc2.qp >= 500000 THEN 1 ELSE 0 END
+                    AS BIGINT) AS pass,
+               CAST(CASE WHEN sc2.qp >= 500000
+                          AND md5(d.text) IN (SELECT ck FROM pck)
+                         THEN 1 ELSE 0 END AS BIGINT) AS dup
+        FROM sc2 JOIN documents d ON d.doc_id = sc2.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(pass) AS BIGINT) AS n_pass,
+           CAST(SUM(dup) AS BIGINT) AS n_pass_dup,
+           CAST(SUM(qp) AS BIGINT) AS sum_qp,
+           CAST(SUM({_u24_expr(row)}) AS BIGINT) AS rows_u24,
+           TRUE AS matches_batch
+    FROM perdoc
+    """
+
+
+@query("stream_quality_incremental", _sqi_oracle_sql())
+def stream_quality_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-EXT × X-EXT continuous quality gate (VERDICT r14 #4): a stream
+    of NEW documents scored by the FROZEN classifier, thresholded, and
+    the passing set probed against the frozen prior exact-dedup index —
+    pipeline_curation_v4's gate stage as a continuous ingestion tier.
+
+    Mechanics: the model is fit batch-side on the PRIOR slice only
+    (quality_classifier's two exact passes; weights + threshold become
+    exact long literals — the frozen-model contract), and features are
+    computed AT INGEST: the staging write runs the codegen'd sparse
+    aggregation and ships per-doc (doc_id, ck, qm) — margins, not raw
+    text (the r14 streaming-HOF corollary: per-row feature HOFs are the
+    worst place in a stream; crawlers featurize when documents land).
+    The stream is then STATELESS end-to-end: an arithmetic squash +
+    threshold (the +,*,/,abs fast sigmoid — no state), one
+    stream-static join against the bucketed prior class index for the
+    exact-dup probe, append-mode sink. Digest = associative integer
+    sums; ``matches_batch`` is the real in-session comparison against
+    the batch twin over the same staged frame.
+
+    Scope note: the classifier's domain is docs with ≥1 token (the
+    quality_classifier contract) — tokenless docs never enter the
+    staged stream on either engine.
+
+    At 100 TB: per-arriving-doc cost is one hash-join probe + O(1)
+    arithmetic, no streaming state at all — strictly cheaper than the
+    stateful dedup stream it composes with.
+    """
+    import os
+    import shutil
+
+    prepare(spark)
+    from ls_hadoop_3_0_spark.llm.classifier import (
+        _SIG_SPARK,
+        _qc_fit,
+        _qc_margins,
+        _qc_sparse,
+    )
+    from ls_hadoop_3_0_spark.llm.dedup import (
+        INCR_NEW_PRED,
+        INCR_PRIOR_PRED,
+        incremental_prior_index,
+    )
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+    from ls_hadoop_3_0_spark.tables import load, spread
+
+    t_exact, _, _ = incremental_prior_index(spark, sf_dir)
+    nd_p, sx_p = _qc_sparse(spark, sf_dir, doc_pred=INCR_PRIOR_PRED)
+    qw, qt, _ = _qc_fit(nd_p, sx_p)  # FROZEN: prior slice only
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    base = f"/root/repo/.scratch/{tag}/stream_sqi_{uuid.uuid4().hex[:12]}"
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir, chk = f"{base}/data", f"{base}/chk"
+
+    # INGEST: featurize at the staging write (codegen'd sparse agg) —
+    # staged rows are (doc_id, ck, qm), many files for a parallel
+    # micro-batch.
+    nd_n, sx_n = _qc_sparse(spark, sf_dir, doc_pred=INCR_NEW_PRED)
+    mgn = _qc_margins(sx_n, qw)
+    ckdf = (
+        spread(load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet")
+        .filter(F.expr(INCR_NEW_PRED))
+        .select("doc_id", F.md5("text").alias("ck"))
+    )
+    staged = nd_n.select("doc_id").join(mgn, "doc_id").join(ckdf, "doc_id")
+    staged.repartition(32).write.mode("overwrite").parquet(data_dir)
+
+    def legs(src: DataFrame) -> DataFrame:
+        z = (F.col("qm") - F.lit(qt)).cast("double") / F.lit(1e6)
+        scored = src.withColumn("z", z).withColumn(
+            "qp", F.round(F.expr(_SIG_SPARK) * F.lit(1e6), 0).cast("long")
+        )
+        marks = spark.table(t_exact).select("ck", F.lit(1).alias("hit"))
+        return scored.join(marks, "ck", "left").select(
+            "doc_id",
+            "qp",
+            (F.col("qp") >= 500000).cast("long").alias("pass"),
+            (
+                (F.col("qp") >= 500000) & F.col("hit").isNotNull()
+            ).cast("long").alias("dup"),
+        )
+
+    stream = spark.readStream.schema(
+        "doc_id long, qm long, ck string"
+    ).parquet(data_dir)
+    name = f"sqi_{uuid.uuid4().hex[:12]}"
+    q = (
+        legs(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # stateless end-to-end: map + static join
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        drained = q.awaitTermination(180)
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+    if not drained:
+        raise RuntimeError(
+            "stream_quality_incremental: availableNow drain did not finish "
+            "in 180s (drain timeout, not a batch-parity mismatch)"
+        )
+
+    row_u24 = F.expr(
+        _u24_expr(
+            "concat(cast(doc_id as string), '|', cast(qp as string),"
+            " '|', cast(pass as string), '|', cast(dup as string))"
+        )
+    )
+
+    def _digest(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", "qp", "pass", "dup", row_u24.alias("u")).agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum("pass").alias("n_pass"),
+            F.sum("dup").alias("n_pass_dup"),
+            F.sum("qp").alias("sum_qp"),
+            F.sum("u").alias("rows_u24"),
+        )
+
+    s_dig = _digest(spark.table(name))
+    b_dig = _digest(legs(staged)).select(
+        F.col("n_new").alias("b_n"),
+        F.col("n_pass").alias("b_p"),
+        F.col("n_pass_dup").alias("b_d"),
+        F.col("sum_qp").alias("b_q"),
+        F.col("rows_u24").alias("b_u"),
+    )
+    return s_dig.crossJoin(b_dig).select(
+        "n_new",
+        "n_pass",
+        "n_pass_dup",
+        "sum_qp",
+        "rows_u24",
+        (
+            F.col("n_new").eqNullSafe(F.col("b_n"))
+            & F.col("n_pass").eqNullSafe(F.col("b_p"))
+            & F.col("n_pass_dup").eqNullSafe(F.col("b_d"))
+            & F.col("sum_qp").eqNullSafe(F.col("b_q"))
+            & F.col("rows_u24").eqNullSafe(F.col("b_u"))
+        ).alias("matches_batch"),
+    )
