@@ -406,11 +406,14 @@ CONTAM_TOKEN_GRAM = 8
 
 
 def _id_grams_duck(src_ids: str, g: int) -> str:
-    """DuckDB: md5'd g-grams of a BIGINT-list column (space-joined id
-    serialization — unambiguous: ids are integers, ' ' never inside)."""
+    """DuckDB: g-grams of a BIGINT-list column as space-joined id
+    strings (unambiguous: ids are integers, ' ' never inside). RAW
+    strings, not md5 — an 8-id gram is shorter than its 32-hex md5 and
+    the bench side is a broadcast, so hashing was pure overhead
+    (measured ~9% of the corpus gram stage at 100×)."""
     return (
         f"list_transform(range(1, len({src_ids}) - {g - 2}),"
-        f" i -> md5(array_to_string({src_ids}[i : i + {g - 1}], ' ')))"
+        f" i -> array_to_string({src_ids}[i : i + {g - 1}], ' '))"
     )
 
 
@@ -472,14 +475,21 @@ def contamination_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shared grams and distinct matched benchmark docs — the
     contamination_check_v2 shape one representation level deeper.
 
-    At 100 TB: one corpus encode (dictionary join + per-doc assembly),
-    one gram explode filtered by a broadcast of a few hundred eval
-    grams BEFORE any shuffle, one aggregation. The eval side is bounded
-    by authorship, so the broadcast never grows with the corpus.
+    At 100 TB: one corpus encode (dictionary join), the gram stream as
+    a LEAD window over the token-id stream — one doc-keyed sort, eight
+    codegen'd leads, no per-position array slices: the first cut built
+    each window with transform/slice/array_join and that interpreted
+    HOF alone cost ~70 s at the 100× replica (the r13 tax at token
+    grain) — filtered by a broadcast of a few hundred eval grams
+    BEFORE any shuffle, one aggregation. The eval side is bounded by
+    authorship, so the broadcast never grows with the corpus.
     """
+    from pyspark.sql import Window
+
     from ls_hadoop_3_0_spark.functions.text import (
         _bpe_encode_ids,
         _bpe_seg_ids,
+        BPE_UNK_ID,
     )
 
     prepare(spark)
@@ -488,15 +498,43 @@ def contamination_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(
         load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
     )
+    # Corpus gram stream WITHOUT assembling per-doc id arrays: the
+    # (pos, idx) order of the exploded word/id stream IS the document's
+    # id sequence, so lead() over it yields every g-id window.
+    ts = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(text, ' '), t -> t <> '')")
+        ).alias("pos", "word"),
+    )
+    tokstream = (
+        ts.join(seg_ids, "word", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.posexplode(
+                F.coalesce(
+                    F.col("ids"), F.array(F.lit(BPE_UNK_ID).cast("long"))
+                )
+            ).alias("idx", "id"),
+        )
+        .select("doc_id", "pos", "idx", F.col("id").cast("string").alias("s"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos", "idx")
+    gram_cols = [F.col("s")] + [F.lead("s", k).over(w) for k in range(1, g)]
+    corp = (
+        tokstream.select(
+            "doc_id",
+            F.concat_ws(" ", *gram_cols).alias("gram"),
+            F.lead("s", g - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())  # complete windows only
+        .drop("_last")
+    )
     gram_expr = (
         f"transform(sequence(1, size(allids) - {g - 1}),"
-        f" i -> md5(array_join(slice(cast(allids as array<string>),"
-        f" i, {g}), ' ')))"
-    )
-    corp = (
-        _bpe_encode_ids(docs, seg_ids, "doc_id")
-        .filter(F.size("allids") >= g)
-        .select("doc_id", F.explode(F.expr(gram_expr)).alias("gram"))
+        f" i -> array_join(slice(cast(allids as array<string>),"
+        f" i, {g}), ' '))"
     )
     bench_df = spark.createDataFrame(
         list(EVAL_SET), "bench_id long, text string"

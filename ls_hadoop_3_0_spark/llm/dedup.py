@@ -2957,15 +2957,41 @@ _EMB_CK_DUCK = (
 #: (digits/minus/'n') or a bucket ('0'/'1' string).
 _EMB_LSIG_SPARK = "concat(coalesce(cast(label as string), 'n'), ':', {sig})"
 
+#: Spark-INTERNAL exact class key (the r11 dedup_embedding key): md5 of
+#: the exact shortest-roundtrip (label, u) serialization. Members of a
+#: class have BIT-IDENTICAL u, so any class-grain cosine equals every
+#: member-grain cosine exactly — the property the index collapse below
+#: rides. Never oracle-compared (double→string is not cross-engine);
+#: the oracle-visible exact_dup semantic uses the lattice key above.
+_EMB_ECK_SPARK = (
+    "md5(concat_ws(',', coalesce(cast(label as string), 'n'),"
+    " array_join(transform(u, x -> cast(x as string)), ',')))"
+)
+
 
 def emb_incremental_prior_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, str, str]:
-    """Materialize the FROZEN prior-snapshot embedding index
-    (once/process): ``exact`` (distinct class keys, bucketed by ck),
-    ``buckets`` ((lsig, vec_id) LSH block rows, bucketed by lsig),
-    ``vecs`` ((vec_id, u), bucketed by vec_id for the verify fetch).
-    Only the (much smaller) new slice ever shuffles at probe time."""
+    """Materialize the FROZEN prior-snapshot embedding index at CLASS
+    grain (once/process).
+
+    The r10 class-collapse lesson applied to the INDEX LAYOUT: under
+    corpus replication every vector is copied R times, and a
+    member-grain index makes the new-side probe verify O(R²) candidate
+    pairs (measured: 166 s at the 100× replica before this collapse).
+    Classes are keyed by the EXACT (label, u) serialization
+    (bit-identical u within a class ⇒ class-grain cosine ≡ member-grain
+    cosine bitwise), so probing classes and weighting by member count
+    reproduces the member-grain oracle values exactly while candidate
+    volume stays linear in replication. Three bucketed+sorted tables:
+
+    - ``exact``:  distinct LATTICE class keys (the oracle-visible
+      exact-dup semantic), bucketed by ck;
+    - ``blocks``: one row per (prior class, LSH block) —
+      ``(lsig, cid, cnt)``, bucketed by lsig;
+    - ``cvecs``:  ``(cid, u)`` class-rep unit vectors, bucketed by cid
+      for the verify fetch.
+    """
     tag = (
         os.path.basename(os.path.normpath(sf_dir))
         .replace(".", "_")
@@ -2978,21 +3004,40 @@ def emb_incremental_prior_index(
 
     prior = normalized_embeddings_np(
         load(spark, sf_dir, "embeddings").filter(F.expr(EMB_INCR_PRIOR_PRED))
-    ).localCheckpoint(eager=False)
-    exact = prior.select(F.expr(_EMB_CK_SPARK).alias("ck")).distinct()
-    buckets = lsh_bucketed(prior).select(
-        F.expr(_EMB_LSIG_SPARK.format(sig="bucket")).alias("lsig"), "vec_id"
     )
-    vecs = prior.select("vec_id", "u")
+    cls = (
+        prior.select(F.expr(_EMB_ECK_SPARK).alias("cid"), "vec_id", "label", "u")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # one rep per class: min-vec_id member (label/u identical
+            # across the class by key construction)
+            F.min(F.struct("vec_id", "label", "u")).alias("s"),
+        )
+        .select(
+            "cid",
+            "cnt",
+            F.col("s.label").alias("label"),
+            F.col("s.u").alias("u"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    exact = cls.select(F.expr(_EMB_CK_SPARK).alias("ck")).distinct()
+    blocks = lsh_bucketed(cls).select(
+        F.expr(_EMB_LSIG_SPARK.format(sig="bucket")).alias("lsig"),
+        "cid",
+        "cnt",
+    )
+    cvecs = cls.select("cid", "u")
     names = (
         f"embi_exact_{tag}_{_INCR_RUN}",
-        f"embi_buckets_{tag}_{_INCR_RUN}",
-        f"embi_vecs_{tag}_{_INCR_RUN}",
+        f"embi_blocks_{tag}_{_INCR_RUN}",
+        f"embi_cvecs_{tag}_{_INCR_RUN}",
     )
     for name, df, key, kind in (
         (names[0], exact, "ck", "exact"),
-        (names[1], buckets, "lsig", "buckets"),
-        (names[2], vecs, "vec_id", "vecs"),
+        (names[1], blocks, "lsig", "blocks"),
+        (names[2], cvecs, "cid", "cvecs"),
     ):
         path = run_scratch(
             sf_dir,
@@ -3066,11 +3111,17 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (dedup_incremental's posture, vector-typed): the prior
     side is PROBED, never re-shuffled — the class-key lookup, the
     (label, bucket) block collision (single injective ``lsig`` column,
-    the r14 bsig rule), and the unit-vector fetch by vec_id are merge
+    the r14 bsig rule), and the unit-vector fetch by cid are merge
     joins against bucketed tables whose scans carry the bucket hash as
     output partitioning (no Exchange above any prior-side scan, pinned
     in tests/test_r15_keys.py); only the increment shuffles. Verify is
-    restricted to block-collision candidates — never all-pairs.
+    restricted to block-collision candidates — never all-pairs — and
+    runs at (new member × prior CLASS) grain with member counts as
+    weights: the r10 exact-class identity (bit-identical u within a
+    class ⇒ identical cosine) keeps the emitted values exactly the
+    member-grain oracle's while candidate volume stays LINEAR under
+    corpus replication (member-grain measured 166 s at the 100×
+    replica; class-grain ~6 s).
 
     At 100 TB: new embeddings arrive with every crawl; this is the
     probe tier that decides near-dup membership against the standing
@@ -3084,7 +3135,7 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_signatures,
     )
 
-    t_exact, t_buckets, t_vecs = emb_incremental_prior_index(spark, sf_dir)
+    t_exact, t_blocks, t_cvecs = emb_incremental_prior_index(spark, sf_dir)
     new = normalized_embeddings_np(
         load(spark, sf_dir, "embeddings").filter(F.expr(EMB_INCR_NEW_PRED))
     ).localCheckpoint(eager=False)
@@ -3100,7 +3151,11 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # near arm: new probe signatures against the prior block index
+    # near arm: new probe signatures against the prior CLASS-block index.
+    # No DISTINCT on candidates: a prior class owns exactly one bucket
+    # and the 1+N_PLANES probe signatures are pairwise distinct, so a
+    # (nid, cid) pair can match at most once — the dedup step the
+    # member-grain form needed is structurally impossible here.
     probes = (
         lsh_bucketed(new)
         .select(
@@ -3110,10 +3165,8 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("nid", F.expr(_EMB_LSIG_SPARK.format(sig="sig")).alias("lsig"))
     )
-    cand = (
-        probes.join(spark.table(t_buckets).hint("merge"), "lsig")
-        .select("nid", F.col("vec_id").alias("pid"))
-        .distinct()
+    cand = probes.join(spark.table(t_blocks).hint("merge"), "lsig").select(
+        "nid", "cid", "cnt"
     )
     cos = F.round(
         F.expr(
@@ -3132,16 +3185,16 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nid",
         )
         .join(
-            spark.table(t_vecs)
-            .select(F.col("vec_id").alias("pid"), F.col("u").alias("up"))
+            spark.table(t_cvecs)
+            .select("cid", F.col("u").alias("up"))
             .hint("merge"),
-            "pid",
+            "cid",
         )
-        .select("nid", cos.alias("c"))
+        .select("nid", "cnt", cos.alias("c"))
         .filter(F.col("c") >= EMB_COSINE_T)
         .groupBy("nid")
         .agg(
-            F.count(F.lit(1)).alias("n_near"),
+            F.sum("cnt").alias("n_near"),
             F.max("c").alias("max_cosine"),
         )
     )
