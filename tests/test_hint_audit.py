@@ -57,6 +57,7 @@ HINT_ALLOWANCE: dict[str, tuple[int, str]] = {
     "bm25_topk": (1, "doc frequencies of the fixed query terms"),
     "contamination_by_source": (1, "inherited: v2's authored eval-set grams"),
     "contamination_check_v2": (1, "benchmark eval-set grams (design-bounded)"),
+    "contamination_tokens": (1, "benchmark eval-set id-grams (design-bounded: authored EVAL_SET encoded under the learned vocab)"),
     "dedup_recall_v2": (
         5,
         "fixed-id panel grams/sizes/band-signatures; the r10 cap-guard "
@@ -65,6 +66,7 @@ HINT_ALLOWANCE: dict[str, tuple[int, str]] = {
     ),
     "doc_pack": (1, "per-partition prefix-sum offsets (metadata)"),
     "doc_pack_bpe": (1, "per-partition prefix-sum offsets (metadata)"),
+    "doc_pack_sequences": (1, "per-partition prefix-sum offsets (metadata)"),
     "pipeline_curation_v4": (1, "per-partition prefix-sum offsets (metadata, via doc_pack_bpe's packing stage)"),
     "embedding_norm_outliers": (1, "1-row norm stats"),
     "eval_confusion": (2, "k centroids + label stats (label vocabulary)"),
