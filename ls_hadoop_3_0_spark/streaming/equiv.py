@@ -2464,3 +2464,233 @@ def stream_quality_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("rows_u24").eqNullSafe(F.col("b_u"))
         ).alias("matches_batch"),
     )
+
+
+# -- T-EXT × X3: STREAMING ANN serving against the frozen IVF index ------
+
+def _sks_oracle_sql() -> str:
+    """Batch twin of the streaming ANN probe, digested per query: the
+    knn_ivf chain's scored-candidate stage (isc) reduced to per-query
+    associative sums — candidate count, max cosine, scaled cosine
+    mass, and the pair u24."""
+    from ls_hadoop_3_0_spark.llm.similarity import (
+        _ivf_idx_ctes,
+        _ivf_serve_ctes,
+    )
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+
+    pair_row = (
+        "CAST(q_id AS VARCHAR) || ':' || CAST(n_id AS VARCHAR) || ':' ||"
+        " CAST(CAST(round(cosine * 1e6) AS BIGINT) AS VARCHAR)"
+    )
+    return f"""
+    WITH {_ivf_idx_ctes()},
+    {_ivf_serve_ctes()}
+    SELECT q_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cand,
+           MAX(cosine) AS max_cosine,
+           CAST(SUM(CAST(round(cosine * 1e6) AS BIGINT)) AS BIGINT)
+               AS sum_cos_micro,
+           CAST(SUM({_u24_expr(pair_row)}) AS BIGINT) AS pairs_u24,
+           TRUE AS matches_batch
+    FROM isc
+    GROUP BY q_id
+    """
+
+
+@query("stream_knn_serve", _sks_oracle_sql())
+def stream_knn_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-EXT × X3 streaming ANN SERVING: a stream of query vectors
+    probed against the frozen materialized IVF index — the vector-
+    database serving tier as a structured stream.
+
+    Mechanics: the index is the knn_ivf_indexed on-disk artifact
+    (built once per process, cell-partitioned); each query's probe-cell
+    set is computed AT INGEST (the staging write runs the quantizer
+    dots — the r14 ingest-featurization rule — and ships one
+    (q_id, qu, cell) row per probed cell). The stream then stream-static
+    equi-joins the index on ``cell`` (STATELESS — the static side is
+    the frozen index; partition pruning applies per micro-batch), scores
+    candidates with the exact numpy left-fold INSIDE the stream via
+    ``mapInPandas`` (bit-identical to the oracle's list fold — the
+    interpreted-HOF corollary's production answer applied in-stream),
+    rounds ENGINE-side, and reduces in ONE streaming aggregation per
+    query (update mode; associative integer sums). The sink reduces
+    batch-side with max(struct(...)) per query (the r8 rule);
+    ``matches_batch`` is the real in-session comparison against the
+    batch twin running the same legs on the staged frame.
+
+    Scale: per-query cost is bounded by the probed cells
+    (O(N·nprobe/K) candidates — the IVF contract), queries stream at
+    request rate, and the index is read-only static state — exactly the
+    serving economics of a vector store's query tier.
+    """
+    import os
+    import shutil
+
+    import numpy as np
+
+    prepare(spark)
+    from ls_hadoop_3_0_spark.llm import similarity as S
+    from ls_hadoop_3_0_spark.llm.embeddings import normalized_embeddings
+    from ls_hadoop_3_0_spark.operators.sort import _u24_expr
+    from ls_hadoop_3_0_spark.tables import load
+
+    cents = np.asarray(S._ivf_train_np(spark, sf_dir), dtype=np.float64)
+    idx_path = S._ivf_index_build(spark, sf_dir, cents)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    base = f"/root/repo/.scratch/{tag}/stream_sks_{uuid.uuid4().hex[:12]}"
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir, chk = f"{base}/data", f"{base}/chk"
+
+    # INGEST: quantizer dots at the staging write — (q_id, qu, cell),
+    # one row per probed cell (the panel is the bounded query set).
+    panel_rows = sorted(
+        (int(r["vec_id"]), r["u"])
+        for r in normalized_embeddings(load(spark, sf_dir, "embeddings"))
+        .filter(F.expr(S.BOUNDED_PANEL_SQL))
+        .select("vec_id", "u")
+        .collect()
+    )
+    staged_py = []
+    if panel_rows:
+        QU = np.asarray([u for _, u in panel_rows], dtype=np.float64)
+        qdots = S._cdots_np(cents, QU)
+        for p, (qid, qu) in enumerate(panel_rows):
+            order = sorted(
+                range(S.IVF_K), key=lambda c: (-qdots[p, c], c)
+            )[: S.IVF_NPROBE]
+            for c in order:
+                staged_py.append((qid, list(qu), int(c)))
+    staged = spark.createDataFrame(
+        staged_py, "q_id long, qu array<double>, cell int"
+    )
+    staged.repartition(8).write.mode("overwrite").parquet(data_dir)
+
+    static_idx = spark.read.schema(
+        "vec_id long, u array<double>, cell int"
+    ).parquet(idx_path)
+
+    def legs(src: DataFrame) -> DataFrame:
+        joined = src.join(static_idx, "cell").filter(
+            F.col("vec_id") != F.col("q_id")
+        )
+
+        def _score(it):
+            import pandas as pd
+
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                QUb = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["qu"]]
+                )
+                U = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["u"]]
+                )
+                # rowwise exact left-fold (same op order as the oracle)
+                acc = QUb[:, 0] * U[:, 0]
+                for d in range(1, S.DIM):
+                    acc = acc + QUb[:, d] * U[:, d]
+                yield pd.DataFrame(
+                    {
+                        "q_id": pdf["q_id"].to_numpy(),
+                        "n_id": pdf["vec_id"].to_numpy(),
+                        "c_raw": acc,
+                    }
+                )
+
+        scored = joined.mapInPandas(
+            _score, "q_id long, n_id long, c_raw double"
+        ).select("q_id", "n_id", F.round("c_raw", 6).alias("cosine"))
+        pair_u24 = F.expr(
+            _u24_expr(
+                "concat(cast(q_id as string), ':', cast(n_id as string),"
+                " ':', cast(cast(round(cosine * 1e6) as bigint) as string))"
+            )
+        )
+        return (
+            scored.select(
+                "q_id",
+                "cosine",
+                F.expr("cast(round(cosine * 1e6) as bigint)").alias("cmu"),
+                pair_u24.alias("u"),
+            )
+            .groupBy("q_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_cand"),
+                F.max("cosine").alias("max_cosine"),
+                F.sum("cmu").alias("sum_cos_micro"),
+                F.sum("u").alias("pairs_u24"),
+            )
+        )
+
+    stream = spark.readStream.schema(
+        "q_id long, qu array<double>, cell int"
+    ).parquet(data_dir)
+    name = f"sks_{uuid.uuid4().hex[:12]}"
+    q = (
+        legs(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        drained = q.awaitTermination(180)
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+    if not drained:
+        raise RuntimeError(
+            "stream_knn_serve: availableNow drain did not finish in 180s "
+            "(drain timeout, not a batch-parity mismatch)"
+        )
+
+    # update-mode sinks can re-emit a query per micro-batch: keep the
+    # final (max-struct) row per q_id — counts/sums are monotone
+    # non-decreasing across partial emissions (r8 rule).
+    final = (
+        spark.table(name)
+        .groupBy("q_id")
+        .agg(
+            F.max(
+                F.struct("n_cand", "sum_cos_micro", "pairs_u24", "max_cosine")
+            ).alias("s")
+        )
+        .select(
+            "q_id",
+            F.col("s.n_cand").alias("n_cand"),
+            F.col("s.max_cosine").alias("max_cosine"),
+            F.col("s.sum_cos_micro").alias("sum_cos_micro"),
+            F.col("s.pairs_u24").alias("pairs_u24"),
+        )
+    )
+    b = legs(staged).select(
+        F.col("q_id").alias("b_q"),
+        F.col("n_cand").alias("b_n"),
+        F.col("max_cosine").alias("b_m"),
+        F.col("sum_cos_micro").alias("b_c"),
+        F.col("pairs_u24").alias("b_u"),
+    )
+    return (
+        final.join(b, final["q_id"] == b["b_q"], "full")
+        .select(
+            F.coalesce(F.col("q_id"), F.col("b_q")).alias("q_id"),
+            "n_cand",
+            "max_cosine",
+            "sum_cos_micro",
+            "pairs_u24",
+            (
+                F.col("q_id").isNotNull()
+                & F.col("b_q").isNotNull()
+                & F.col("n_cand").eqNullSafe(F.col("b_n"))
+                & F.col("max_cosine").eqNullSafe(F.col("b_m"))
+                & F.col("sum_cos_micro").eqNullSafe(F.col("b_c"))
+                & F.col("pairs_u24").eqNullSafe(F.col("b_u"))
+            ).alias("matches_batch"),
+        )
+    )

@@ -410,3 +410,25 @@ def test_classifier_v2_feature_blocks_disjoint(spark):
         | (F.col("m") > (FEATURE_DIM + 1) * 1_000_000)
     ).count()
     assert bad == 0, "per-family quantized mass must be ~DIM*1e6"
+
+
+# ---------------------------------------------------------------------------
+# stream_knn_serve
+
+
+def test_stream_knn_serve_matches_batch_per_query(spark):
+    """Every panel query's streamed digest equals the batch twin's, and
+    the candidate counts respect the IVF probe bound (only probed-cell
+    members can be scored)."""
+    from pyspark.sql import functions as F
+
+    from ls_hadoop_3_0_spark.llm import similarity as S
+    from ls_hadoop_3_0_spark.tables import load
+
+    out = QUERIES["stream_knn_serve"](spark, SF_DIR).collect()
+    assert out, "panel must produce per-query rows"
+    assert all(r["matches_batch"] for r in out)
+    n_corpus = load(spark, SF_DIR, "embeddings").count()
+    for r in out:
+        assert 0 < r["n_cand"] < n_corpus  # probed cells, never full scan
+        assert -1.000001 <= r["max_cosine"] <= 1.000001
