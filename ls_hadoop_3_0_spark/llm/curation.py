@@ -470,8 +470,10 @@ def contamination_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     per contamination_check_v2) encode under the SAME learned BPE
     vocabulary (tokenizer_encode's encode shape: word stream joined to
     the vocabulary-grain id table, OOV → one UNK id, per-key ordered
-    assembly). Grams are md5'd CONTAM_TOKEN_GRAM-id windows of the
-    space-joined id serialization. Output: per contaminated corpus doc,
+    assembly). Grams are raw space-joined CONTAM_TOKEN_GRAM-id strings —
+    NOT md5'd: hashing the gram key was measured as ~9% pure overhead
+    against the broadcast bench side (r15 negative result, see
+    _id_grams_duck). Output: per contaminated corpus doc,
     distinct shared grams and distinct matched benchmark docs — the
     contamination_check_v2 shape one representation level deeper.
 

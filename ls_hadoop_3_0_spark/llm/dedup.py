@@ -2635,6 +2635,10 @@ def incremental_prior_index(
         .replace("-", "_")
     )
     if tag in _INCR_TABLES:
+        from ls_hadoop_3_0_spark.sources.io import scratch, touch_heartbeat
+
+        for name in _INCR_TABLES[tag]:  # keep frozen dirs prune-safe
+            touch_heartbeat(scratch(sf_dir, f"{name}_data"))
         return _INCR_TABLES[tag]
     from ls_hadoop_3_0_spark.sources.io import run_scratch
 
@@ -2998,6 +3002,10 @@ def emb_incremental_prior_index(
         .replace("-", "_")
     )
     if tag in _EMB_INCR_TABLES:
+        from ls_hadoop_3_0_spark.sources.io import scratch, touch_heartbeat
+
+        for name in _EMB_INCR_TABLES[tag]:  # keep frozen dirs prune-safe
+            touch_heartbeat(scratch(sf_dir, f"{name}_data"))
         return _EMB_INCR_TABLES[tag]
     from ls_hadoop_3_0_spark.llm.embeddings import lsh_bucketed, normalized_embeddings_np
     from ls_hadoop_3_0_spark.sources.io import run_scratch

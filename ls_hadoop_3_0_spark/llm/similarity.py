@@ -2565,6 +2565,9 @@ def _ivf_compact_prior(spark: SparkSession, sf_dir: str):
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
     if tag in _IVF_COMPACT_PRIOR:
+        from ls_hadoop_3_0_spark.sources.io import touch_heartbeat
+
+        touch_heartbeat(_IVF_COMPACT_PRIOR[tag][0])  # prune-safety
         return _IVF_COMPACT_PRIOR[tag]
     cents = np.asarray(
         _ivf_train_np(spark, sf_dir, pred=IVF_INCR_PRIOR_PRED),

@@ -71,6 +71,36 @@ def _cleanup_run_artifacts() -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+#: Liveness marker inside a run_scratch dir. A frozen index dir's own
+#: mtime never advances after its one-time build even while the owning
+#: process keeps serving it from in-process caches (_IVF_COMPACT_PRIOR,
+#: _EMB_INCR_TABLES, _INCR_TABLES) — so the stale prune considers a dir
+#: live if EITHER the dir mtime OR its heartbeat file is fresh, and
+#: cache hits call touch_heartbeat() to keep long-lived sessions safe
+#: from a sibling process started >_STALE_SECONDS later (ADVICE r15).
+_HEARTBEAT = ".heartbeat"
+
+
+def touch_heartbeat(path: str) -> None:
+    """Refresh the liveness marker of a run_scratch dir (best-effort)."""
+    try:
+        hb = os.path.join(path, _HEARTBEAT)
+        with open(hb, "a"):
+            os.utime(hb, None)
+    except OSError:
+        pass
+
+
+def _last_alive(path: str) -> float:
+    """Most recent liveness signal: max(dir mtime, heartbeat mtime)."""
+    t = os.path.getmtime(path)
+    try:
+        t = max(t, os.path.getmtime(os.path.join(path, _HEARTBEAT)))
+    except OSError:
+        pass
+    return t
+
+
 def run_scratch(
     sf_dir: str, key: str, *, stem: str, table: str | None = None
 ) -> str:
@@ -78,8 +108,13 @@ def run_scratch(
 
     ``key`` is the full dir name (``{stem}{uuid...}``); ``stem`` is the
     process-independent prefix used to locate STALE siblings, which are
-    removed if older than ``_STALE_SECONDS``. The new path (and its
-    catalog ``table``, if any) is registered for atexit cleanup.
+    removed if older than ``_STALE_SECONDS`` (measured against the dir's
+    last liveness signal — see touch_heartbeat). The new path (and its
+    catalog ``table``, if any) is registered for atexit cleanup. When a
+    pruned sibling was a ``saveAsTable`` dir (name ends ``_data``), its
+    metastore entry is best-effort dropped too — otherwise catalog rows
+    pointing at deleted paths accumulate across hard-killed processes
+    (ADVICE r15, the metastore half of the r14 garbage issue).
     """
     global _CLEANUP_HOOKED
     import atexit
@@ -90,10 +125,26 @@ def run_scratch(
     path = scratch(sf_dir, key)
     parent = os.path.dirname(path)
     now = _time.time()
+    spark = None
     for p in _glob.glob(os.path.join(parent, stem) + "*"):
         if p != path:
             try:
-                if now - os.path.getmtime(p) > _STALE_SECONDS:
+                if now - _last_alive(p) > _STALE_SECONDS:
+                    base = os.path.basename(p)
+                    if base.endswith("_data"):
+                        if spark is None:
+                            try:
+                                spark = SparkSession.getActiveSession()
+                            except Exception:
+                                spark = False
+                        if spark:
+                            try:
+                                spark.sql(
+                                    "DROP TABLE IF EXISTS "
+                                    + base[: -len("_data")]
+                                )
+                            except Exception:
+                                pass
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass
