@@ -457,6 +457,56 @@ def _contamination_tokens_sql() -> str:
     """
 
 
+def _contam_token_gate_ctes(sfx: str, doc_src: str) -> str:
+    """Suffixed DuckDB CTE chain ending in ``contam{sfx}`` — the
+    DISTINCT doc_ids of ``doc_src`` sharing at least one
+    CONTAM_TOKEN_GRAM token-id gram with the authored eval set.
+
+    The decontamination GATE form of _contamination_tokens_sql (same
+    encode + gram shapes, reduced to an id set so a pipeline can
+    anti-join it). Requires ``segids`` (_SEG_IDS_SQL) in scope;
+    ``doc_src`` is a named CTE with (doc_id, text) — pass the NEW-slice
+    CTE so the oracle's cost mirrors the increment-scale plan.
+    """
+    from ls_hadoop_3_0_spark.functions.text import BPE_UNK_ID
+
+    g = CONTAM_TOKEN_GRAM
+    return f"""
+    bt{sfx} AS (
+        SELECT bench_id, word, pos FROM (
+            SELECT bench_id, unnest(toks) AS word,
+                   unnest(generate_series(1, len(toks))) AS pos
+            FROM (SELECT bench_id, {_TOKS_SQL} AS toks
+                  FROM {_eval_values_sql()}))),
+    bwd{sfx} AS (
+        SELECT b.bench_id, b.pos,
+               COALESCE(s.ids, [CAST({BPE_UNK_ID} AS BIGINT)]) AS ids
+        FROM bt{sfx} b LEFT JOIN segids s USING (word)),
+    bdd{sfx} AS (
+        SELECT bench_id, flatten(list(ids ORDER BY pos)) AS allids
+        FROM bwd{sfx} GROUP BY bench_id),
+    bgrams{sfx} AS (
+        SELECT DISTINCT unnest({_id_grams_duck('allids', g)}) AS gram
+        FROM bdd{sfx} WHERE len(allids) >= {g}),
+    dts{sfx} AS (
+        SELECT doc_id, word, pos FROM (
+            SELECT doc_id, unnest(toks) AS word,
+                   unnest(generate_series(1, len(toks))) AS pos
+            FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM {doc_src}))),
+    dwd{sfx} AS (
+        SELECT d.doc_id, d.pos,
+               COALESCE(s.ids, [CAST({BPE_UNK_ID} AS BIGINT)]) AS ids
+        FROM dts{sfx} d LEFT JOIN segids s USING (word)),
+    ddd{sfx} AS (
+        SELECT doc_id, flatten(list(ids ORDER BY pos)) AS allids
+        FROM dwd{sfx} GROUP BY doc_id),
+    contam{sfx} AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest({_id_grams_duck('allids', g)}) AS gram
+              FROM ddd{sfx} WHERE len(allids) >= {g}) cg{sfx}
+        JOIN bgrams{sfx} USING (gram))"""
+
+
 @query("contamination_tokens", _contamination_tokens_sql())
 def contamination_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 decontamination at TOKEN-ID grain (VERDICT r14 #2): eval
@@ -486,23 +536,42 @@ def contamination_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE any shuffle, one aggregation. The eval side is bounded by
     authorship, so the broadcast never grows with the corpus.
     """
-    from pyspark.sql import Window
-
-    from ls_hadoop_3_0_spark.functions.text import (
-        _bpe_encode_ids,
-        _bpe_seg_ids,
-        BPE_UNK_ID,
-    )
+    from ls_hadoop_3_0_spark.functions.text import _bpe_seg_ids
 
     prepare(spark)
-    g = CONTAM_TOKEN_GRAM
     seg_ids = _bpe_seg_ids(spark, sf_dir).select("word", "ids")
     docs = spread(
         load(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
     )
-    # Corpus gram stream WITHOUT assembling per-doc id arrays: the
-    # (pos, idx) order of the exploded word/id stream IS the document's
-    # id sequence, so lead() over it yields every g-id window.
+    corp = _token_gram_stream(docs, seg_ids)
+    bench = _bench_token_grams(spark, seg_ids)
+    return (
+        corp.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_shared_grams"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def _token_gram_stream(docs: DataFrame, seg_ids: DataFrame) -> DataFrame:
+    """(doc_id, gram): every CONTAM_TOKEN_GRAM-id window of each doc's
+    BPE id stream, as raw space-joined id strings.
+
+    Built WITHOUT assembling per-doc id arrays: the (pos, idx) order of
+    the exploded word/id stream IS the document's id sequence, so
+    lead() over it yields every g-id window — one doc-keyed window
+    sort, G-1 codegen'd leads, no per-position array slices (the r15
+    fix for the r13 interpreted-HOF tax at token grain, 67 → 30 s at
+    the 100× replica). Shared by contamination_tokens (full corpus)
+    and pipeline_curation_v5 (new slice only — increment-scale cost).
+    """
+    from pyspark.sql import Window
+
+    from ls_hadoop_3_0_spark.functions.text import BPE_UNK_ID
+
+    g = CONTAM_TOKEN_GRAM
     ts = docs.select(
         "doc_id",
         F.posexplode(
@@ -524,7 +593,7 @@ def contamination_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy("pos", "idx")
     gram_cols = [F.col("s")] + [F.lead("s", k).over(w) for k in range(1, g)]
-    corp = (
+    return (
         tokstream.select(
             "doc_id",
             F.concat_ws(" ", *gram_cols).alias("gram"),
@@ -533,6 +602,15 @@ def contamination_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_last").isNotNull())  # complete windows only
         .drop("_last")
     )
+
+
+def _bench_token_grams(spark: SparkSession, seg_ids: DataFrame) -> DataFrame:
+    """(bench_id, gram): distinct token-id grams of the AUTHORED eval
+    set — the design-bounded side every token-grain decontamination
+    broadcast hangs off."""
+    from ls_hadoop_3_0_spark.functions.text import _bpe_encode_ids
+
+    g = CONTAM_TOKEN_GRAM
     gram_expr = (
         f"transform(sequence(1, size(allids) - {g - 1}),"
         f" i -> array_join(slice(cast(allids as array<string>),"
@@ -541,19 +619,11 @@ def contamination_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_df = spark.createDataFrame(
         list(EVAL_SET), "bench_id long, text string"
     )
-    bench = (
+    return (
         _bpe_encode_ids(bench_df, seg_ids, "bench_id")
         .filter(F.size("allids") >= g)
         .select("bench_id", F.explode(F.expr(gram_expr)).alias("gram"))
         .distinct()
-    )
-    return (
-        corp.join(F.broadcast(bench), "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count_distinct("gram").alias("n_shared_grams"),
-            F.count_distinct("bench_id").alias("n_bench_docs"),
-        )
     )
 
 

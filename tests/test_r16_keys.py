@@ -85,6 +85,77 @@ def test_cache_hit_touches_heartbeats(spark):
         assert os.path.getmtime(hb) >= before - 1
 
 
+def test_pipeline_v5_is_v4_minus_contaminated(spark):
+    """pipeline_curation_v5 = v4 with the token-grain decontamination
+    gate: survivors are exactly v4's minus the new-slice docs sharing
+    an eval token-gram, and pack offsets are recomputed on the reduced
+    survivor set (a prefix over v5's own docs, not a filtered v4)."""
+    from tests.conftest import SF_DIR
+
+    from ls_hadoop_3_0_spark.functions.text import _bpe_seg_ids
+    from ls_hadoop_3_0_spark.llm.curation import (
+        _bench_token_grams,
+        _token_gram_stream,
+        contamination_tokens,
+    )
+    from ls_hadoop_3_0_spark.llm.dedup import INCR_NEW_PRED
+    from ls_hadoop_3_0_spark.llm.pipeline import (
+        pipeline_curation_v4,
+        pipeline_curation_v5,
+    )
+
+    v4 = {r.doc_id: r for r in pipeline_curation_v4(spark, SF_DIR).collect()}
+    v5 = {r.doc_id: r for r in pipeline_curation_v5(spark, SF_DIR).collect()}
+    contam = {
+        r.doc_id
+        for r in contamination_tokens(spark, SF_DIR)
+        .filter(INCR_NEW_PRED)
+        .collect()
+    }
+    assert set(v5) == set(v4) - contam
+    assert set(v4) & contam, "fixture has no leaked survivors — gate untested"
+    # per-doc stats survive unchanged; pack offsets are recomputed
+    for d, r in v5.items():
+        assert r.n_tokens == v4[d].n_tokens
+        assert r.score == v4[d].score
+    starts = sorted((r.pack_start, r.n_tokens) for r in v5.values())
+    pos = 0
+    for s, n in starts:
+        assert s == pos  # contiguous prefix over v5's own survivors
+        pos += n
+
+
+def test_token_gram_stream_matches_contamination_tokens(spark):
+    """The factored helpers reproduce contamination_tokens' exact
+    output (refactor guard)."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_DIR
+
+    from ls_hadoop_3_0_spark.functions.text import _bpe_seg_ids
+    from ls_hadoop_3_0_spark.llm.curation import (
+        _bench_token_grams,
+        _token_gram_stream,
+        contamination_tokens,
+    )
+    from ls_hadoop_3_0_spark.tables import load
+
+    seg = _bpe_seg_ids(spark, SF_DIR).select("word", "ids")
+    docs = load(spark, SF_DIR, "documents")
+    got = (
+        _token_gram_stream(docs, seg)
+        .join(F.broadcast(_bench_token_grams(spark, seg)), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_shared_grams"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, contamination_tokens(spark, SF_DIR).collect()))
+    assert a == b
+
+
 def test_stale_saveastable_dir_drops_metastore_entry(hb_parent, spark):
     """Pruning a hard-killed sibling's saveAsTable dir also drops its
     catalog entry (ADVICE r15: the metastore half of the r14 garbage)."""
