@@ -68,6 +68,12 @@ HINT_ALLOWANCE: dict[str, tuple[int, str]] = {
     "doc_pack_bpe": (1, "per-partition prefix-sum offsets (metadata)"),
     "doc_pack_sequences": (1, "per-partition prefix-sum offsets (metadata)"),
     "pipeline_curation_v4": (1, "per-partition prefix-sum offsets (metadata, via doc_pack_bpe's packing stage)"),
+    "pipeline_curation_v5": (
+        2,
+        "per-partition prefix-sum offsets (metadata) + benchmark eval-set "
+        "id-grams (design-bounded: authored EVAL_SET encoded under the "
+        "learned vocab — contamination_tokens' audited side)",
+    ),
     "embedding_norm_outliers": (1, "1-row norm stats"),
     "eval_confusion": (2, "k centroids + label stats (label vocabulary)"),
     "join_broadcast": (1, "nation dim (supplier is AQE-planned)"),
