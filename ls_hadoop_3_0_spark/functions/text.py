@@ -1676,11 +1676,21 @@ def _bpe_seg_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = seg.select(
         "word", F.posexplode("syms").alias("pos", "sym")
     ).join(symtab, "sym")
-    return exploded.groupBy("word").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(pos, id))), s -> s.id)"
-        ).alias("ids"),
-        F.count(F.lit(1)).cast("long").alias("n_toks"),
+    # Lazy checkpoint: the table is vocab-grain (Heaps-sublinear ≪
+    # corpus) but several keys consume it from MULTIPLE plan branches
+    # (encode join + bench-gram build + token counting) — without the
+    # checkpoint each branch re-executes the symtab window + join +
+    # groupBy per action (r16: ~1.9 s/extra branch at sf0.1, one whole
+    # vocabulary re-derivation per branch at scale).
+    return (
+        exploded.groupBy("word")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, id))), s -> s.id)"
+            ).alias("ids"),
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+        )
+        .localCheckpoint(eager=False)
     )
 
 

@@ -865,13 +865,20 @@ def _curation_incremental(
     )
     new = load(spark, sf_dir, "documents").filter(F.expr(INCR_NEW_PRED))
     surv = new.select("doc_id").join(sc, "doc_id").join(inc, "doc_id")
+    # ONE vocabulary-grain encoding table for the whole run: the gate
+    # (ids), the bench-gram build (ids) and the token counting (n_toks)
+    # all read the same _bpe_seg_ids — the first cut derived it twice,
+    # paying the BPE learn's corpus word-aggregation pass and its six
+    # argmax rounds a second time per invocation (r16: −1.9 s at sf0.1,
+    # one fewer corpus pass at scale).
+    seg = _bpe_seg_ids(spark, sf_dir)
     if decontaminate:
         from ls_hadoop_3_0_spark.llm.curation import (
             _bench_token_grams,
             _token_gram_stream,
         )
 
-        seg_ids = _bpe_seg_ids(spark, sf_dir).select("word", "ids")
+        seg_ids = seg.select("word", "ids")
         # Gram stream over the INCREMENT only (the whole point: eval
         # leakage is checked where it enters — the new crawl slice),
         # filtered by the broadcast of the authored eval-gram set
@@ -886,7 +893,7 @@ def _curation_incremental(
         surv = surv.join(contam, "doc_id", "anti")
     surv = surv.localCheckpoint(eager=False)
 
-    segn = _bpe_seg_ids(spark, sf_dir).select("word", "n_toks")
+    segn = seg.select("word", "n_toks")
     ts = new.select(
         "doc_id",
         F.explode(F.expr("filter(split(text, ' '), t -> t <> '')")).alias("word"),
