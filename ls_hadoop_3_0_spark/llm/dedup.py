@@ -1450,20 +1450,27 @@ def _connected_components_impl(
         # two metadata-scale probes — strictly cheaper than the
         # recompute-a-round-and-subtract test, which always burns one
         # full extra star round just to observe "nothing changed".
-        multi_root = (
+        # Both invariant probes in ONE action (r16: each driver action on
+        # the loop's critical path is pure latency at metadata scale —
+        # union the two limit-1 existence checks instead of chaining two
+        # jobs; ~1 job/round saved, same truth table).
+        violations = (
             edges.groupBy("hi")
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") > 1)
+            .select(F.lit(1).alias("one"))
             .limit(1)
+            .unionAll(
+                edges.select("hi")
+                .intersect(edges.select("lo"))
+                .select(F.lit(1).alias("one"))
+                .limit(1)
+            )
             .count()
         )
-        if multi_root == 0:
-            chained = (
-                edges.select("hi").intersect(edges.select("lo")).limit(1).count()
-            )
-            if chained == 0:
-                converged = True
-                break
+        if violations == 0:
+            converged = True
+            break
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds; "
