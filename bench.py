@@ -36,16 +36,49 @@ def _settle(spark) -> None:
     shuffle buffers) and give lingering state-store maintenance /
     cleanup threads a beat. VERDICT r14 #6: the streaming digest keys
     were the only per-round WARNs, and every one exonerated under a
-    focused re-measure — a measurement-protocol defect, fixed here."""
+    focused re-measure — a measurement-protocol defect, fixed here.
+
+    r16 strengthens this (and calls it before EVERY streaming key, not
+    once per phase): each streaming run leaves its state-store providers
+    loaded in the executor — ~(partitions x stores x sides) per run,
+    all pointing at already-deleted per-run checkpoint dirs — and the
+    maintenance thread keeps servicing them, degrading every subsequent
+    micro-batch. Measured controlled (exp: fresh 10.8 s; after 60 batch
+    keys + accumulated providers 33.7 s; gc-only settle 24.6 s;
+    provider unload + stale-sink drop + gc 7.2 s — the r16-pre artifact
+    showed exactly this as 22.4 s vs 7.5 s focused for the interval
+    join). Unloading is semantics-free here: every run uses a fresh
+    uuid checkpoint, so there is nothing to reload."""
+    try:
+        # Unload all loaded state-store providers (public test hook;
+        # maintenance restarts lazily at the next provider load).
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()  # noqa: SLF001
+    except Exception:
+        pass
+    try:
+        # Drop finished memory-sink temp views (uuid-suffixed names) —
+        # they pin every prior run's sink rows in JVM memory.
+        import re
+
+        for t in spark.catalog.listTables():
+            if t.isTemporary and re.fullmatch(r"[a-z0-9_]+_[0-9a-f]{12}", t.name):
+                try:
+                    spark.catalog.dropTempView(t.name)
+                except Exception:
+                    pass
+    except Exception:
+        pass
     try:
         spark._jvm.System.gc()  # noqa: SLF001 - deliberate JVM GC nudge
     except Exception:
         pass
-    time.sleep(2.0)
+    time.sleep(1.0)
 
 
-def _measure(spark, keys, timings, runs_per_key=2) -> None:
+def _measure(spark, keys, timings, runs_per_key=2, settle_each=False) -> None:
     for key in keys:
+        if settle_each:
+            _settle(spark)
         fn = QUERIES[key]
         try:
             runs = []
@@ -81,8 +114,7 @@ def main() -> None:
     stream_keys = [k for k in keys if k in STREAMING_RUNTIME]
     _measure(spark, batch_keys, timings, runs_per_key=2)
     if stream_keys:
-        _settle(spark)
-        _measure(spark, stream_keys, timings, runs_per_key=3)
+        _measure(spark, stream_keys, timings, runs_per_key=3, settle_each=True)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(
@@ -99,8 +131,11 @@ def main() -> None:
                 # so per-round numbers are comparable by construction.
                 "protocol": "min-of-2 warm runs per key, noop-sink "
                 "materialization, single warm JVM; streaming-runtime "
-                "keys in an exclusive min-of-3 second pass behind a GC "
-                "settle",
+                "keys in an exclusive min-of-3 second pass with a "
+                "per-key settle (state-store provider unload + stale "
+                "memory-sink drop + GC — r16: loaded providers from "
+                "prior runs' deleted checkpoints degraded later "
+                "streaming keys up to 3x)",
             }
         )
     )

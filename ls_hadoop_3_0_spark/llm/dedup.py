@@ -2885,7 +2885,15 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace(".", "_")
         .replace("-", "_")
     )
-    names = []
+    # The three epoch tables are independent writes — submit them from a
+    # small thread pool so each job's straggler tail back-fills with the
+    # next one's tasks (guide §2.6 overlap; jobs are FIFO-scheduled in
+    # one application). run_scratch registration stays on the caller
+    # thread: it mutates process-global cleanup state and the scratch
+    # namespace, and the pruning glob must not race itself.
+    from concurrent.futures import ThreadPoolExecutor
+
+    specs = []
     for kind, df, key in (
         ("exact", merged_exact, "ck"),
         ("bands", merged_bands, "bsig"),
@@ -2898,6 +2906,10 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             stem=f"incr_next_{kind}_{tag}_",
             table=name,
         )
+        specs.append((name, path, df, key))
+
+    def _write(spec):
+        name, path, df, key = spec
         (
             df.write.mode("overwrite")
             .format("parquet")
@@ -2906,7 +2918,10 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("path", path)
             .saveAsTable(name)
         )
-        names.append(name)
+        return name
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        names = list(pool.map(_write, specs))
 
     ck_u24 = F.expr(
         _u24_expr("concat(ck, ':', cast(first_doc as string))")
