@@ -241,6 +241,11 @@ def _qc_sparse(
         tok.select("doc_id", (F.expr(_FH_U24) % FEATURE_DIM).alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        # Compute-once (r16): nd AND sx both derive from this stream;
+        # without the checkpoint each one's materialization re-ran the
+        # corpus tokenize + feature-hash + count pass (guide §2.4 —
+        # one corpus pass saved per training run at any scale).
+        .localCheckpoint(eager=False)
     )
     y = docs.select(
         "doc_id",
@@ -570,6 +575,13 @@ def _qc2_sparse(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
 
+    # MEASURED NEGATIVE (r16): lazy-checkpointing cnt_a/b/c here is a
+    # wash-to-slight-loss (alternating single-JVM A/B, 4 reps: base
+    # min 4.81/med 5.54 s vs checkpointed min 5.19/med 5.60 s at
+    # sf0.1) — the in-plan duplicates are already ReusedExchange'd and
+    # the materialization cost cancels the cross-action savings. Do not
+    # re-try; the v1 chain's single `cnt` checkpoint (narrower stream,
+    # more cross-action consumers) is the one that pays.
     cnt_a = (
         tok.select("doc_id", (F.expr(_FH_U24) % FEATURE_DIM).alias("bucket"))
         .groupBy("doc_id", "bucket")
