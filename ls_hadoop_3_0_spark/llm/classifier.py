@@ -307,21 +307,39 @@ def _qc_fit(
     TRAINING docs' margins (reused by _qc_scored where train == score
     set). Factored out (r15) so the streaming gate can freeze a model
     fit on the PRIOR slice only."""
-    counts = nd.agg(
-        F.sum((F.col("y") == 1).cast("long")).alias("n1"),
-        F.sum((F.col("y") == 0).cast("long")).alias("n0"),
-    ).collect()[0]
-    n1, n0 = int(counts["n1"] or 0), int(counts["n0"] or 0)
+    # FUSED pass 1 (r17, guide §2.4 — VERDICT r16 #5): the class counts
+    # (n1, n0) and the per-bucket class sums used to be TWO sequential
+    # driver actions, forced apart only because the old rounding
+    # expression folded n1/n0 in as literals. One aggregation now serves
+    # both: the bias row (b == d, one per doc with qx = 1e6) carries the
+    # class counts, so a single corpus-scale job materializes cnt/nd/sx
+    # AND collects everything pass 1 needs (d rows of exact longs —
+    # model-size). The class-mean rounding stays ENGINE-side (never
+    # python round: banker's vs half-away) by re-running the IDENTICAL
+    # round(s1/n1 − s0/n0) expression over a d-row LOCAL frame — same
+    # Catalyst expression on the same exact longs, bit-identical qd.
+    spark = nd.sparkSession
+    stats = (
+        sx.join(nd.select("doc_id", "y"), "doc_id")
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, F.col("qx")).otherwise(0)).alias("s1"),
+            F.sum(F.when(F.col("y") == 0, F.col("qx")).otherwise(0)).alias("s0"),
+            F.sum((F.col("y") == 1).cast("long")).alias("c1"),
+            F.sum((F.col("y") == 0).cast("long")).alias("c0"),
+        )
+        .collect()  # d rows of exact longs (model-size)
+    )
+    bias = next((r for r in stats if int(r["b"]) == d), None)
+    n1 = int(bias["c1"]) if bias is not None else 0
+    n0 = int(bias["c0"]) if bias is not None else 0
 
     qw = [0] * d
     if n1 > 0 and n0 > 0:
-        # pass 1: class-mean difference, rounded ENGINE-side per bucket
         sums = (
-            sx.join(nd.select("doc_id", "y"), "doc_id")
-            .groupBy("b")
-            .agg(
-                F.sum(F.when(F.col("y") == 1, F.col("qx")).otherwise(0)).alias("s1"),
-                F.sum(F.when(F.col("y") == 0, F.col("qx")).otherwise(0)).alias("s0"),
+            spark.createDataFrame(
+                [(int(r["b"]), int(r["s1"]), int(r["s0"])) for r in stats],
+                "b int, s1 long, s0 long",
             )
             .select(
                 "b",
@@ -333,7 +351,7 @@ def _qc_fit(
                 .cast("long")
                 .alias("qd"),
             )
-            .collect()  # QC_D rows of exact longs (model-size)
+            .collect()
         )
         for row in sums:
             qw[row["b"] - 1] = int(row["qd"])
@@ -579,13 +597,33 @@ def _qc2_sparse(
     # wash-to-slight-loss (alternating single-JVM A/B, 4 reps: base
     # min 4.81/med 5.54 s vs checkpointed min 5.19/med 5.60 s at
     # sf0.1) — the in-plan duplicates are already ReusedExchange'd and
-    # the materialization cost cancels the cross-action savings. Do not
-    # re-try; the v1 chain's single `cnt` checkpoint (narrower stream,
-    # more cross-action consumers) is the one that pays.
+    # the materialization cost cancels the cross-action savings.
+    #
+    # r17 (VERDICT r16 #6, guide §2.4): the wasteful pass was EARLIER —
+    # the corpus used to be re-tokenized (split + explode) by FIVE
+    # separate subtrees (cnt_a, the char-gram vocabulary, the char-gram
+    # token join, the label rule, plus the bigram pass), and the
+    # char-gram dictionary joined back at TOKEN grain. Everything
+    # word-multiset-shaped is a function of the per-doc WORD COUNTS
+    # (the r11 class-collapse rule applied one level up), so ONE
+    # (doc_id, word, wc) frame — the smallest corpus-derived grain —
+    # now feeds unigram buckets, the char-gram vocabulary, the
+    # char-gram join (at (doc, word) grain: c = Σ wc·gram_wc, an exact
+    # integer identity), and the marker-rule label (hits(lang) =
+    # Σ wc over marker words — exactly size(filter(toks, …))). Only the
+    # ORDER-dependent bigram family still re-reads the text. wd is
+    # lazily checkpointed: nd's and sx's plans materialize in separate
+    # jobs, where ReusedExchange cannot cross, so without it the
+    # tokenize+count pass would still run twice.
+    wd = (
+        tok.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .localCheckpoint(eager=False)
+    )
     cnt_a = (
-        tok.select("doc_id", (F.expr(_FH_U24) % FEATURE_DIM).alias("bucket"))
+        wd.select("doc_id", (F.expr(_FH_U24) % FEATURE_DIM).alias("bucket"), "wc")
         .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("wc").alias("c"))
     )
     n_a = cnt_a.groupBy("doc_id").agg(F.sum("c").alias("n"))
 
@@ -613,8 +651,10 @@ def _qc2_sparse(
 
     # family C: char-3-grams, extracted at VOCABULARY grain (a gram is
     # a function of the WORD — the r11 class-collapse rule; the corpus
-    # never pays the per-token substring explode) and joined back
-    vw = tok.select("word").distinct().filter(F.length("word") >= 3)
+    # never pays the per-token substring explode) and joined back at
+    # (doc, word) grain: Σ_tokens gram_wc ≡ Σ_words wc·gram_wc — the
+    # join side shrinks from the token stream to the per-doc vocabulary.
+    vw = wd.select("word").distinct().filter(F.length("word") >= 3)
     cg = vw.select(
         "word",
         F.explode(
@@ -627,19 +667,39 @@ def _qc2_sparse(
     wgb = (
         cg.select("word", (gram_u24 % FEATURE_DIM).alias("bucket"))
         .groupBy("word", "bucket")
-        .agg(F.count(F.lit(1)).alias("wc"))
+        .agg(F.count(F.lit(1)).alias("gwc"))
     )
     cnt_c = (
-        tok.join(wgb, "word")
+        wd.join(wgb, "word")
         .groupBy("doc_id", "bucket")
-        .agg(F.sum("wc").alias("c"))
+        .agg(F.sum(F.col("wc") * F.col("gwc")).alias("c"))
     )
     n_c = cnt_c.groupBy("doc_id").agg(F.sum("c").alias("n"))
 
-    y = docs.select(
+    # label rule at word grain: hits(lang) = Σ wc over that language's
+    # marker words — exactly size(filter(toks, t -> contains(markers)))
+    # (integer identity), without another corpus tokenize + HOF pass.
+    def _hits(lang: str) -> F.Column:
+        markers = list(LANG_MARKERS[lang])
+        return F.sum(
+            F.when(F.col("word").isin(markers), F.col("wc")).otherwise(F.lit(0))
+        )
+
+    hits = wd.groupBy("doc_id").agg(
+        *[_hits(lg).alias(f"h_{lg}") for lg in ("en", "de", "es", "fr", "zh")]
+    )
+    y = hits.select(
         "doc_id",
-        F.expr("filter(split(text, ' '), t -> t <> '')").alias("toks"),
-    ).select("doc_id", _is_en_rule_spark().alias("y"))
+        (
+            (
+                F.col("h_en")
+                >= F.greatest("h_de", "h_es", "h_fr", "h_zh")
+            )
+            & (F.col("h_en") > 0)
+        )
+        .cast("int")
+        .alias("y"),
+    )
     nd = n_a.join(y, "doc_id").localCheckpoint(eager=False)
 
     def fam(cnt: DataFrame, n: DataFrame, off: int) -> DataFrame:

@@ -805,21 +805,102 @@ def stateful_sessions_et_tws(
         )
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+def events_stream_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """``stream_shuffle_partitions`` for the staged events fixture (the
+    staged copy is byte-identical to the source file)."""
+    return stream_shuffle_partitions(spark, f"{sf_dir}/events.parquet")
+
+
+def staged_bytes(*paths: str) -> int:
+    """Total data bytes under the staged stream-source path(s) —
+    metadata/underscore files excluded."""
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith(("_", "."))
+                )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def stream_shuffle_partitions(spark: SparkSession, *paths: str) -> int:
+    """Scale-adaptive shuffle-partition count for a STATEFUL streaming
+    run over the staged input at ``paths`` (guide §2.2 — size partitions
+    by data, and VERDICT r16 #3: stateful operators pin the state-store
+    partition count to ``spark.sql.shuffle.partitions`` at query start,
+    and every partition costs a per-micro-batch state-store
+    commit/maintenance floor even when empty — AQE cannot coalesce a
+    streaming plan). ⌈staged bytes / 32 MB⌉ clamped to
+    [1, defaultParallelism]; ``SPARK_GRAFT_STREAM_SHUFFLE`` pins it for
+    cluster deployments where the stream's steady-state volume, not a
+    staged backfill directory, should size the state stores."""
+    import math
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        return max(1, int(env))
+    par = max(1, int(spark.sparkContext.defaultParallelism))
+    n = max(1, math.ceil(staged_bytes(*paths) / (32 << 20)))
+    return min(n, par)
+
+
+class shuffle_partitions:
+    """Context manager: pin ``spark.sql.shuffle.partitions`` for the
+    duration (a streaming query binds its state-store partition count
+    from this conf at start), then restore the session value."""
+
+    _KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int):
+        self._spark, self._n = spark, int(n)
+
+    def __enter__(self):
+        self._old = self._spark.conf.get(self._KEY)
+        self._spark.conf.set(self._KEY, str(self._n))
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set(self._KEY, self._old)
+        return False
+
+
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    stream_partitions: int | None = None,
+):
     """Drive a streaming DataFrame to completion into a memory sink.
 
     Returns the StreamingQuery (stopped). Results: ``spark.table(name)``.
+    ``stream_partitions`` (r17) pins the state-store partition count for
+    this run — see ``stream_shuffle_partitions``.
     """
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    q.stop()
-    return q
+
+    def _run():
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return q
+
+    if stream_partitions is None:
+        return _run()
+    with shuffle_partitions(df.sparkSession, stream_partitions):
+        return _run()
 
 
 def changelog_upsert_stream(events: DataFrame, state_path: str):

@@ -113,7 +113,10 @@ def stream_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = demo.read_events_stream(spark, sf_dir)
     name = f"sbe_{uuid.uuid4().hex[:12]}"
     demo.run_to_memory(
-        demo.tumbling_counts_stream(ev), name, output_mode="complete"
+        demo.tumbling_counts_stream(ev),
+        name,
+        output_mode="complete",
+        stream_partitions=demo.events_stream_partitions(spark, sf_dir),
     )
     s_dig = _tumbling_digest(spark.table(name))
 
@@ -185,7 +188,12 @@ def stream_batch_equiv_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     ev = demo.read_events_stream(spark, sf_dir)
     name = f"sbs_{uuid.uuid4().hex[:12]}"
-    demo.run_to_memory(demo.sessionized_stream(ev), name, output_mode="complete")
+    demo.run_to_memory(
+        demo.sessionized_stream(ev),
+        name,
+        output_mode="complete",
+        stream_partitions=demo.events_stream_partitions(spark, sf_dir),
+    )
 
     def _session_digest(df: DataFrame) -> DataFrame:
         p = df.select(
@@ -272,7 +280,12 @@ def stream_batch_equiv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     ev = demo.read_events_stream(spark, sf_dir)
     name = f"sbd_{uuid.uuid4().hex[:12]}"
-    demo.run_to_memory(demo.dedup_stream(ev), name, output_mode="append")
+    demo.run_to_memory(
+        demo.dedup_stream(ev),
+        name,
+        output_mode="append",
+        stream_partitions=demo.events_stream_partitions(spark, sf_dir),
+    )
     s_dig = _id_digest(spark.table(name))
     b_dig = _id_digest(
         _batch_events(spark, sf_dir).dropDuplicates(["event_id"])
@@ -347,16 +360,22 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(bdf: DataFrame, epoch_id: int) -> None:
         bdf.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        demo.tumbling_counts_stream(ev)
-        .writeStream.foreachBatch(write_batch)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    q.stop()
+    # On a FRESH checkpoint the adaptive count pins the state-store
+    # partitions; an existing checkpoint keeps its recorded count (the
+    # exactly-once replay contract) and this is a no-op.
+    with demo.shuffle_partitions(
+        spark, demo.events_stream_partitions(spark, sf_dir)
+    ):
+        q = (
+            demo.tumbling_counts_stream(ev)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
     written = spark.read.parquet(out_dir)
     return _tumbling_digest(written).select(
         "n_windows", "n_events", "windows_md5"
@@ -399,7 +418,12 @@ def stream_batch_equiv_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("win_start"), "n", "sum_value")
     )
     name = f"sbw_{uuid.uuid4().hex[:12]}"
-    demo.run_to_memory(sliding, name, output_mode="complete")
+    demo.run_to_memory(
+        sliding,
+        name,
+        output_mode="complete",
+        stream_partitions=demo.events_stream_partitions(spark, sf_dir),
+    )
 
     def _digest(df: DataFrame) -> DataFrame:
         p = df.select(
@@ -474,7 +498,10 @@ def stream_batch_equiv_interval_join(spark: SparkSession, sf_dir: str) -> DataFr
     ev2 = demo.read_events_stream(spark, sf_dir)
     name = f"sbij_{uuid.uuid4().hex[:12]}"
     demo.run_to_memory(
-        demo.interval_join_stream(ev1, ev2), name, output_mode="append"
+        demo.interval_join_stream(ev1, ev2),
+        name,
+        output_mode="append",
+        stream_partitions=demo.events_stream_partitions(spark, sf_dir),
     )
     pair_u24 = F.expr(
         _u24_expr("concat(CAST(purchase_id AS STRING), ':',"
@@ -595,6 +622,14 @@ def stream_batch_equiv_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     ev = demo.read_events_stream(spark, sf_dir)
     name = f"sbes_{uuid.uuid4().hex[:12]}"
+    # MEASURED NEGATIVE (r17, do not re-try): adaptive stream partitions
+    # (events_stream_partitions → 1 at sf0.1) on the TWS keys — python
+    # per-row processing, not state-store fixed cost, dominates, and it
+    # parallelizes with partitions (interleaved A/B min-of-3: 3.74 s at
+    # 32 partitions vs 6.14 s at 1; _ttl 4.64 vs 10.22, _et 6.65 vs
+    # 12.32, session_et 7.07 vs 16.63). Python-stateful streams keep the
+    # session's CPU-scaled default; only JVM-native-state streams get
+    # the bytes-adaptive count.
     demo.run_to_memory(
         demo.stateful_user_totals_tws_exact(ev), name, output_mode="update"
     )
@@ -703,6 +738,9 @@ def stream_batch_equiv_stateful_ttl(
         batch.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
     )
 
+    # TWS = python-per-row: keeps the CPU-scaled default partition count
+    # (the r17 measured negative on adaptive stream partitions — see
+    # stream_batch_equiv_stateful).
     q = (
         demo.stateful_user_totals_ttl_tws(ev)
         .writeStream.format("memory")
@@ -845,6 +883,8 @@ def stream_batch_equiv_stateful_et(
         data_dir
     )
     name = f"sbeet_{uuid.uuid4().hex[:12]}"
+    # TWS = python-per-row: keeps the CPU-scaled default partition count
+    # (r17 measured negative — see stream_batch_equiv_stateful).
     q = (
         demo.stateful_user_totals_et_tws(stream)
         .writeStream.format("memory")
@@ -1042,6 +1082,8 @@ def stream_batch_equiv_session_et(
         "user_id long, sv long, ts timestamp"
     ).parquet(data_dir)
     name = f"sbese_{uuid.uuid4().hex[:12]}"
+    # TWS = python-per-row: keeps the CPU-scaled default partition count
+    # (r17 measured negative — see stream_batch_equiv_stateful).
     q = (
         demo.stateful_sessions_et_tws(stream)
         .writeStream.format("memory")
@@ -1157,7 +1199,12 @@ def stream_batch_equiv_session_sampled(spark: SparkSession, sf_dir: str) -> Data
     pred = _session_sample_pred()
     ev = demo.read_events_stream(spark, sf_dir).filter(F.expr(pred))
     name = f"sbss_{uuid.uuid4().hex[:12]}"
-    demo.run_to_memory(demo.sessionized_stream(ev), name, output_mode="complete")
+    demo.run_to_memory(
+        demo.sessionized_stream(ev),
+        name,
+        output_mode="complete",
+        stream_partitions=demo.events_stream_partitions(spark, sf_dir),
+    )
 
     def _session_digest(df: DataFrame) -> DataFrame:
         p = df.select(
@@ -1285,6 +1332,9 @@ def stream_batch_equiv_stateful_listmap(
     pred = _session_sample_pred()
     ev = demo.read_events_stream(spark, sf_dir).filter(F.expr(pred))
     name = f"sblm_{uuid.uuid4().hex[:12]}"
+    # TWS = python-per-row: keeps the CPU-scaled default partition count
+    # (r17 measured negative, A/B 4.13 vs 4.98 s — see
+    # stream_batch_equiv_stateful).
     demo.run_to_memory(
         demo.stateful_user_listmap_tws(ev), name, output_mode="update"
     )
@@ -1799,6 +1849,9 @@ def stream_batch_equiv_stateful_rows(
     prepare(spark)
     ev = demo.read_events_stream(spark, sf_dir)
     name = f"sber_{uuid.uuid4().hex[:12]}"
+    # TWS = python-per-row: keeps the CPU-scaled default partition count
+    # (r17 measured negative, A/B 3.29 vs 5.03 s — see
+    # stream_batch_equiv_stateful).
     demo.run_to_memory(
         demo.stateful_user_totals_rows_tws(ev), name, output_mode="update"
     )
@@ -1984,28 +2037,31 @@ def stream_batch_equiv_interval_join_outer(
     s1 = spark.readStream.schema(schema).parquet(data_dir)
     s2 = spark.readStream.schema(schema).parquet(data_dir)
     name = f"sbijo_{uuid.uuid4().hex[:12]}"
-    q = (
-        demo.interval_join_outer_stream(s1, s2)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", chk)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    got = 0
-    try:
-        deadline = time.time() + 180
-        while time.time() < deadline:
-            got = (
-                spark.table(name).filter(F.col("user_id") >= 0).count()
-            )
-            if got >= expected_rows:
-                break
-            time.sleep(0.5)
-    finally:
-        q.stop()
-        shutil.rmtree(base, ignore_errors=True)
+    with demo.shuffle_partitions(
+        spark, demo.stream_shuffle_partitions(spark, data_dir)
+    ):
+        q = (
+            demo.interval_join_outer_stream(s1, s2)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        got = 0
+        try:
+            deadline = time.time() + 180
+            while time.time() < deadline:
+                got = (
+                    spark.table(name).filter(F.col("user_id") >= 0).count()
+                )
+                if got >= expected_rows:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            shutil.rmtree(base, ignore_errors=True)
     if got < expected_rows:
         # Surface a drain timeout DISTINCTLY (ADVICE r14): on a slow or
         # steal-contaminated host the outer-row flush (which needs the
@@ -2171,7 +2227,15 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bands"),
         )
     )
-    staged.repartition(32).write.mode("overwrite").parquet(data_dir)
+    # Staged file count sized from the SOURCE slice (guide §2.2/§6 —
+    # many files so the file source parallelizes once the slice is big,
+    # few files while a fixture-scale micro-batch is task-overhead
+    # bound); the stream's state-store partition count then follows the
+    # actually-staged bytes.
+    n_files = demo.stream_shuffle_partitions(
+        spark, f"{sf_dir}/documents.parquet"
+    )
+    staged.repartition(n_files).write.mode("overwrite").parquet(data_dir)
 
     def legs(src: DataFrame) -> DataFrame:
         marks = spark.table(t_exact).select("ck", F.lit(1).alias("hit"))
@@ -2198,24 +2262,27 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, ck string, bands array<string>"
     ).parquet(data_dir)
     name = f"sdi_{uuid.uuid4().hex[:12]}"
-    q = (
-        legs(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", chk)
-        .trigger(availableNow=True)
-        .start()
-    )
     # try/finally (ADVICE r14): a StreamingQueryException or timeout must
     # not leak the running query or the scratch dir, and a timeout must
     # surface as a timeout — not degrade to a matches_batch=False parity
     # failure with no diagnostic.
-    try:
-        drained = q.awaitTermination(180)
-    finally:
-        q.stop()
-        shutil.rmtree(base, ignore_errors=True)
+    with demo.shuffle_partitions(
+        spark, demo.stream_shuffle_partitions(spark, data_dir)
+    ):
+        q = (
+            legs(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            drained = q.awaitTermination(180)
+        finally:
+            q.stop()
+            shutil.rmtree(base, ignore_errors=True)
     if not drained:
         raise RuntimeError(
             "stream_dedup_incremental: availableNow drain did not finish "
@@ -2385,7 +2452,10 @@ def stream_quality_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("text").alias("ck"))
     )
     staged = nd_n.select("doc_id").join(mgn, "doc_id").join(ckdf, "doc_id")
-    staged.repartition(32).write.mode("overwrite").parquet(data_dir)
+    n_files = demo.stream_shuffle_partitions(
+        spark, f"{sf_dir}/documents.parquet"
+    )
+    staged.repartition(n_files).write.mode("overwrite").parquet(data_dir)
 
     def legs(src: DataFrame) -> DataFrame:
         z = (F.col("qm") - F.lit(qt)).cast("double") / F.lit(1e6)
@@ -2406,20 +2476,23 @@ def stream_quality_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, qm long, ck string"
     ).parquet(data_dir)
     name = f"sqi_{uuid.uuid4().hex[:12]}"
-    q = (
-        legs(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")  # stateless end-to-end: map + static join
-        .option("checkpointLocation", chk)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        drained = q.awaitTermination(180)
-    finally:
-        q.stop()
-        shutil.rmtree(base, ignore_errors=True)
+    with demo.shuffle_partitions(
+        spark, demo.stream_shuffle_partitions(spark, data_dir)
+    ):
+        q = (
+            legs(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")  # stateless end-to-end: map + static join
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            drained = q.awaitTermination(180)
+        finally:
+            q.stop()
+            shutil.rmtree(base, ignore_errors=True)
     if not drained:
         raise RuntimeError(
             "stream_quality_incremental: availableNow drain did not finish "
@@ -2566,7 +2639,19 @@ def stream_knn_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = spark.createDataFrame(
         staged_py, "q_id long, qu array<double>, cell int"
     )
-    staged.repartition(8).write.mode("overwrite").parquet(data_dir)
+    # File count sized from the staged payload (~DIM float64 + ids per
+    # row): 1 at fixture scale, up to defaultParallelism as the query
+    # panel grows (guide §2.2/§6).
+    import math as _math
+
+    n_files = max(
+        1,
+        min(
+            _math.ceil(len(staged_py) * (S.DIM * 8 + 24) / (32 << 20)),
+            spark.sparkContext.defaultParallelism,
+        ),
+    )
+    staged.repartition(n_files).write.mode("overwrite").parquet(data_dir)
 
     static_idx = spark.read.schema(
         "vec_id long, u array<double>, cell int"
@@ -2630,20 +2715,23 @@ def stream_knn_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id long, qu array<double>, cell int"
     ).parquet(data_dir)
     name = f"sks_{uuid.uuid4().hex[:12]}"
-    q = (
-        legs(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", chk)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        drained = q.awaitTermination(180)
-    finally:
-        q.stop()
-        shutil.rmtree(base, ignore_errors=True)
+    with demo.shuffle_partitions(
+        spark, demo.stream_shuffle_partitions(spark, data_dir, idx_path)
+    ):
+        q = (
+            legs(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            drained = q.awaitTermination(180)
+        finally:
+            q.stop()
+            shutil.rmtree(base, ignore_errors=True)
     if not drained:
         raise RuntimeError(
             "stream_knn_serve: availableNow drain did not finish in 180s "

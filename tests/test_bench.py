@@ -28,8 +28,13 @@ def test_bench_emits_driver_contract_json():
         timeout=300,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    line = out.stdout.strip().splitlines()[-1]
-    d = json.loads(line)
+    # EXACTLY one stdout line (VERDICT r16 #10): the driver json.loads
+    # the bench stdout wholesale — any stray print would break the
+    # round-over-round table the way the r15 artifact did. Warnings
+    # belong on stderr.
+    lines = out.stdout.strip().splitlines()
+    assert len(lines) == 1, f"bench.py stdout must be ONE JSON line, got {lines!r}"
+    d = json.loads(lines[0])
     assert d["unit"] == "sec" and d["value"] >= 0
     assert set(d["queries"]) == {"agg_sum", "topk", "wordcount"}
     assert d["failed"] == []

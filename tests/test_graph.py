@@ -63,3 +63,29 @@ def test_degree_hist_accounts_every_node(spark):
         wsum[r.side] = wsum.get(r.side, 0) + r.n_nodes * r.deg
     assert by_side == {"customer": n_cust, "supplier": n_supp}
     assert wsum["customer"] == n_edges and wsum["supplier"] == n_edges
+
+
+def test_triangle_rank_pack_guard_fires_on_overflow(spark):
+    """VERDICT r16 #7: the (deg << 40 | id) packing guard must fail
+    LOUDLY when node ids reach 2^40 or degrees reach 2^23 — and stay
+    silent (NULL) in-bounds, including the empty-graph NULL maxima."""
+    import pytest
+
+    from ls_hadoop_3_0_spark.operators.graph import _rank_pack_guard
+
+    ok = spark.createDataFrame(
+        [((1 << 40) - 1, (1 << 23) - 1)], "_max_id long, _max_deg long"
+    ).select(_rank_pack_guard().alias("g"))
+    assert ok.collect()[0]["g"] is None
+
+    empty = spark.createDataFrame(
+        [(None, None)], "_max_id long, _max_deg long"
+    ).select(_rank_pack_guard().alias("g"))
+    assert empty.collect()[0]["g"] is None
+
+    for bad in [(1 << 40, 1), (1, 1 << 23)]:
+        df = spark.createDataFrame(
+            [bad], "_max_id long, _max_deg long"
+        ).select(_rank_pack_guard().alias("g"))
+        with pytest.raises(Exception, match="rank overflow"):
+            df.collect()

@@ -42,6 +42,38 @@ ADJUDICATIONS: dict[tuple[str, str], tuple[float, str, str]] = {
         "`agg_approx_distinct_merge` 2.57 in-suite — focused\n"
         "min-of-2 solo reads **1.15 s = 0.99× of its 1.16 baseline**",
     ),
+    # VERDICT r16 #2: the six 1.5-2x WARN keys in the r16 DRIVER bench,
+    # re-measured clean in r17 (OPTIMIZATION_r17.md §#2).
+    ("BENCH_r16.json", "analytics_cohort_retention"): (
+        0.75,
+        "OPTIMIZATION_r17.md",
+        "focused min-of-2\n  reads **0.75 s = 1.04× of its 0.72 baseline**",
+    ),
+    ("BENCH_r16.json", "analytics_idle_customers"): (
+        0.38,
+        "OPTIMIZATION_r17.md",
+        "focused min-of-2 reads\n  **0.38 s = 0.98× of its 0.386 baseline**",
+    ),
+    ("BENCH_r16.json", "analytics_excess_inventory"): (
+        1.22,
+        "OPTIMIZATION_r17.md",
+        "focused min-of-2\n  reads **1.22 s = 1.14× of its 1.07 baseline**",
+    ),
+    ("BENCH_r16.json", "analytics_large_orders"): (
+        0.92,
+        "OPTIMIZATION_r17.md",
+        "focused min-of-2 reads\n  **0.92 s = 1.20× of its 0.77 baseline**",
+    ),
+    ("BENCH_r16.json", "agg_sum"): (
+        0.55,
+        "OPTIMIZATION_r17.md",
+        "focused min-of-4 fresh-JVM reads\n  **0.55 s = 1.43× of its 0.38 baseline**",
+    ),
+    ("BENCH_r16.json", "agg_heavy_hitters"): (
+        0.45,
+        "OPTIMIZATION_r17.md",
+        "focused min-of-4 fresh-JVM\n  reads **0.45 s = 1.39× of its 0.33 baseline**",
+    ),
 }
 
 
@@ -76,7 +108,15 @@ def main() -> int:
             return 2
         path = cands[-1]
     with open(path) as fh:
-        data = json.loads(fh.read().strip().splitlines()[-1])
+        raw = fh.read().strip()
+    try:
+        data = json.loads(raw)  # whole file (pretty-printed driver wrapper)
+    except json.JSONDecodeError:
+        data = json.loads(raw.splitlines()[-1])  # bench stdout capture
+    if isinstance(data.get("parsed"), dict):
+        # Driver-wrapper artifact (BENCH_r*.json): the bench stdout
+        # lives under "parsed" — check the same gate against it.
+        data = data["parsed"]
     timings = data.get("queries", {})
     baselines = governing_table()
 
@@ -93,7 +133,10 @@ def main() -> int:
         base, src = baselines[key]
         floor = ABS_FLOOR if base < ABS_FLOOR else 0.0
         adj = _adjudicated(os.path.basename(path), key)
-        if adj is not None and sec > 2.0 * base + floor:
+        if adj is not None and sec > 1.5 * base + floor:
+            # Applies to the WARN band too (VERDICT r16 #2): a verified
+            # clean re-measure supersedes the contaminated in-suite
+            # record for BOTH thresholds of this one artifact.
             adj_sec, note = adj
             if adj_sec <= 2.0 * base + floor:
                 print(
