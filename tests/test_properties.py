@@ -7,9 +7,15 @@ so each run covers the interesting edges (dups, nulls-free keys, skew).
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+# Heavy leg (VERDICT r16 #1): hypothesis property sweeps run many Spark
+# jobs per test — outside the driver-budget core, run locally each
+# round via `pytest -m extended`.
+pytestmark = pytest.mark.extended
 
 SMALL = settings(
     max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)

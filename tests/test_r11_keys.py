@@ -9,6 +9,8 @@ that item is the cache pin below.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ls_hadoop_3_0_spark.llm import dedup
@@ -165,6 +167,7 @@ def test_arrow_reader_is_partition_parallel(spark):
     assert sizes == {512, 464}
 
 
+@pytest.mark.extended  # heavy leg (VERDICT r16 #1): >8 s behavioral pin
 def test_text_gate_collapse_oracle_parity_on_dup_fixture(spark, tmp_path):
     """quality_repetition / quality_crossdup r11 class collapse: on a
     duplicate-heavy fixture (every sf0.001 doc duplicated once) the

@@ -182,6 +182,7 @@ def test_rerank_recall_floor(spark):
         assert r["recall"] >= 0.9, f"{m} recall below servable floor: {r['recall']}"
 
 
+@pytest.mark.extended  # heavy leg (VERDICT r16 #1): >8 s behavioral pin
 def test_rerank_batch_layout_invariance(spark):
     """The per-batch top-R superset + pairwise exact fold must make both
     re-rank keys independent of Arrow batch boundaries (batches smaller

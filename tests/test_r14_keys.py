@@ -514,6 +514,7 @@ def test_stream_dedup_incremental_constructed(spark, tmp_path):
 # pipeline_curation_v4 — the incremental-epoch composition
 
 
+@pytest.mark.extended  # heavy leg (VERDICT r16 #1): >8 s behavioral pin
 def test_v4_manifest_consistent_with_stages(spark):
     """The composed manifest must agree with its stage keys: survivors
     are new-slice docs the classifier passes AND dedup_incremental

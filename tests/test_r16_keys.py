@@ -85,6 +85,7 @@ def test_cache_hit_touches_heartbeats(spark):
         assert os.path.getmtime(hb) >= before - 1
 
 
+@pytest.mark.extended  # heavy leg (VERDICT r16 #1): >8 s behavioral pin
 def test_pipeline_v5_is_v4_minus_contaminated(spark):
     """pipeline_curation_v5 = v4 with the token-grain decontamination
     gate: survivors are exactly v4's minus the new-slice docs sharing

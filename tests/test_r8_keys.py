@@ -8,6 +8,8 @@ degree-oriented triangle rewrite's invariance to hub skew.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 import ls_hadoop_3_0_spark as engine
@@ -25,6 +27,7 @@ def test_stream_batch_equiv_stateful_matches(spark):
     assert row["n_users"] > 0 and row["n_events"] > 0
 
 
+@pytest.mark.extended  # heavy leg (VERDICT r16 #1): >8 s behavioral pin
 def test_stateful_exact_totals_survive_multiple_micro_batches(spark, tmp_path):
     """Update-mode TWS emits one row per (user, batch); with
     maxFilesPerTrigger=1 over a 3-file source the sink holds

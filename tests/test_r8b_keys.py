@@ -8,6 +8,8 @@ streaming key's batch equivalence under multi-micro-batch splits.
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 import math
@@ -120,6 +122,7 @@ def test_stateful_listmap_matches_batch_twin(spark):
     assert row["n_users"] > 0 and row["n_events"] > 0
 
 
+@pytest.mark.extended  # heavy leg (VERDICT r16 #1): >8 s behavioral pin
 def test_stateful_listmap_state_survives_micro_batch_splits(spark, tmp_path):
     """With maxFilesPerTrigger=1 over a 3-file copy of the panel events,
     the pruned ListState top-3 and MapState counts must carry across

@@ -18,7 +18,12 @@ from .conftest import SF_DIR
 #: micro-batch through readStream against the current fixtures, so
 #: ``pytest -m streaming`` is the gate that keeps the readStream path
 #: from silently rotting when fixtures change (it did between r2 and r3).
-pytestmark = pytest.mark.streaming
+# streaming: the verify recipe's marker-gated leg (`pytest -m streaming`
+# selects these — a command-line -m overrides pytest.ini's addopts).
+# extended: outside the driver-budget core (VERDICT r16 #1) — the
+# streaming OPERATORS still gate the driver run through their
+# oracle-backed keys in test_oracle_parity.py.
+pytestmark = [pytest.mark.streaming, pytest.mark.extended]
 
 
 @pytest.fixture(scope="module")
