@@ -597,33 +597,31 @@ def _qc2_sparse(
     # wash-to-slight-loss (alternating single-JVM A/B, 4 reps: base
     # min 4.81/med 5.54 s vs checkpointed min 5.19/med 5.60 s at
     # sf0.1) — the in-plan duplicates are already ReusedExchange'd and
-    # the materialization cost cancels the cross-action savings.
+    # the materialization cost cancels the cross-action savings. Do not
+    # re-try; the v1 chain's single `cnt` checkpoint (narrower stream,
+    # more cross-action consumers) is the one that pays.
     #
-    # r17 (VERDICT r16 #6, guide §2.4): the wasteful pass was EARLIER —
-    # the corpus used to be re-tokenized (split + explode) by FIVE
-    # separate subtrees (cnt_a, the char-gram vocabulary, the char-gram
-    # token join, the label rule, plus the bigram pass), and the
-    # char-gram dictionary joined back at TOKEN grain. Everything
-    # word-multiset-shaped is a function of the per-doc WORD COUNTS
-    # (the r11 class-collapse rule applied one level up), so ONE
-    # (doc_id, word, wc) frame — the smallest corpus-derived grain —
-    # now feeds unigram buckets, the char-gram vocabulary, the
-    # char-gram join (at (doc, word) grain: c = Σ wc·gram_wc, an exact
-    # integer identity), and the marker-rule label (hits(lang) =
-    # Σ wc over marker words — exactly size(filter(toks, …))). Only the
-    # ORDER-dependent bigram family still re-reads the text. wd is
-    # lazily checkpointed: nd's and sx's plans materialize in separate
-    # jobs, where ReusedExchange cannot cross, so without it the
-    # tokenize+count pass would still run twice.
-    wd = (
-        tok.groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("wc"))
-        .localCheckpoint(eager=False)
-    )
+    # MEASURED NEGATIVE (r17, VERDICT r16 #6 — do not re-try): deriving
+    # every word-multiset family from ONE (doc_id, word, wc) frame
+    # (unigram buckets as Σwc, char-gram vocabulary + join at word
+    # grain, the marker label as Σwc over marker words). Values are
+    # exact integer identities and parity stays green, but the rewrite
+    # REPLACES cheap codegen'd map passes with a corpus-grain
+    # (doc, word) SHUFFLE this plan never had: cnt_a/b/c all partial-
+    # aggregate map-side straight into (doc, bucket) grain, and the
+    # char-gram dictionary join is a BROADCAST (the vocabulary is
+    # Heaps-bounded), so the "five tokenize subtrees" are pure map work
+    # over a page-cached scan. Alternating fresh-JVM A/B at the 100×
+    # replica (48g protocol): old 78.3/78.7 s vs word-grain 90.2/108.8 s
+    # (and with wd additionally localCheckpointed the cache's
+    # deserialized-object heap pressure made runs swing 49–176 s).
+    # sf0.1 read as a wash (3.37 vs 3.85 min-of-reps). The r11 rule
+    # cuts both ways: collapse to class grain only when it REMOVES a
+    # corpus-scale explode/shuffle — never when it introduces one.
     cnt_a = (
-        wd.select("doc_id", (F.expr(_FH_U24) % FEATURE_DIM).alias("bucket"), "wc")
+        tok.select("doc_id", (F.expr(_FH_U24) % FEATURE_DIM).alias("bucket"))
         .groupBy("doc_id", "bucket")
-        .agg(F.sum("wc").alias("c"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     n_a = cnt_a.groupBy("doc_id").agg(F.sum("c").alias("n"))
 
@@ -651,10 +649,8 @@ def _qc2_sparse(
 
     # family C: char-3-grams, extracted at VOCABULARY grain (a gram is
     # a function of the WORD — the r11 class-collapse rule; the corpus
-    # never pays the per-token substring explode) and joined back at
-    # (doc, word) grain: Σ_tokens gram_wc ≡ Σ_words wc·gram_wc — the
-    # join side shrinks from the token stream to the per-doc vocabulary.
-    vw = wd.select("word").distinct().filter(F.length("word") >= 3)
+    # never pays the per-token substring explode) and joined back
+    vw = tok.select("word").distinct().filter(F.length("word") >= 3)
     cg = vw.select(
         "word",
         F.explode(
@@ -667,39 +663,19 @@ def _qc2_sparse(
     wgb = (
         cg.select("word", (gram_u24 % FEATURE_DIM).alias("bucket"))
         .groupBy("word", "bucket")
-        .agg(F.count(F.lit(1)).alias("gwc"))
+        .agg(F.count(F.lit(1)).alias("wc"))
     )
     cnt_c = (
-        wd.join(wgb, "word")
+        tok.join(wgb, "word")
         .groupBy("doc_id", "bucket")
-        .agg(F.sum(F.col("wc") * F.col("gwc")).alias("c"))
+        .agg(F.sum("wc").alias("c"))
     )
     n_c = cnt_c.groupBy("doc_id").agg(F.sum("c").alias("n"))
 
-    # label rule at word grain: hits(lang) = Σ wc over that language's
-    # marker words — exactly size(filter(toks, t -> contains(markers)))
-    # (integer identity), without another corpus tokenize + HOF pass.
-    def _hits(lang: str) -> F.Column:
-        markers = list(LANG_MARKERS[lang])
-        return F.sum(
-            F.when(F.col("word").isin(markers), F.col("wc")).otherwise(F.lit(0))
-        )
-
-    hits = wd.groupBy("doc_id").agg(
-        *[_hits(lg).alias(f"h_{lg}") for lg in ("en", "de", "es", "fr", "zh")]
-    )
-    y = hits.select(
+    y = docs.select(
         "doc_id",
-        (
-            (
-                F.col("h_en")
-                >= F.greatest("h_de", "h_es", "h_fr", "h_zh")
-            )
-            & (F.col("h_en") > 0)
-        )
-        .cast("int")
-        .alias("y"),
-    )
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("toks"),
+    ).select("doc_id", _is_en_rule_spark().alias("y"))
     nd = n_a.join(y, "doc_id").localCheckpoint(eager=False)
 
     def fam(cnt: DataFrame, n: DataFrame, off: int) -> DataFrame:
