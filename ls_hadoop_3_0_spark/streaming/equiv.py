@@ -2231,9 +2231,12 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # many files so the file source parallelizes once the slice is big,
     # few files while a fixture-scale micro-batch is task-overhead
     # bound); the stream's state-store partition count then follows the
-    # actually-staged bytes.
+    # actually-staged rows. 8k-row quantum: the probe legs explode 12
+    # bands per doc and hash-join each — heavy per row (100× A/B: 32
+    # partitions 10.7 s vs 1 partition 15.9 s at 250k staged docs; 1
+    # partition wins at the 2.5k-doc fixture, 2.45 vs 3.41 s).
     n_files = demo.stream_shuffle_partitions(
-        spark, f"{sf_dir}/documents.parquet"
+        spark, f"{sf_dir}/documents.parquet", rows_per_partition=8_000
     )
     staged.repartition(n_files).write.mode("overwrite").parquet(data_dir)
 
@@ -2267,7 +2270,8 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # surface as a timeout — not degrade to a matches_batch=False parity
     # failure with no diagnostic.
     with demo.shuffle_partitions(
-        spark, demo.stream_shuffle_partitions(spark, data_dir)
+        spark,
+        demo.stream_shuffle_partitions(spark, data_dir, rows_per_partition=8_000),
     ):
         q = (
             legs(stream)
@@ -2452,8 +2456,11 @@ def stream_quality_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("text").alias("ck"))
     )
     staged = nd_n.select("doc_id").join(mgn, "doc_id").join(ckdf, "doc_id")
+    # Same quantum as stream_dedup_incremental (the gate composes with
+    # it); this stream is stateless but its per-row squash + probe join
+    # parallelize the same way.
     n_files = demo.stream_shuffle_partitions(
-        spark, f"{sf_dir}/documents.parquet"
+        spark, f"{sf_dir}/documents.parquet", rows_per_partition=8_000
     )
     staged.repartition(n_files).write.mode("overwrite").parquet(data_dir)
 
@@ -2477,7 +2484,8 @@ def stream_quality_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(data_dir)
     name = f"sqi_{uuid.uuid4().hex[:12]}"
     with demo.shuffle_partitions(
-        spark, demo.stream_shuffle_partitions(spark, data_dir)
+        spark,
+        demo.stream_shuffle_partitions(spark, data_dir, rows_per_partition=8_000),
     ):
         q = (
             legs(stream)
@@ -2715,8 +2723,13 @@ def stream_knn_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id long, qu array<double>, cell int"
     ).parquet(data_dir)
     name = f"sks_{uuid.uuid4().hex[:12]}"
+    # Per-batch compute scales with probed candidates ≈ index rows ×
+    # nprobe/K per query — size by staged + index rows.
     with demo.shuffle_partitions(
-        spark, demo.stream_shuffle_partitions(spark, data_dir, idx_path)
+        spark,
+        demo.stream_shuffle_partitions(
+            spark, data_dir, idx_path, rows_per_partition=100_000
+        ),
     ):
         q = (
             legs(stream)
